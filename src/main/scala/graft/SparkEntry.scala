@@ -1,13 +1,367 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.etl.{ChillPipeline, Constant, Derived, FieldRule, Lookup, TableRoute}
+import graft.multimodal.BinaryPipeline
+import graft.operators.{Analytics, Maintenance, Reconcile, Rollups}
+import graft.text.TextOps
+
+/** Driver contract — one entry per implemented operator from
+  * SURVEY.md §2, plus the DuckDB oracle SQL used by the correctness
+  * gate. Determinism rules (SURVEY.md §6): decimal sums, single-
+  * division doubles, explicit tie-breaks, UTC, no now()/rand().
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the config-driven ETL pipeline (SURVEY §2 A2,A5-A8,B1)
+    * on sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    etlPipeline(spark, "/root/testdata/sf0.001")
+
+  // ---- shared helpers -------------------------------------------------
+
+  /** 5-minute epoch bucket as a timestamp (µs). */
+  private def bucket5m(ts: org.apache.spark.sql.Column) =
+    timestamp_seconds((floor(unix_timestamp(ts) / 300) * 300).cast("long"))
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** A7/A2/A5/A6 flagship pipeline: events feed → constant + derived +
+    * lookup fields → routed to the "purchase" table at 5-minute grain.
+    */
+  private def etlPipeline(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val customer = Tables.customer(s, dir)
+    val rules: Seq[FieldRule] = Seq(
+      Constant("schema_name", lit("PM_SCHEMA")),
+      Derived("datetime", bucket5m(col("ts")).cast("timestamp_ntz")),
+      Derived("k_code", get_json_object(col("props"), "$.k").cast("int")),
+      Derived("scaled_value", col("value") * 100),
+      Lookup("customer_name", customer, Seq("user_id" -> "c_custkey"), "c_name", lit("UNKNOWN")))
+    val routes = Seq(
+      TableRoute("purchase", col("event_type") === "purchase",
+        Seq("schema_name", "datetime", "user_id", "customer_name", "k_code", "scaled_value")))
+    ChillPipeline.run(events, rules, routes)("purchase")
+  }
+
+  // ---- query registry -------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1-B3: rollup cascade
+    "q_rollup_5m" -> ((s, dir) =>
+      Rollups.fiveMinute(Tables.events(s, dir))),
+    "q_rollup_hourly" -> ((s, dir) =>
+      Rollups.hourlyFromFiveMinute(Rollups.fiveMinute(Tables.events(s, dir)))),
+    "q_rollup_daily" -> ((s, dir) =>
+      Rollups.dailyPerUser(Tables.events(s, dir))),
+    // B4: cfg/dimension extraction
+    "q_cfg_extract" -> ((s, dir) =>
+      Maintenance.cfgExtract(Tables.events(s, dir))),
+    // B5: thinout / retention
+    "q_thinout" -> ((s, dir) =>
+      Maintenance.thinout(Tables.events(s, dir), "ts",
+          java.sql.Timestamp.from(java.time.Instant.parse("2024-01-15T00:00:00Z")))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .select("event_id", "ts", "user_id", "event_type", "value")),
+    // B6: idempotent delete+reload
+    "q_delete_reload" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      val base = ev.select("event_id", "day", "user_id", "event_type", "value")
+      val incoming = ev
+        .filter(col("ts") >= to_timestamp(lit("2024-01-20 00:00:00")))
+        .withColumn("value", col("value") * 2)
+        .select("event_id", "day", "user_id", "event_type", "value")
+      Maintenance.deleteReload(base, incoming, "day")
+    }),
+    // B7: error summarization
+    "q_error_summary" -> ((s, dir) =>
+      Maintenance.errorSummary(Tables.events(s, dir))),
+    // A6: lookup enrichment with default-on-miss
+    "q_lookup_enrich" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val nationName = Tables.supplier(s, dir).join(
+          Tables.nation(s, dir),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val rules: Seq[FieldRule] = Seq(
+        Lookup("brand", Tables.part(s, dir), Seq("l_partkey" -> "p_partkey"), "p_brand", lit("UNKNOWN")),
+        Lookup("supp_nation", nationName, Seq("l_suppkey" -> "s_suppkey"), "n_name", lit("UNKNOWN")),
+        Derived("net_price", col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      FieldRule.applyAll(li, rules)
+        .select("l_orderkey", "l_linenumber", "brand", "supp_nation", "net_price")
+    }),
+    // flagship ETL pipeline
+    "q_etl_pipeline" -> ((s, dir) => etlPipeline(s, dir)),
+    // C1: count compare
+    "q_recon_counts" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Reconcile.countCompare(li, li.filter(col("l_linenumber") =!= 7), "l_orderkey")
+    }),
+    // C2: missing keys both directions
+    "q_recon_missing" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      Reconcile.missingKeys(o, o.filter(col("o_orderstatus") =!= "F"), "o_orderkey")
+    }),
+    // C3: value diff with tolerance
+    "q_recon_diffs" -> ((s, dir) => {
+      val left = Tables.orders(s, dir).select(
+        col("o_orderkey").as("order_key"),
+        dec(col("o_totalprice")).cast("decimal(18,4)").as("val"))
+      val right = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("order_key"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("decimal(18,4)").as("val"))
+      Reconcile.valueDiffs(left, right, "order_key", "val", 0.01)
+        .select(col("order_key"), col("val_left").cast("double").as("val_left"),
+          col("val_right").cast("double").as("val_right"),
+          col("diff").cast("double").as("diff"))
+    }),
+    // C4: referential integrity summary
+    "q_recon_referential" -> ((s, dir) =>
+      Reconcile.referentialSummary(Tables.orders(s, dir), Tables.customer(s, dir),
+        "o_custkey", "c_custkey")),
+    // E1: top-N per group
+    "q_topn_per_group" -> ((s, dir) =>
+      Analytics.topNPerGroup(Tables.orders(s, dir), "o_custkey", "o_totalprice", "o_orderkey", 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank").as("rnk"))),
+    // E2: sessionization
+    "q_sessionize" -> ((s, dir) =>
+      Analytics.sessionize(Tables.events(s, dir), 1800L)
+        .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", col("session_end").cast("timestamp_ntz"))),
+    // D1: exact dedup
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).select("keep_id", "n_copies")),
+    // D2: n-gram jaccard near-dup
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.8)),
+    // D3: minhash LSH candidates (rows-only oracle)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), 3, 128, 32)),
+    // D4: simhash near-dup (rows-only oracle)
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), 3)),
+    // D5: embedding cosine near-dup
+    "q_dedup_embed" -> ((s, dir) =>
+      Ann.exactPairs(Tables.embeddings(s, dir), 0.45)),
+    // D6: brute-force cosine top-k
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
+    }),
+    // D7: LSH-bucketed ANN pairs (rows-only oracle)
+    "q_ann_lsh" -> ((s, dir) =>
+      Ann.lshPairs(Tables.embeddings(s, dir), 64, 8, 0.3)),
+    // D8: language id
+    "q_lang_id" -> ((s, dir) =>
+      TextOps.langId(Tables.documents(s, dir))),
+    // D9: quality scoring
+    "q_text_quality" -> ((s, dir) =>
+      TextOps.quality(Tables.documents(s, dir))),
+    // D10: token counting
+    "q_token_count" -> ((s, dir) =>
+      TextOps.tokenCounts(Tables.documents(s, dir))),
+    // D11: fingerprint (rows-only oracle)
+    "q_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.documents(s, dir))),
+    // D12: multimodal plumbing (rows-only oracle)
+    "q_multimodal" -> ((s, dir) =>
+      BinaryPipeline.extractFeatures(BinaryPipeline.toMedia(Tables.documents(s, dir))))
+  )
+
+  // ---- DuckDB oracles -------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_rollup_5m" ->
+      """SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_start, event_type,
+        | count(*) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_rollup_hourly" ->
+      """SELECT CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_start, event_type,
+        | count(*) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_rollup_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
+        | count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_cfg_extract" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q_thinout" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        |FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    "q_delete_reload" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS DATE) AS day, user_id, event_type, value,
+        |         CAST(ts AS TIMESTAMP) AS tsx
+        |  FROM events),
+        |inc AS (
+        |  SELECT event_id, day, user_id, event_type, value*2 AS value
+        |  FROM ev WHERE tsx >= TIMESTAMP '2024-01-20 00:00:00')
+        |SELECT event_id, day, user_id, event_type, value FROM ev
+        |WHERE day NOT IN (SELECT DISTINCT day FROM inc)
+        |UNION ALL SELECT event_id, day, user_id, event_type, value FROM inc""".stripMargin,
+    "q_error_summary" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | CAST(json_extract_string(props, '$.k') AS INT) % 10 AS error_code,
+        | count(*) AS n_errors
+        |FROM events WHERE event_type = 'error' GROUP BY 1, 2""".stripMargin,
+    "q_lookup_enrich" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        | COALESCE(p.p_brand, 'UNKNOWN') AS brand,
+        | COALESCE(n.n_name, 'UNKNOWN') AS supp_nation,
+        | l.l_extendedprice * (1.0 - l.l_discount) AS net_price
+        |FROM lineitem l
+        |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey""".stripMargin,
+    "q_etl_pipeline" ->
+      """SELECT 'PM_SCHEMA' AS schema_name,
+        | make_timestamp(CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) * 1000000) AS datetime,
+        | user_id,
+        | COALESCE(c.c_name, 'UNKNOWN') AS customer_name,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k_code,
+        | value * 100 AS scaled_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "q_recon_counts" ->
+      """WITH l AS (SELECT l_orderkey, count(*) AS cnt_left FROM lineitem GROUP BY 1),
+        |r AS (SELECT l_orderkey, count(*) AS cnt_right FROM lineitem
+        |      WHERE l_linenumber <> 7 GROUP BY 1)
+        |SELECT COALESCE(l.l_orderkey, r.l_orderkey) AS l_orderkey,
+        | COALESCE(cnt_left, 0) AS cnt_left,
+        | COALESCE(cnt_right, 0) AS cnt_right,
+        | COALESCE(cnt_left, 0) = COALESCE(cnt_right, 0) AS is_match
+        |FROM l FULL OUTER JOIN r ON l.l_orderkey = r.l_orderkey""".stripMargin,
+    "q_recon_missing" ->
+      """SELECT o_orderkey, 'missing_right' AS direction FROM orders
+        |WHERE o_orderkey NOT IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderstatus <> 'F')
+        |UNION ALL
+        |SELECT o_orderkey, 'missing_left' AS direction FROM orders
+        |WHERE o_orderstatus <> 'F' AND o_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
+    "q_recon_diffs" ->
+      """WITH l AS (SELECT o_orderkey AS order_key,
+        |   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS val_left
+        |  FROM orders),
+        |r AS (SELECT l_orderkey AS order_key,
+        |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |        AS DECIMAL(18,4)) AS val_right
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.order_key, CAST(val_left AS DOUBLE) AS val_left,
+        | CAST(val_right AS DOUBLE) AS val_right,
+        | CAST(CAST(val_left - val_right AS DECIMAL(18,4)) AS DOUBLE) AS diff
+        |FROM l JOIN r ON l.order_key = r.order_key
+        |WHERE ABS(val_left - val_right) > 0.01""".stripMargin,
+    "q_recon_referential" ->
+      """SELECT (SELECT count(*) FROM orders) AS n_facts,
+        | (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+        | (SELECT count(*) FROM orders) -
+        | (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_matched""".stripMargin,
+    "q_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |   LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |     (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END AS new_session
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, ts,
+        |   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "q_dedup_ngram" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w,
+        |         unnest(generate_series(1, greatest(len(w)-2, 1))) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+        |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |   list_dot_product(a.emb, b.emb)
+        |     / sqrt(list_dot_product(a.emb, a.emb))
+        |     / sqrt(list_dot_product(b.emb, b.emb)) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.45""".stripMargin,
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |   list_dot_product(q.qe, c.emb)
+        |     / sqrt(list_dot_product(q.qe, q.qe))
+        |     / sqrt(list_dot_product(c.emb, c.emb)) AS cos_sim
+        |  FROM q JOIN e c ON c.vec_id <> q.query_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
+        |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 10""".stripMargin,
+    "q_lang_id" ->
+      """SELECT doc_id, lang AS true_lang,
+        | len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) AS s_en,
+        | len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) AS s_es,
+        | len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS s_de,
+        | len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) AS s_fr,
+        | CASE
+        |  WHEN len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) = 0
+        |   AND len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) = 0
+        |   AND len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) = 0
+        |   AND len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) = 0 THEN 'und'
+        |  WHEN len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) >= len(regexp_extract_all(text, '\b(el|la|de|que|y)\b'))
+        |   AND len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) >= len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b'))
+        |   AND len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'en'
+        |  WHEN len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) >= len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b'))
+        |   AND len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'es'
+        |  WHEN len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'de'
+        |  ELSE 'fr' END AS pred_lang
+        |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        | len(string_split(text, ' ')) AS n_words,
+        | len(regexp_extract_all(text, '\b(the|a|an|of|and|in|to|is)\b')) AS n_stopwords,
+        | CAST(len(regexp_extract_all(text, '\b(the|a|an|of|and|in|to|is)\b')) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS stopword_ratio,
+        | CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS mean_word_len
+        |FROM documents""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpeish_tokens,
+        | length(text) AS n_chars
+        |FROM documents""".stripMargin
+  )
 }

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // non-ANSI: fingerprint/rolling-hash arithmetic relies on wrap-around
+      .config("spark.sql.ansi.enabled", "false")
+      // µs parquet timestamps so DuckDB reads the same instants back
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

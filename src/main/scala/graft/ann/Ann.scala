@@ -1,0 +1,101 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k (exact; queries broadcast, one
+  * pass over the corpus — the right plan even at 100 TB when the
+  * query set is small). Scale path: random-hyperplane LSH buckets so
+  * only same-bucket candidates are scored, with multiprobe via
+  * Hamming-adjacent buckets left to bucket-count tuning.
+  *
+  * Dot products use sequential `aggregate`/`zip_with` HOFs (codegen,
+  * deterministic left-to-right double accumulation).
+  */
+object Ann {
+
+  /** Sequential dot product of two float arrays (left-to-right double
+    * accumulation — bit-identical to the DuckDB oracle's loop).
+    */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity; the two-division form (dot/na/nb) matches the
+    * oracle expression exactly so doubles compare bit-equal.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+
+  /** Exact top-k neighbors for each query vector. `queries` is small
+    * → broadcast cross join, so the corpus is scanned once with no
+    * shuffle before the per-query top-k aggregation. Norms are
+    * precomputed per side (once per vector, not once per pair).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("c_norm"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) / col("q_norm") / col("c_norm")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Random-hyperplane sign sketch: `bits` pseudo-hyperplanes, each a
+    * deterministic ±1 pattern from xxhash64(dim_index, plane). The
+    * sign of the sketch dot product packs into a bucket id.
+    */
+  def lshBucket(emb: Column, dims: Int, bits: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, p) => acc.bitwiseOR(
+        when(
+          aggregate(
+            zip_with(emb, sequence(lit(0), lit(dims - 1)),
+              (v, i) => v.cast("double") *
+                (shiftright(xxhash64(i, p), 1).bitwiseAND(lit(1L)) * 2 - 1).cast("double")),
+            lit(0.0), (a, v) => a + v) > 0,
+          call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))))
+
+  /** LSH-bucketed near-dup / ANN candidates: vectors sharing a bucket
+    * are scored exactly; only same-bucket pairs materialize.
+    */
+  def lshPairs(corpus: DataFrame, dims: Int, bits: Int, threshold: Double): DataFrame = {
+    val bucketed = corpus.select(
+      col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+      lshBucket(col("embedding"), dims, bits).as("bucket"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.embedding"), col("b.embedding")) / col("a.norm") / col("b.norm")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Exact embedding near-dup pairs above a cosine threshold
+    * (brute-force; correct at test SF — the scale path is lshPairs).
+    * Norms precomputed per vector before the pair join.
+    */
+  def exactPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    withNorm.as("a")
+      .join(withNorm.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.embedding"), col("b.embedding")) / col("a.norm") / col("b.norm")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

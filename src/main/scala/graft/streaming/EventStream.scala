@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the event feed: watermarked windowed
+  * aggregation and in-watermark dedup. The same transforms run in
+  * batch mode (unified API) — specs drive them with a file source and
+  * the memory sink.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // raw nanos (see Tables.events)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Normalize the raw nanos column to a microsecond timestamp. */
+  def normalize(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked 5-minute tumbling-window aggregation per event type.
+    * At scale: state is bounded by the watermark; partial aggregation
+    * happens before the stateful shuffle.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon —
+    * bounded state, exactly-once per id inside the horizon.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Open the events parquet directory as a stream (for specs/demo). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize(spark.readStream.schema(eventSchema).parquet(dir))
+  }
+}

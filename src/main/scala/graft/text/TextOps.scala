@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token
+  * counting, quality scoring, language ID, and fingerprinting.
+  * All pure builtin expressions (whole-stage codegen; no UDFs), so
+  * they vectorize over a 100 TB documents table and push the `text`
+  * column read down to parquet.
+  */
+object TextOps {
+
+  /** BPE-ish tokenizer regex: letter runs, single digits, or single
+    * non-alphanumeric marks (a cheap proxy for byte-pair behavior).
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  private val Stopwords = Seq("the", "a", "an", "of", "and", "in", "to", "is")
+  private val StopwordPattern = "\\b(" + Stopwords.mkString("|") + ")\\b"
+
+  /** Token counts: whitespace tokens + BPE-ish regex tokens. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      regexp_count(col("text"), lit(BpeishPattern)).as("bpeish_tokens"),
+      length(col("text")).as("n_chars"))
+
+  /** Quality metrics: length, word count, stopword ratio, mean word
+    * length — single-division doubles (IEEE-identical across engines).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val nWords = size(split(col("text"), " "))
+    val nStop = regexp_count(col("text"), lit(StopwordPattern))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      nWords.as("n_words"),
+      nStop.as("n_stopwords"),
+      (nStop.cast("double") / nWords).as("stopword_ratio"),
+      ((length(col("text")) - (nWords - lit(1))).cast("double") / nWords).as("mean_word_len"))
+  }
+
+  /** Language ID via stopword-profile scoring: count hits against a
+    * tiny per-language function-word profile, predict the argmax with
+    * a fixed tie-break order (en > es > de > fr > und).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    def score(words: Seq[String]): Column =
+      regexp_count(col("text"), lit("\\b(" + words.mkString("|") + ")\\b"))
+    val sEn = score(Seq("the", "and", "of", "is", "a"))
+    val sEs = score(Seq("el", "la", "de", "que", "y"))
+    val sDe = score(Seq("der", "die", "und", "das", "ist"))
+    val sFr = score(Seq("le", "la", "et", "les", "des"))
+    docs.select(
+      col("doc_id"), col("lang").as("true_lang"),
+      sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"), sFr.as("s_fr"))
+      .withColumn("pred_lang",
+        when(col("s_en") === 0 && col("s_es") === 0 && col("s_de") === 0 && col("s_fr") === 0, "und")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+  }
+
+  /** Deterministic document fingerprint: a rolling polynomial hash
+    * over per-word xxhash64 values (wrap-around arithmetic). Two
+    * documents with identical token streams get identical
+    * fingerprints; order matters (unlike a bag-of-words hash).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      aggregate(
+        split(col("text"), " "),
+        lit(0L),
+        (acc, w) => acc * lit(1000003L) + xxhash64(w)).as("fingerprint"))
+}

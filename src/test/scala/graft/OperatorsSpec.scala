@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Smoke + semantic specs for every SparkEntry query at sf0.001. */
+class OperatorsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and most return rows") {
+    val counts = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).count()
+    }
+    val empty = counts.filter(_._2 == 0).keys.toSeq
+      .filterNot(Set("q_recon_missing", "q_dedup_embed")) // legitimately may be empty
+    assert(empty.isEmpty, s"unexpected empty results: $empty")
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val extra = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(extra.isEmpty, s"oracleSql without query impl: $extra")
+  }
+
+  test("rollup cascade is exact: hourly from 5m equals hourly from raw") {
+    val ev = Tables.events(spark, sf)
+    val cascaded = operators.Rollups.hourlyFromFiveMinute(operators.Rollups.fiveMinute(ev))
+    val direct = ev.groupBy(
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("bucket_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+    assert(cascaded.exceptAll(direct).isEmpty && direct.exceptAll(cascaded).isEmpty)
+  }
+
+  test("deleteReload replaces whole buckets idempotently") {
+    val ev = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))
+      .select("event_id", "day", "value")
+    val inc = ev.filter(col("event_id") < 100).withColumn("value", col("value") * 2)
+    val out = operators.Maintenance.deleteReload(ev, inc, "day")
+    // every day present in inc must contain only inc rows
+    val incDays = inc.select("day").distinct()
+    val replaced = out.join(incDays, Seq("day"), "left_semi")
+    assert(replaced.count() == inc.count())
+    // applying the same reload twice is a no-op
+    val out2 = operators.Maintenance.deleteReload(out, inc, "day")
+    assert(out2.exceptAll(out).isEmpty && out.exceptAll(out2).isEmpty)
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs (recall)") {
+    val docs = Tables.documents(spark, sf)
+    val exact = dedup.Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("doc_a", "doc_b")
+    val cand = dedup.Dedup.minhashLshPairs(docs, 3, 128, 32)
+    val missed = exact.exceptAll(cand.select("doc_a", "doc_b")).count()
+    assert(missed == 0, s"LSH missed $missed true near-dup pairs")
+  }
+
+  test("simhash identical docs collide, hamming 0") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w q r t"))
+      .toDF("doc_id", "text")
+    val pairs = dedup.Dedup.simhashPairs(df, 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("fingerprint: identical token stream -> identical hash; order matters") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")
+    val fp = text.TextOps.fingerprint(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("brute-force topk self-excludes and ranks by cosine desc") {
+    val emb = Tables.embeddings(spark, sf)
+    val res = ann.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), 5)
+    val rows = res.collect()
+    assert(rows.length == 10)
+    assert(!rows.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      val sims = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("multimodal feature extraction produces deterministic features") {
+    val media = multimodal.BinaryPipeline.toMedia(Tables.documents(spark, sf))
+    val feats = multimodal.BinaryPipeline.extractFeatures(media)
+    val r = feats.filter(col("doc_id") === 0).collect().head
+    assert(r.getAs[Int]("n_bytes") > 0)
+    assert(r.getSeq[Double](r.fieldIndex("features")).length == 4)
+  }
+
+  test("referential summary adds up") {
+    val r = SparkEntry.queries("q_recon_referential")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_facts") == r.getAs[Long]("n_matched") + r.getAs[Long]("n_orphans"))
+  }
+}
