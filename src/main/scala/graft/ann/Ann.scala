@@ -19,10 +19,10 @@ object Ann {
 
   /** Sequential dot product of two float arrays (left-to-right double
     * accumulation — bit-identical to the DuckDB oracle's loop).
+    * Native codegen expression (graft.functions.FloatVecDot).
     */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.floatVecDot(x, y)
 
   /** Cosine similarity; the two-division form (dot/na/nb) matches the
     * oracle expression exactly so doubles compare bit-equal.

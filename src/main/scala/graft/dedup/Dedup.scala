@@ -80,32 +80,17 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash band hashes in a single pass: one fold over the shingle
-    * set maintains all `numHashes` running minima (salted xxhash64
-    * simulating permutations); the finish function hashes each band's
-    * slice of the signature. O(numHashes * shingles) per row, each
-    * subexpression evaluated exactly once, zero shuffle.
-    */
-  def minhashBandHashes(text: Column, shingleSize: Int, numHashes: Int, bands: Int): Column = {
-    val rows = numHashes / bands
-    aggregate(
-      shingles(text, shingleSize),
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (a, i) => least(a, xxhash64(s, i))),
-      sig => transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(sig, b * rows + 1, lit(rows)))))
-  }
-
-  /** MinHash+LSH candidate pairs: band hashes → group docs sharing a
-    * band hash → in-bucket pairs (deduped across bands). The band
-    * explode is the only shuffle; buckets are capped.
+  /** MinHash+LSH candidate pairs: band hashes (native expression, one
+    * imperative pass per row — graft.functions.MinHashBands) → group
+    * docs sharing a band hash → in-bucket pairs (deduped across
+    * bands). The band explode is the only shuffle; buckets are capped.
     */
   def minhashLshPairs(docs: DataFrame, shingleSize: Int, numHashes: Int,
                       bands: Int, maxBucket: Int = 1000): DataFrame = {
     val banded = docs.select(
       col("doc_id"),
-      posexplode(minhashBandHashes(col("text"), shingleSize, numHashes, bands)))
+      posexplode(graft.functions.TextHashFunctions.minhashBands(
+        col("text"), shingleSize, numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val capped = banded
@@ -121,22 +106,11 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over whitespace tokens, single pass: tokens are
-    * pre-hashed once, the fold keeps 64 signed bit-counters, and the
-    * finish packs the majority signs into a long.
+  /** 64-bit SimHash over whitespace tokens (native expression —
+    * graft.functions.SimHash64: one imperative pass per row).
     */
-  def simhash(text: Column): Column = {
-    val bitIdx = sequence(lit(0), lit(63))
-    aggregate(
-      transform(split(text, " "), t => xxhash64(t)),
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, bitIdx,
-        (a, k) => a + call_function("shiftright", h, k).bitwiseAND(lit(1L)) * 2 - 1),
-      bits => aggregate(
-        zip_with(bits, bitIdx,
-          (b, k) => when(b > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))),
-        lit(0L), (acc, v) => acc.bitwiseOR(v)))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.TextHashFunctions.simhash64(text)
 
   /** SimHash near-dup pairs: band the 64-bit signature into four
     * 16-bit chunks; by pigeonhole, any pair within hamming distance 3

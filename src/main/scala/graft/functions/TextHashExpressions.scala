@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Imperative single-pass text-sketch expressions. The HOF
+  * (`transform`/`aggregate`) formulations walk an interpreted
+  * expression tree and allocate an array per lambda element; for
+  * sketches that touch every (token × hash) pair that dominates
+  * runtime. These expressions do the same arithmetic in one tight
+  * eval per row: hash each shingle/token once with xxHash64, then
+  * mix per-permutation with cheap long-hashing.
+  */
+
+/** MinHash band hashes computed directly from text:
+  * word `n`-gram shingles → `numHashes` permutation minima
+  * (xxHash64 of the shingle mixed per-permutation) → one xxHash64
+  * per band over its signature slice. Output: Array[Long] of length
+  * `bands`. O(shingles + shingles·numHashes/word) with zero
+  * allocation per permutation.
+  */
+case class MinHashBands(child: Expression, n: Int, numHashes: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+  private val rowsPerBand = numHashes / bands
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
+    val numShingles = math.max(words.length - (n - 1), 1)
+    // distinct shingle base hashes (shingle text hashed once)
+    val seen = new java.util.HashSet[Long](numShingles * 2)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < numShingles) {
+      var h = 0L
+      var j = 0
+      while (j < n && i + j < words.length) {
+        val w = words(i + j)
+        val wh = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
+        h = h * 1000003L + wh
+        j += 1
+      }
+      if (seen.add(h)) {
+        var k = 0
+        while (k < numHashes) {
+          val salted = XXH64.hashLong(h, k.toLong)
+          if (salted < mins(k)) mins(k) = salted
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val bandHashes = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var bh = b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        bh = XXH64.hashLong(mins(b * rowsPerBand + r), bh)
+        r += 1
+      }
+      bandHashes(b) = bh
+      b += 1
+    }
+    new GenericArrayData(bandHashes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over whitespace tokens: each token hashed once,
+  * its hash's bits vote ±1 into 64 counters, majority signs pack
+  * into a long.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      val h = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) counters(k) += 1 else counters(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (counters(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextHashFunctions {
+  def minhashBands(text: Column, n: Int, numHashes: Int, bands: Int): Column =
+    org.apache.spark.sql.graftglue.ColumnGlue.column(
+      MinHashBands(org.apache.spark.sql.graftglue.ColumnGlue.expr(text), n, numHashes, bands))
+
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.graftglue.ColumnGlue.column(
+      SimHash64(org.apache.spark.sql.graftglue.ColumnGlue.expr(text)))
+}
