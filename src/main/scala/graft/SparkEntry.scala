@@ -40,7 +40,7 @@ object SparkEntry {
     val rules: Seq[FieldRule] = Seq(
       Constant("schema_name", lit("PM_SCHEMA")),
       Derived("datetime", bucket5m(col("ts")).cast("timestamp_ntz")),
-      Derived("k_code", get_json_object(col("props"), "$.k").cast("int")),
+      Derived("k_code", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")),
       Derived("scaled_value", col("value") * 100),
       Lookup("customer_name", customer, Seq("user_id" -> "c_custkey"), "c_name", lit("UNKNOWN")))
     val routes = Seq(

@@ -50,22 +50,12 @@ object Ann {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** Random-hyperplane sign sketch: `bits` pseudo-hyperplanes, each a
-    * deterministic ±1 pattern from xxhash64(dim_index, plane). The
-    * sign of the sketch dot product packs into a bucket id.
+  /** Random-hyperplane sign sketch: `bits` pseudo-hyperplanes with
+    * deterministic ±1 coefficients; native expression
+    * (graft.functions.LshBucket) with a precomputed sign matrix.
     */
   def lshBucket(emb: Column, dims: Int, bits: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, p) => acc.bitwiseOR(
-        when(
-          aggregate(
-            zip_with(emb, sequence(lit(0), lit(dims - 1)),
-              (v, i) => v.cast("double") *
-                (shiftright(xxhash64(i, p), 1).bitwiseAND(lit(1L)) * 2 - 1).cast("double")),
-            lit(0.0), (a, v) => a + v) > 0,
-          call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))))
+    graft.functions.VectorFunctions.lshBucket(emb, dims, bits)
 
   /** LSH-bucketed near-dup / ANN candidates: vectors sharing a bucket
     * are scored exactly; only same-bucket pairs materialize.

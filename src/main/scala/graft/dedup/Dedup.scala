@@ -58,17 +58,21 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxBucket: Int = 1000): DataFrame = {
+    // join key is the 8-byte shingle hash, not the shingle string —
+    // narrows the shuffle ~5x (collision odds over the pair space are
+    // ~2^-64 per bucket, immaterial to Jaccard counts)
     val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val capped = sh
       .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
     val pairs = capped.as("a")
       .join(capped.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -52,10 +52,59 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket id: `bits` pseudo-hyperplanes whose
+  * ±1 coefficients are deterministic xxHash64 signs of (dim, plane);
+  * the sign of each sketch dot product packs into a long bucket id.
+  * The sign matrix is materialized once per expression instance —
+  * the HOF form re-derived every coefficient per row interpreted.
+  */
+case class LshBucket(child: Expression, dims: Int, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "lsh_bucket"
+
+  // signs(p)(i) = ±1 coefficient of hyperplane p at dimension i,
+  // derived exactly like the HOF form: bit 1 of xxhash64(i, p).
+  @transient private lazy val signs: Array[Array[Double]] =
+    Array.tabulate(bits) { p =>
+      Array.tabulate(dims) { i =>
+        val h = XXH64.hashLong(p.toLong, XXH64.hashLong(i.toLong, 42L))
+        if (((h >> 1) & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dims)
+    var bucket = 0L
+    var p = 0
+    while (p < bits) {
+      val s = signs(p)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += v.getFloat(i).toDouble * s(i)
+        i += 1
+      }
+      if (acc > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[FloatVecDot]]. */
   def floatVecDot(a: Column, b: Column): Column =
     org.apache.spark.sql.graftglue.ColumnGlue.column(FloatVecDot(
       org.apache.spark.sql.graftglue.ColumnGlue.expr(a),
       org.apache.spark.sql.graftglue.ColumnGlue.expr(b)))
+
+  def lshBucket(emb: Column, dims: Int, bits: Int): Column =
+    org.apache.spark.sql.graftglue.ColumnGlue.column(LshBucket(
+      org.apache.spark.sql.graftglue.ColumnGlue.expr(emb), dims, bits))
 }
