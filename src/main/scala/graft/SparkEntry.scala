@@ -62,12 +62,16 @@ object SparkEntry {
     // B4: cfg/dimension extraction
     "q_cfg_extract" -> ((s, dir) =>
       Maintenance.cfgExtract(Tables.events(s, dir))),
-    // B5: thinout / retention
-    "q_thinout" -> ((s, dir) =>
-      Maintenance.thinout(Tables.events(s, dir), "ts",
-          java.sql.Timestamp.from(java.time.Instant.parse("2024-01-15T00:00:00Z")))
+    // B5: thinout / retention — the cutoff filters the *raw* nanos
+    // column so it pushes down to the parquet scan (PushedFilters);
+    // on a date-partitioned table this becomes partition pruning
+    "q_thinout" -> ((s, dir) => {
+      val cutoffNs = java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000000L
+      Tables.normalizeEventTs(
+          Maintenance.thinout(Tables.eventsRaw(s, dir), "ts", lit(cutoffNs)))
         .withColumn("ts", col("ts").cast("timestamp_ntz"))
-        .select("event_id", "ts", "user_id", "event_type", "value")),
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    }),
     // B6: idempotent delete+reload
     "q_delete_reload" -> ((s, dir) => {
       val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))

@@ -24,12 +24,21 @@ object Tables {
     * normalize to a microsecond TimestampType with integral division
     * (`div`, not `/` — double division loses precision above 2^53).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(eventsRaw(s, d))
+
+  /** events with `ts` still raw nanos (LongType) — predicates on this
+    * column push down to the parquet scan as plain long comparisons,
+    * which the normalized timestamp (a derived expression) cannot.
+    */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -64,4 +64,25 @@ object ChillPipeline {
       acc.withColumn(c, parts.getItem(i))
     }.drop("value", "_ln", "_n")
   }
+
+  /** Capture per-file header ("tag") lines for [[FromTag]] rules: for
+    * each rule, the first raw line containing its tag is extracted per
+    * file (the reference scans the whole file for the tag line,
+    * Partrans.py:113-122) and joined back on the file name. Per-file
+    * tag tables are tiny → broadcast join; the feed never shuffles.
+    */
+  def withTagColumns(spark: SparkSession, path: String, df: DataFrame,
+                     tagRules: Seq[FromTag]): DataFrame = {
+    if (tagRules.isEmpty) return df
+    val lines = spark.read.text(path)
+      .select(input_file_name().as("_file"), col("value"),
+        monotonically_increasing_id().as("_ord"))
+    tagRules.foldLeft(df) { (acc, rule) =>
+      val tagLines = lines
+        .filter(col("value").contains(rule.tag))
+        .groupBy(col("_file"))
+        .agg(min_by(col("value"), col("_ord")).as(s"_tag_${rule.name}"))
+      acc.join(broadcast(tagLines), Seq("_file"), "left")
+    }
+  }
 }

@@ -60,7 +60,11 @@ object FieldRule {
         case Constant(n, v)   => acc.withColumn(n, v)
         case Derived(n, e)    => acc.withColumn(n, e)
         case FromFilename(n, p, g) =>
-          acc.withColumn(n, regexp_extract(input_file_name(), p, g))
+          // the raw source captures `_file` per row; fall back to
+          // input_file_name() only for single-source scans (it cannot
+          // be evaluated after a join)
+          val src = if (acc.columns.contains("_file")) col("_file") else input_file_name()
+          acc.withColumn(n, regexp_extract(src, p, g))
         case FromTag(n, _, parse) =>
           // Raw source exposes the captured header line as `_tag_<name>`
           acc.withColumn(n, parse(col(s"_tag_$n")))

@@ -22,11 +22,12 @@ object Maintenance {
     events.select(col("user_id"), col("event_type")).distinct()
 
   /** Thinout: drop rows older than the retention cutoff. The filter is
-    * a pure predicate, so on a date-partitioned table Catalyst turns it
-    * into partition pruning — no data read for expired partitions.
+    * a pure predicate on a stored column, so it reaches the parquet
+    * scan (PushedFilters) and on a date-partitioned table becomes
+    * partition pruning — no data read for expired partitions.
     */
-  def thinout(df: DataFrame, tsCol: String, cutoff: java.sql.Timestamp): DataFrame =
-    df.filter(col(tsCol) >= lit(cutoff))
+  def thinout(df: DataFrame, tsCol: String, cutoff: org.apache.spark.sql.Column): DataFrame =
+    df.filter(col(tsCol) >= cutoff)
 
   /** Idempotent delete+reload (the reference deletes target-table rows
     * for every DATETIME present in the incoming feed, then reloads).

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-report rendering — the Spark analogue of the reference's
+  * junit XML generation (TestReport.py): reconciliation outputs fold
+  * into a (suite, test_name, status, message) report table, and a
+  * capped slice renders as junit XML.
+  *
+  * The report *table* is distributed (suites over billions of keys
+  * stay DataFrames); only the XML rendering collects, and it caps
+  * failures per suite the way a human-readable report must.
+  */
+object Report {
+
+  /** Record-count comparison suite (TestReport.py:create_data_summary):
+    * one test case per key, failed when counts differ.
+    */
+  def countSuite(countCompare: DataFrame, key: String): DataFrame =
+    countCompare.select(
+      lit("record_counts").as("suite"),
+      concat(lit("count for "), col(key).cast("string")).as("test_name"),
+      when(col("is_match"), "passed").otherwise("failed").as("status"),
+      concat(lit("left="), col("cnt_left"), lit(" right="), col("cnt_right")).as("message"))
+
+  /** Missing-record suite (TestReport.py:create_data_missing). */
+  def missingSuite(missingKeys: DataFrame, key: String): DataFrame =
+    missingKeys.select(
+      lit("missing_records").as("suite"),
+      concat(lit("key "), col(key).cast("string")).as("test_name"),
+      lit("failed").as("status"),
+      col("direction").as("message"))
+
+  /** Value-diff suite (TestReport.py:create_data_diffs). */
+  def diffSuite(valueDiffs: DataFrame, key: String): DataFrame =
+    valueDiffs.select(
+      lit("value_diffs").as("suite"),
+      concat(lit("diff for "), col(key).cast("string")).as("test_name"),
+      lit("failed").as("status"),
+      concat(lit("left="), col("val_left"), lit(" right="), col("val_right")).as("message"))
+
+  /** Missing-column suite (TestReport.py:create_missing_cols) — from
+    * the metadata-level schema compare.
+    */
+  def missingColumnsSuite(spark: SparkSession, table: String,
+                          missingInData: Seq[String], extraInData: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val rows =
+      missingInData.map(c => ("missing_columns", s"$table.$c", "failed", "expected column absent from data")) ++
+        extraInData.map(c => ("missing_columns", s"$table.$c", "failed", "data column absent from spec")) match {
+        case Nil => Seq(("missing_columns", table, "passed", "all expected columns present"))
+        case r   => r
+      }
+    rows.toDF("suite", "test_name", "status", "message")
+  }
+
+  /** Merge suites into one report table. */
+  def merge(suites: DataFrame*): DataFrame = suites.reduce(_ unionByName _)
+
+  /** Render a junit-style XML string from the report table, keeping at
+    * most `maxFailures` failed cases per suite (plus pass/fail
+    * totals). The only collect in the reporting path, explicitly
+    * bounded.
+    */
+  def toJunitXml(report: DataFrame, maxFailures: Int = 100): String = {
+    val totals = report.groupBy("suite").agg(
+      count(lit(1)).as("tests"),
+      sum(when(col("status") === "failed", 1L).otherwise(0L)).as("failures"))
+      .collect()
+    val failures = report.filter(col("status") === "failed")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("suite")
+          .orderBy(col("test_name"))))
+      .filter(col("rn") <= maxFailures)
+      .select("suite", "test_name", "message")
+      .collect()
+      .groupBy(_.getString(0))
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+    val sb = new StringBuilder("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<testsuites>\n")
+    totals.foreach { t =>
+      val suite = t.getString(0)
+      sb.append(s"""  <testsuite name="${esc(suite)}" tests="${t.getLong(1)}" failures="${t.getLong(2)}">\n""")
+      failures.getOrElse(suite, Array.empty).foreach { f =>
+        sb.append(s"""    <testcase name="${esc(f.getString(1))}"><failure message="${esc(f.getString(2))}"/></testcase>\n""")
+      }
+      sb.append("  </testsuite>\n")
+    }
+    sb.append("</testsuites>\n").toString
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl._
+
+/** A1/A3/A4 end-to-end: raw CSV files with header tags, valid-line
+  * slicing, ignore-lines, filename- and tag-derived fields — the
+  * reference's Partrans flow over synthetic raw PM files.
+  */
+class EtlSourceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  lazy val rawDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("rawpm")
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(d.resolve(name), body)
+    write("NODE_A_20240105.csv",
+      """#COLLECTOR=cell-east-1
+        |#SKIP ME
+        |id|cnt1|cnt2
+        |1|10|100
+        |2|20|200
+        |IGNORE_ROW
+        |3|30|300
+        |#footer junk""".stripMargin)
+    write("NODE_B_20240106.csv",
+      """#COLLECTOR=cell-west-9
+        |#SKIP ME
+        |id|cnt1|cnt2
+        |7|70|700
+        |8|80|800
+        |#footer junk""".stripMargin)
+    d.toString
+  }
+
+  test("rawCsv: valid-line slice + ignore_lines + delimiter split") {
+    val df = ChillPipeline.rawCsv(spark, rawDir + "/*.csv", "|",
+      Seq("id", "cnt1", "cnt2"), skipHeader = 3, skipFooter = 1,
+      ignoreLines = Set("IGNORE_ROW"))
+    assert(df.count() == 5)
+    assert(df.filter(col("id") === "3").select("cnt2").collect().head.getString(0) == "300")
+  }
+
+  test("filename- and tag-derived fields flow into the pipeline") {
+    val raw = ChillPipeline.rawCsv(spark, rawDir + "/*.csv", "|",
+      Seq("id", "cnt1", "cnt2"), skipHeader = 3, skipFooter = 1,
+      ignoreLines = Set("IGNORE_ROW"))
+    val tagRule = FromTag("collector", "#COLLECTOR",
+      line => regexp_extract(line, "#COLLECTOR=(.*)", 1))
+    val withTags = ChillPipeline.withTagColumns(spark, rawDir + "/*.csv", raw, Seq(tagRule))
+    val rules: Seq[FieldRule] = Seq(
+      FromFilename("node", "([A-Z_]+_[AB])_", 1),
+      tagRule,
+      Derived("total", col("cnt1").cast("long") + col("cnt2").cast("long")),
+      Constant("source_system", lit("pm")))
+    val out = FieldRule.applyAll(withTags, rules)
+      .select("id", "node", "collector", "total", "source_system")
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      ("1", "NODE_A", "cell-east-1", 110L),
+      ("2", "NODE_A", "cell-east-1", 220L),
+      ("3", "NODE_A", "cell-east-1", 330L),
+      ("7", "NODE_B", "cell-west-9", 770L),
+      ("8", "NODE_B", "cell-west-9", 880L)))
+  }
+
+  test("routing splits one feed into per-table outputs") {
+    val raw = ChillPipeline.rawCsv(spark, rawDir + "/*.csv", "|",
+      Seq("id", "cnt1", "cnt2"), skipHeader = 3, skipFooter = 1,
+      ignoreLines = Set("IGNORE_ROW"))
+    val routed = ChillPipeline.run(raw, Seq(
+      Derived("idn", col("id").cast("long"))), Seq(
+      TableRoute("low", col("idn") < 5, Seq("id", "cnt1")),
+      TableRoute("high", col("idn") >= 5, Seq("id", "cnt2"))))
+    assert(routed("low").count() == 3 && routed("high").count() == 2)
+    assert(routed("low").columns.toSeq == Seq("id", "cnt1"))
+  }
+
+  test("report renders junit xml with capped failures") {
+    val li = Tables.lineitem(spark, sf)
+    val cc = operators.Reconcile.countCompare(li, li.filter(col("l_linenumber") =!= 7), "l_orderkey")
+    val report = operators.Report.merge(
+      operators.Report.countSuite(cc, "l_orderkey"),
+      operators.Report.missingColumnsSuite(spark, "lineitem", Seq(), Seq()))
+    val xml = operators.Report.toJunitXml(report, maxFailures = 5)
+    assert(xml.contains("<testsuite name=\"record_counts\""))
+    assert(xml.contains("failures="))
+    assert(xml.split("<testcase").length <= 12) // capped
+    assert(xml.contains("missing_columns"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit: the scale-design invariants from SURVEY §5,
+  * asserted against the actual executed plans so a regression that
+  * silently introduces a sort-merge join or a full-column scan fails
+  * the build.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("lookups broadcast: no sort-merge join in lookup enrichment") {
+    val p = plan("q_lookup_enrich")
+    assert(p.contains("BroadcastHashJoin"), "lookup should be a broadcast join")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join in lookup plan")
+  }
+
+  test("etl pipeline lookup broadcasts") {
+    val p = plan("q_etl_pipeline")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("column pruning: lookup enrichment reads only needed lineitem columns") {
+    val p = plan("q_lookup_enrich")
+    assert(!p.contains("l_shipdate"), "unused columns must be pruned from the scan")
+    assert(!p.contains("l_quantity"))
+  }
+
+  test("thinout pushes the retention cutoff to the parquet scan") {
+    val p = plan("q_thinout")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"cutoff not pushed down:\n$p")
+  }
+
+  test("rollups partial-aggregate before the shuffle") {
+    val p = plan("q_rollup_5m")
+    // two HashAggregates (partial + final) around one shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+  }
+
+  test("delete+reload anti-join broadcasts the bucket set") {
+    val p = plan("q_delete_reload")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+  }
+
+  test("referential check broadcasts the dimension") {
+    val p = plan("q_recon_referential")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+  }
+}
