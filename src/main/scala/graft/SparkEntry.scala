@@ -125,6 +125,26 @@ object SparkEntry {
           col("val_right").cast("double").as("val_right"),
           col("diff").cast("double").as("diff"))
     }),
+    // C3b: all-counter diff in one pass (reference loops counters per row)
+    "q_recon_diffs_multi" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val keyed = li.withColumn("line_key", col("l_orderkey") * 10 + col("l_linenumber"))
+      val perturbed = keyed
+        .withColumn("l_quantity",
+          when(col("l_linenumber") === 1, col("l_quantity") + 1).otherwise(col("l_quantity")))
+        .withColumn("l_discount",
+          when(col("l_linenumber") === 2, col("l_discount") * 0.5).otherwise(col("l_discount")))
+      Reconcile.valueDiffsMulti(keyed, perturbed, "line_key",
+        Seq("l_quantity", "l_extendedprice", "l_discount"), 0.000001)
+    }),
+    // skew-salted aggregation (equivalent to direct groupBy agg)
+    "q_skew_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedAggregate(Tables.events(s, dir), "event_type", "value", 32)),
+    // HLL sketch rollup (approximate; rows-only oracle, bounds spec-tested)
+    "q_rollup_approx" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n_events"))),
     // C4: referential integrity summary
     "q_recon_referential" -> ((s, dir) =>
       Reconcile.referentialSummary(Tables.orders(s, dir), Tables.customer(s, dir),
@@ -266,6 +286,29 @@ object SparkEntry {
         | CAST(CAST(val_left - val_right AS DECIMAL(18,4)) AS DOUBLE) AS diff
         |FROM l JOIN r ON l.order_key = r.order_key
         |WHERE ABS(val_left - val_right) > 0.01""".stripMargin,
+    "q_recon_diffs_multi" ->
+      """WITH l AS (SELECT l_orderkey*10 + l_linenumber AS line_key, l_linenumber,
+        |            l_quantity, l_extendedprice, l_discount FROM lineitem),
+        |r AS (SELECT line_key,
+        |       CASE WHEN l_linenumber = 1 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+        |       l_extendedprice,
+        |       CASE WHEN l_linenumber = 2 THEN l_discount * 0.5 ELSE l_discount END AS l_discount
+        |      FROM l),
+        |u AS (
+        |  SELECT l.line_key, 'l_quantity' AS counter, l.l_quantity AS val_left, r.l_quantity AS val_right
+        |  FROM l JOIN r ON l.line_key = r.line_key
+        |  UNION ALL
+        |  SELECT l.line_key, 'l_extendedprice', l.l_extendedprice, r.l_extendedprice
+        |  FROM l JOIN r ON l.line_key = r.line_key
+        |  UNION ALL
+        |  SELECT l.line_key, 'l_discount', l.l_discount, r.l_discount
+        |  FROM l JOIN r ON l.line_key = r.line_key)
+        |SELECT line_key, counter, val_left, val_right, val_left - val_right AS diff
+        |FROM u WHERE ABS(val_left - val_right) > 0.000001""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT event_type, count(*) AS n_rows,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
     "q_recon_referential" ->
       """SELECT (SELECT count(*) FROM orders) AS n_facts,
         | (SELECT count(*) FROM orders o WHERE NOT EXISTS

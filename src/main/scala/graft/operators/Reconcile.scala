@@ -54,6 +54,23 @@ object Reconcile {
       .withColumn("diff", col("val_left") - col("val_right"))
       .filter(abs(col("diff")) > tolerance)
 
+  /** All-counter value diff in one pass (the reference loops every
+    * counter per joined row, HlxTools.py:907-929): one join on the
+    * key, then `stack` unpivots the counter columns to long format
+    * (key, counter, val_left, val_right, diff) inside the same stage
+    * — N counters cost one shuffle, not N.
+    */
+  def valueDiffsMulti(left: DataFrame, right: DataFrame, key: String,
+                      counters: Seq[String], tolerance: Double): DataFrame = {
+    val l = left.select(col(key) +: counters.map(c => col(c).as(s"${c}_l")): _*)
+    val r = right.select(col(key) +: counters.map(c => col(c).as(s"${c}_r")): _*)
+    val stackArgs = counters.map(c => s"'$c', ${c}_l, ${c}_r").mkString(", ")
+    l.join(r, Seq(key), "inner")
+      .selectExpr(key, s"stack(${counters.size}, $stackArgs) AS (counter, val_left, val_right)")
+      .withColumn("diff", col("val_left") - col("val_right"))
+      .filter(abs(col("diff")) > tolerance)
+  }
+
   /** Referential integrity: fact keys absent from the dimension
     * (reference: db keys missing from the cfg table,
     * HlxTools.py:821-856). Dimension side is broadcast — at 100 TB the

@@ -111,6 +111,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getSeq[Double](r.fieldIndex("features")).length == 4)
   }
 
+  test("salted aggregation equals direct aggregation") {
+    val ev = Tables.events(spark, sf)
+    val salted = operators.Skew.saltedAggregate(ev, "event_type", "value", 32)
+    val direct = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").cast("double").as("sum_value"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("approx distinct within 5% of exact") {
+    val ev = Tables.events(spark, sf)
+    val approx = SparkEntry.queries("q_rollup_approx")(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    val exact = ev.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("u")).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e <= 0.05, s"$k: approx=${approx(k)} exact=$e")
+    }
+  }
+
   test("referential summary adds up") {
     val r = SparkEntry.queries("q_recon_referential")(spark, sf).collect().head
     assert(r.getAs[Long]("n_facts") == r.getAs[Long]("n_matched") + r.getAs[Long]("n_orphans"))
