@@ -59,6 +59,14 @@ object SparkEntry {
       Rollups.hourlyFromFiveMinute(Rollups.fiveMinute(Tables.events(s, dir)))),
     "q_rollup_daily" -> ((s, dir) =>
       Rollups.dailyPerUser(Tables.events(s, dir))),
+    // B3b: weekly/monthly calendar rollups
+    "q_rollup_weekly" -> ((s, dir) =>
+      Rollups.calendarPerType(Tables.events(s, dir), "week")),
+    "q_rollup_monthly" -> ((s, dir) =>
+      Rollups.calendarPerType(Tables.events(s, dir), "month")),
+    // KPI formulas over rolled-up counters
+    "q_kpi_daily" -> ((s, dir) =>
+      graft.operators.Kpi.dailyKpis(Tables.events(s, dir))),
     // B4: cfg/dimension extraction
     "q_cfg_extract" -> ((s, dir) =>
       Maintenance.cfgExtract(Tables.events(s, dir))),
@@ -217,6 +225,25 @@ object SparkEntry {
         | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
         | count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_rollup_weekly" ->
+      """SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS bucket, event_type,
+        | count(*) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_rollup_monthly" ->
+      """SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS bucket, event_type,
+        | count(*) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_kpi_daily" ->
+      """SELECT day, n_events, n_errors, sum_value,
+        | sum_value / n_events AS avg_value,
+        | CAST(n_errors AS DOUBLE) / n_events AS error_rate
+        |FROM (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        |   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1)""".stripMargin,
     "q_cfg_extract" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "q_thinout" ->

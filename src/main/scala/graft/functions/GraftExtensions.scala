@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native expressions as SQL functions, so
+  * `spark.sql("SELECT simhash64(text) ...")` works alongside the
+  * Column API.
+  *
+  * Two paths: [[GraftExtensions]] is the SparkSessionExtensions hook
+  * (`.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`);
+  * [[GraftFunctions.register]] injects into an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", name, usage)
+
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("float_vec_dot",
+      info("float_vec_dot", "dot product of two float arrays, double accumulation"),
+      (es: Seq[Expression]) => FloatVecDot(es(0), es(1))),
+    ("simhash64",
+      info("simhash64", "64-bit simhash of whitespace-tokenized text"),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    ("minhash_bands",
+      info("minhash_bands", "minhash LSH band hashes: minhash_bands(text, n, numHashes, bands)"),
+      (es: Seq[Expression]) => MinHashBands(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
+        es(3).eval().asInstanceOf[Int])),
+    ("lsh_bucket",
+      info("lsh_bucket", "random-hyperplane LSH bucket: lsh_bucket(embedding, dims, bits)"),
+      (es: Seq[Expression]) => LshBucket(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+
+  /** Register all graft functions into an existing session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

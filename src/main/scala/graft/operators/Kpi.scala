@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KPI computation over rolled-up counters.
+  *
+  * The reference's HLD distinguishes raw counters from KPIs —
+  * formula columns computed from counters, excluded from load and
+  * compare (Partrans.py:269-271 skips TYPE == 'KPI';
+  * Key_Counters_Kpis sheet carries the formulas). Here KPIs are
+  * declarative post-aggregation expressions: they compose onto any
+  * rollup output inside the same projection (no extra pass), and at
+  * 100 TB they cost nothing beyond the rollup itself.
+  */
+object Kpi {
+
+  /** Attach KPI columns to an aggregated frame. */
+  def withKpis(agg: DataFrame, kpis: Seq[(String, Column)]): DataFrame =
+    kpis.foldLeft(agg) { case (df, (name, expr)) => df.withColumn(name, expr) }
+
+  /** Daily ops KPIs over the event feed: per-day totals plus derived
+    * rate/average KPIs (single-division doubles).
+    */
+  def dailyKpis(events: DataFrame): DataFrame = {
+    val base = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("sum_value"))
+    withKpis(base, Seq(
+      "avg_value" -> col("sum_value") / col("n_events"),
+      "error_rate" -> col("n_errors").cast("double") / col("n_events")))
+  }
+}

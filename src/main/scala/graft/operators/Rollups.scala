@@ -52,6 +52,18 @@ object Rollups {
         sum(col("sum_value").cast("decimal(18,2)")).cast("decimal(18,2)")
           .cast("double").as("sum_value"))
 
+  /** Calendar-aligned rollup at `unit` granularity ("week" = ISO
+    * Monday start, "month") per event_type — the coarse end of the
+    * reference's 5M..MO/YR suffix chain.
+    */
+  def calendarPerType(events: DataFrame, unit: String): DataFrame =
+    events
+      .groupBy(date_trunc(unit, col("ts")).cast("date").as("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("sum_value"))
+
   /** Daily rollup per user (coarse granularity, calendar-aligned). */
   def dailyPerUser(events: DataFrame): DataFrame =
     events

@@ -41,6 +41,17 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Gap-based session windows (Spark-native `session_window`): the
+    * streaming form of Analytics.sessionize — state merges windows
+    * within the gap, watermark bounds state size. Works identically
+    * in batch.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
   /** Open the events parquet directory as a stream (for specs/demo). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native expressions registered as SQL functions + session-window
+  * streaming sessionization.
+  */
+class SqlFunctionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("graft functions callable from SQL and equal to the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, sf).limit(50).createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql("SELECT doc_id, simhash64(text) AS sig FROM docs_v")
+    val viaCol = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), dedup.Dedup.simhash(col("text")).as("sig"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+
+    Tables.embeddings(spark, sf).limit(20).createOrReplaceTempView("emb_v")
+    val d = spark.sql("SELECT float_vec_dot(embedding, embedding) AS d FROM emb_v")
+      .collect().map(_.getDouble(0))
+    assert(d.forall(v => v > 0.0))
+    val buckets = spark.sql("SELECT lsh_bucket(embedding, 64, 8) AS b FROM emb_v")
+      .collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 256))
+    val bands = spark.sql("SELECT minhash_bands(text, 3, 128, 32) AS b FROM docs_v")
+      .collect().map(_.getSeq[Long](0))
+    assert(bands.forall(_.length == 32))
+  }
+
+  test("session_window batch agg groups like gap sessionization") {
+    val ev = Tables.events(spark, sf)
+    val viaWindow = streaming.EventStream.sessionWindowAgg(ev, "30 minutes")
+    val viaLag = operators.Analytics.sessionize(ev, 1800L)
+    assert(viaWindow.count() == viaLag.count(),
+      "session_window and lag-based sessionization must find the same sessions")
+  }
+
+  test("session_window works as a stream") {
+    val dir = {
+      val d = java.nio.file.Files.createTempDirectory("events_sw")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"), d.resolve("events.parquet"))
+      d.toString
+    }
+    val stream = streaming.EventStream.readEventStream(spark, dir)
+    val q = streaming.EventStream.sessionWindowAgg(stream, "30 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sw_agg").start()
+    try {
+      q.processAllAvailable()
+      val batch = streaming.EventStream.sessionWindowAgg(Tables.events(spark, sf), "30 minutes")
+      assert(spark.table("sw_agg").count() == batch.count())
+    } finally q.stop()
+  }
+}
