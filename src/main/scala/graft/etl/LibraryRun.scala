@@ -1,0 +1,70 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Maintenance, Reconcile, Report}
+
+/** The reference's whole library test cycle (chill.py:45-227) as one
+  * Spark flow: parse raw data → field rules → route to tables →
+  * idempotent partition-overwrite load → read back → reconcile
+  * against the in-memory transform → junit report.
+  *
+  * What the reference does with an Oracle DB, daemon processes, and
+  * sleep/poll loops is here a deterministic DAG: the "DB" is a
+  * partitioned parquet warehouse, the "DBLoader" is dynamic partition
+  * overwrite, and the comparison is a set of co-partitioned joins.
+  */
+final case class LibraryConfig(
+    rawPath: String,
+    delimiter: String,
+    rawColumns: Seq[String],
+    skipHeader: Int,
+    skipFooter: Int,
+    ignoreLines: Set[String],
+    rules: Seq[FieldRule],
+    tagRules: Seq[FromTag],
+    routes: Seq[TableRoute],
+    /** partition (datetime) column, present in every route's columns */
+    partitionCol: String,
+    warehouseDir: String)
+
+final case class LibraryResult(
+    tables: Map[String, DataFrame],
+    report: DataFrame,
+    junitXml: String)
+
+object LibraryRun {
+
+  /** Execute the full cycle. `keyCols` are the reconciliation keys
+    * (the reference's CONF_KEY_FIELDS + DATETIME).
+    */
+  def run(spark: SparkSession, cfg: LibraryConfig, keyCols: Seq[String]): LibraryResult = {
+    // 1. parse + transform (Partrans.parse_data)
+    val raw = ChillPipeline.rawCsv(spark, cfg.rawPath, cfg.delimiter, cfg.rawColumns,
+      cfg.skipHeader, cfg.skipFooter, cfg.ignoreLines)
+    val tagged = ChillPipeline.withTagColumns(spark, cfg.rawPath, raw, cfg.tagRules)
+    val routed = ChillPipeline.run(tagged, cfg.rules, cfg.routes)
+
+    // 2. load: per-table dynamic partition overwrite (delete+reload)
+    routed.foreach { case (table, df) =>
+      Maintenance.overwritePartitions(df, s"${cfg.warehouseDir}/$table", cfg.partitionCol)
+    }
+
+    // 3. read back what the warehouse now holds
+    val loaded = routed.keys.map { table =>
+      table -> spark.read.parquet(s"${cfg.warehouseDir}/$table")
+    }.toMap
+
+    // 4. reconcile per table: counts + missing keys (compare_data)
+    val suites = routed.keys.toSeq.sorted.flatMap { table =>
+      val expected = routed(table).withColumn("_key", concat_ws("", keyCols.map(col): _*))
+      val actual = loaded(table).withColumn("_key", concat_ws("", keyCols.map(col): _*))
+      Seq(
+        Report.countSuite(Reconcile.countCompare(expected, actual, "_key"), "_key"),
+        Report.missingSuite(Reconcile.missingKeys(expected, actual, "_key"), "_key"))
+    }
+    val report = Report.merge(suites: _*)
+    LibraryResult(loaded, report, Report.toJunitXml(report))
+  }
+}

@@ -43,6 +43,22 @@ object Maintenance {
       .unionByName(incoming)
   }
 
+  /** Physical idempotent reload: write `incoming` into a
+    * `partitionCol`-partitioned parquet table with dynamic partition
+    * overwrite — only the partitions present in `incoming` are
+    * replaced, the exact semantics of the reference's
+    * delete-by-datetime-then-load (HlxTools.py:372-394) without a
+    * delete pass. At 100 TB this touches only the reloaded
+    * datetime partitions.
+    */
+  def overwritePartitions(incoming: DataFrame, path: String, partitionCol: String): Unit = {
+    val spark = incoming.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try incoming.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+  }
+
   /** Error summarization: group raw error events into (day, code)
     * buckets with counts — the Spark analogue of parsing DBL error
     * logs into a per-table error report.
