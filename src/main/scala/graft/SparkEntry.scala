@@ -161,6 +161,29 @@ object SparkEntry {
     "q_topn_per_group" -> ((s, dir) =>
       Analytics.topNPerGroup(Tables.orders(s, dir), "o_custkey", "o_totalprice", "o_orderkey", 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank").as("rnk"))),
+    // E1b: top-N via custom bounded-heap aggregate (map-side combine;
+    // same oracle as the window formulation)
+    "q_topn_heap" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKFunctions.topK(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rnk"),
+          col("col.tie").as("o_orderkey"), col("col.score").as("o_totalprice"))
+    }),
+    // as-of join: each purchase attributed to the user's most recent
+    // prior error event
+    "q_asof_attrib" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("err_id"),
+          col("value").as("err_value"))
+      graft.operators.AsOf.asofJoin(purchases, errors, "user_id", "ts",
+          Seq("err_id", "err_value"), "err_id")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }),
     // E2: sessionization
     "q_sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 1800L)
@@ -349,6 +372,24 @@ object SparkEntry {
         |   ROW_NUMBER() OVER (PARTITION BY o_custkey
         |                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q_topn_heap" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q_asof_attrib" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |e0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS err_id,
+        |        value AS err_value FROM events WHERE event_type = 'error'),
+        |e AS (SELECT user_id, ts, err_id, err_value FROM (
+        |  SELECT e0.*, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                                  ORDER BY err_id DESC) AS rn FROM e0)
+        |  WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  e.err_id AS asof_err_id, e.err_value AS asof_err_value
+        |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin,
     "q_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join — an operator Spark has no native node for:
+  * each left row picks the payload of the most recent right row with
+  * `right.ts <= left.ts` for the same key.
+  *
+  * Composed from built-ins (preference order (a) in SURVEY §4): tag
+  * and union the two sides, sort per key by (ts, tag) — right rows
+  * sort before left rows at equal timestamps so "<=" holds — and
+  * propagate the latest right payload with `last(ignoreNulls)` over
+  * an unbounded-preceding window. One shuffle on the key, linear
+  * scan per partition; a naive inequality join instead explodes into
+  * a broadcast nested-loop at scale.
+  *
+  * Each side's columns travel as ONE struct through the window, so
+  * every picked field is guaranteed to come from the same right row.
+  */
+object AsOf {
+
+  /** @param pickCols right-side columns to expose (as asof_<name>)
+    * @param tieCol   right rows tied on (key, ts) keep only the
+    *                 highest tieCol value, making ties deterministic
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               pickCols: Seq[String], tieCol: String): DataFrame = {
+    val rightDedup = right
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(key), col(tsCol)).orderBy(col(tieCol).desc)))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+
+    val r = rightDedup.select(
+      col(key), col(tsCol), lit(0).as("_tag"),
+      struct(pickCols.map(col): _*).as("_r"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        left.schema.fields).sql).as("_l"))
+    val l = left.select(
+      col(key), col(tsCol), lit(1).as("_tag"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        rightDedup.select(pickCols.map(col): _*).schema.fields).sql).as("_r"),
+      struct(left.columns.map(col): _*).as("_l"))
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = r.unionByName(l)
+      .withColumn("_picked", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+
+    val base = left.columns.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col("_l").getField(c))
+    }
+    pickCols.foldLeft(base) { (df, c) =>
+      df.withColumn(s"asof_$c", col("_picked").getField(c))
+    }.select((left.columns ++ pickCols.map(c => s"asof_$c")).map(col): _*)
+  }
+}

@@ -131,6 +131,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("top-k heap aggregate equals window top-N") {
+    val heap = SparkEntry.queries("q_topn_heap")(spark, sf)
+    val win = SparkEntry.queries("q_topn_per_group")(spark, sf)
+      .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+    val h = heap.select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+    assert(h.exceptAll(win).isEmpty && win.exceptAll(h).isEmpty)
+  }
+
+  test("asof join picks most recent prior row, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq(
+      (1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 300L, 30.0), (2L, 60L, 60.0))
+      .toDF("k", "t", "v")
+    val out = operators.AsOf.asofJoin(left, right, "k", "t", Seq("v"), "v")
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[Any]("asof_v"))).toMap
+    assert(out("p1").contains(10.0)) // equal ts counts as <=
+    assert(out("p2").contains(20.0)) // most recent prior, not latest overall
+    assert(out("p3").isEmpty)        // no prior right row
+  }
+
   test("referential summary adds up") {
     val r = SparkEntry.queries("q_recon_referential")(spark, sf).collect().head
     assert(r.getAs[Long]("n_facts") == r.getAs[Long]("n_matched") + r.getAs[Long]("n_orphans"))
