@@ -52,6 +52,33 @@ object EventStream {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Custom keyed state via mapGroupsWithState: per-user running
+    * totals maintained across micro-batches (the building block for
+    * fraud counters, rate limits, per-entity accumulators). State is
+    * one small case class per key; timeouts would bound it in a
+    * production feed.
+    */
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tupleEnc = Encoders.product[(Long, Long, Double)]
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (user, n, s)
+      }(Encoders.product[(Long, Double)], tupleEnc)
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
   /** Open the events parquet directory as a stream (for specs/demo). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

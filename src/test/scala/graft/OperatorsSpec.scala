@@ -27,6 +27,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("entry survives a driver session with ANSI on (Spark 4 default)") {
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try assert(SparkEntry.entry(spark).count() > 0)
+    finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
   test("every query runs and most return rows") {
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf).count()

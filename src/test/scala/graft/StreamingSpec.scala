@@ -40,6 +40,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState running totals match batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val stream = streaming.EventStream.readEventStream(spark, streamDir)
+    val q = streaming.EventStream.runningUserTotals(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("user_totals").start()
+    try {
+      q.processAllAvailable()
+      // last update per user == batch totals
+      val got = spark.table("user_totals")
+        .groupBy("user_id").agg(max(col("n_events")).as("n_events"))
+      val expected = Tables.events(spark, sf)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate event_ids") {
     val dir = streamDir
     val stream = streaming.EventStream.readEventStream(spark, dir)
