@@ -195,6 +195,19 @@ object SparkEntry {
     // D2: n-gram jaccard near-dup
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.8)),
+    // D2b: the filtered corpus — near-dups dropped, survivors kept
+    "q_dedup_filtered" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dropNearDuplicates(docs, Dedup.ngramJaccardPairs(docs, 3, 0.8))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+    // wide counter table: per-day counts pivoted by event type
+    "q_pivot_daily" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
     // D3: minhash LSH candidates (rows-only oracle)
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), 3, 128, 32)),
@@ -423,6 +436,27 @@ object SparkEntry {
         | CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
         |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""".stripMargin,
+    "q_dedup_filtered" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w,
+        |         unnest(generate_series(1, greatest(len(w)-2, 1))) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |dups AS (SELECT DISTINCT doc_b FROM pairs
+        |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_b FROM dups)""".stripMargin,
+    "q_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |scored AS (

@@ -84,6 +84,17 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Corpus filtering: drop near-duplicate documents, keeping the
+    * lowest-doc_id survivor of each detected pair (greedy keep-min —
+    * the standard one-pass approximation of connected-component
+    * dedup). `pairs` carries (doc_a < doc_b); every doc_b is dropped
+    * via one anti-join, so the corpus scan stays single-pass.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(
+      pairs.select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** MinHash+LSH candidate pairs: band hashes (native expression, one
     * imperative pass per row — graft.functions.MinHashBands) → group
     * docs sharing a band hash → in-bucket pairs (deduped across
