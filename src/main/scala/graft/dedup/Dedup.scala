@@ -58,22 +58,26 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxBucket: Int = 1000): DataFrame = {
-    // join key is the 8-byte shingle hash, not the shingle string —
+    // inverted-index key is the 8-byte shingle hash, not the string —
     // narrows the shuffle ~5x (collision odds over the pair space are
     // ~2^-64 per bucket, immaterial to Jaccard counts)
     val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val capped = sh
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val pairs = capped.as("a")
-      .join(capped.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // posting list per shingle (one shuffle), pairs generated in-map
+    // from each list — replaces a window + self-join (two more
+    // shuffles) with HOF combination expansion; the bucket cap bounds
+    // the quadratic expansion per posting
+    val postings = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    val pairs = postings
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
