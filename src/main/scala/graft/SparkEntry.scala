@@ -223,6 +223,28 @@ object SparkEntry {
       Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
         .select("query_id", "neighbor_id", "rnk", "cos_sim")
     }),
+    // D6b: IVF-cell ANN (rows-only oracle; recall spec vs brute force)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), 16, 4, 10)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
+    }),
+    // embedding normalization (unit vectors + norm)
+    "q_embed_norm" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        sqrt(Ann.dot(col("embedding"), col("embedding"))).as("norm"))),
+    // per-source/lang corpus quality rollup
+    "q_quality_by_source" -> ((s, dir) =>
+      graft.text.TextOps.quality(Tables.documents(s, dir))
+        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("n_stopwords")).as("total_stopwords"))
+        .withColumn("stopword_ratio",
+          col("total_stopwords").cast("double") / col("total_words"))),
     // D7: LSH-bucketed ANN pairs (rows-only oracle)
     "q_ann_lsh" -> ((s, dir) =>
       Ann.lshPairs(Tables.embeddings(s, dir), 64, 8, 0.3)),
@@ -478,6 +500,19 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
         |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 10""".stripMargin,
+    "q_embed_norm" ->
+      """SELECT vec_id, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |FROM embeddings""".stripMargin,
+    "q_quality_by_source" ->
+      """WITH q AS (SELECT doc_id, source,
+        |   len(string_split(text, ' ')) AS n_words,
+        |   len(regexp_extract_all(text, '\b(the|a|an|of|and|in|to|is)\b')) AS n_stopwords
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(SUM(n_words) AS BIGINT) AS total_words,
+        | CAST(SUM(n_stopwords) AS BIGINT) AS total_stopwords,
+        | CAST(CAST(SUM(n_stopwords) AS BIGINT) AS DOUBLE) / CAST(SUM(n_words) AS BIGINT) AS stopword_ratio
+        |FROM q GROUP BY 1""".stripMargin,
     "q_lang_id" ->
       """SELECT doc_id, lang AS true_lang,
         | len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) AS s_en,

@@ -74,6 +74,45 @@ object Ann {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** IVF-style ANN: corpus vectors are assigned to their nearest
+    * centroid cell (coarse quantizer); each query searches only the
+    * `nprobe` nearest cells. Centroids here are a deterministic
+    * sample of the corpus (first `nCells` by vec_id) — a k-means fit
+    * would slot in without changing the plan shape. At 100 TB the
+    * cell assignment is one broadcast pass over the corpus and the
+    * probe join touches nprobe/nCells of the data.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, nCells: Int,
+              nprobe: Int, k: Int): DataFrame = {
+    val centroids = broadcast(corpus
+      .filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
+    def nearestCells(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("c_dist").asc, col("cell_id").asc)
+      df.crossJoin(centroids)
+        .withColumn("c_dist", -dot(col(embCol), col("c_emb")))
+        .withColumn("c_rnk", row_number().over(w))
+        .filter(col("c_rnk") <= n)
+        .drop("c_emb", "c_dist", "c_rnk")
+    }
+    val cells = nearestCells(
+      corpus.select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("c_norm")),
+      "vec_id", "embedding", 1)
+    val probes = nearestCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("q_norm")),
+      "query_id", "q_emb", nprobe)
+    val scored = probes.join(cells, Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) / col("q_norm") / col("c_norm")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Exact embedding near-dup pairs above a cosine threshold
     * (brute-force; correct at test SF — the scale path is lshPairs).
     * Norms precomputed per vector before the pair join.

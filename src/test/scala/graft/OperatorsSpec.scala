@@ -137,6 +137,16 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN recall vs brute force is reasonable at nprobe=4/16") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = ann.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      .select("query_id", "neighbor_id")
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, sf)
+      .select("query_id", "neighbor_id")
+    val hit = exact.intersect(ivf).count()
+    assert(hit >= 20, s"IVF recall too low: $hit/50") // probing 4/16 cells
+  }
+
   test("top-k heap aggregate equals window top-N") {
     val heap = SparkEntry.queries("q_topn_heap")(spark, sf)
     val win = SparkEntry.queries("q_topn_per_group")(spark, sf)
