@@ -79,6 +79,22 @@ object EventStream {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Continuous rollup maintenance: each micro-batch re-aggregates its
+    * 5-minute buckets and partition-overwrites exactly those buckets
+    * in the warehouse — the streaming form of the reference's
+    * connect-daemon + DBLoader + aggregation-scheduler loop
+    * (chill.py:159-192) with idempotent replay (a reprocessed batch
+    * rewrites the same partitions).
+    */
+  def rollupMaintenance(events: DataFrame, warehousePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val rolled = graft.operators.Rollups.fiveMinute(batch)
+      graft.operators.Maintenance.overwritePartitions(
+        rolled, warehousePath, "bucket_start")
+    }
+  }
+
   /** Open the events parquet directory as a stream (for specs/demo). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

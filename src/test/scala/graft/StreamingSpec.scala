@@ -57,6 +57,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rollup maintenance fills the warehouse like a batch rollup") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("rollup_wh").toString + "/t5m"
+    val stream = streaming.EventStream.readEventStream(spark, streamDir)
+    val q = streaming.EventStream.rollupMaintenance(stream, wh).start()
+    try q.processAllAvailable() finally q.stop()
+    val fromStream = spark.read.parquet(wh)
+      .select(col("bucket_start").cast("long"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val fromBatch = operators.Rollups.fiveMinute(Tables.events(spark, sf))
+    assert(fromStream.exceptAll(fromBatch).isEmpty && fromBatch.exceptAll(fromStream).isEmpty)
+  }
+
   test("streaming dedup within watermark drops duplicate event_ids") {
     val dir = streamDir
     val stream = streaming.EventStream.readEventStream(spark, dir)
