@@ -500,6 +500,28 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
         |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 10""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |cells AS (SELECT vec_id, emb, c_norm, cell_id FROM (
+        |  SELECT e.vec_id, e.emb, sqrt(list_dot_product(e.emb, e.emb)) AS c_norm, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |     ORDER BY -list_dot_product(e.emb, c.c_emb) ASC, c.cell_id ASC) AS rn
+        |  FROM e, c) WHERE rn = 1),
+        |q AS (SELECT query_id, qe, q_norm, cell_id FROM (
+        |  SELECT e.vec_id AS query_id, e.emb AS qe,
+        |   sqrt(list_dot_product(e.emb, e.emb)) AS q_norm, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |     ORDER BY -list_dot_product(e.emb, c.c_emb) ASC, c.cell_id ASC) AS rn
+        |  FROM e, c WHERE e.vec_id < 5) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT q.query_id, cells.vec_id AS neighbor_id,
+        |   list_dot_product(q.qe, cells.emb) / q.q_norm / cells.c_norm AS cos_sim
+        |  FROM q JOIN cells ON q.cell_id = cells.cell_id
+        |  WHERE cells.vec_id <> q.query_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
+        |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 10""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
         |FROM embeddings""".stripMargin,
