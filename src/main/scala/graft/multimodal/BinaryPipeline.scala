@@ -48,6 +48,29 @@ object BinaryPipeline {
     Array(payload.length.toDouble, sum.toDouble / payload.length, mx.toDouble, mn.toDouble)
   }
 
+  /** STUB resize: a real implementation decodes, scales, and
+    * re-encodes; the fake deterministically truncates/pads the
+    * payload to `targetBytes` so the schema/plumbing (binary in,
+    * binary out, metadata updated in place) is real and testable.
+    */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame =
+    media.withColumn("payload",
+      substring(concat(col("payload"), lit(Array.fill[Byte](1)(0))), 1, targetBytes))
+
+  /** STUB frame sampling: a real implementation picks every Nth video
+    * frame; the fake slices the payload into `frames` equal chunks —
+    * one output row per sampled "frame", the exact explode shape a
+    * frame sampler produces.
+    */
+  def frameSample(media: DataFrame, frames: Int): DataFrame =
+    media
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(frames - 1))))
+      .withColumn("frame",
+        substring(col("payload"),
+          (col("frame_idx") * (length(col("payload")) / frames) + 1).cast("int"),
+          (length(col("payload")) / frames).cast("int")))
+      .select(col("doc_id"), col("frame_idx"), col("frame"), col("meta"))
+
   /** Partition-parallel feature extraction over the payload column —
     * the batch shape a real decoder needs (no collect, no driver
     * loop; each task decodes its partition's rows).

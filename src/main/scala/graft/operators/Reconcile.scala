@@ -71,6 +71,16 @@ object Reconcile {
       .filter(abs(col("diff")) > tolerance)
   }
 
+  /** String-valued counter diff — the reference's fallback when a
+    * counter fails float conversion (HlxTools.py:923-929): exact
+    * inequality after the same single join.
+    */
+  def stringDiffs(left: DataFrame, right: DataFrame, key: String,
+                  valueCol: String): DataFrame =
+    left.select(col(key), col(valueCol).as("val_left"))
+      .join(right.select(col(key), col(valueCol).as("val_right")), Seq(key), "inner")
+      .filter(col("val_left") =!= col("val_right"))
+
   /** Referential integrity: fact keys absent from the dimension
     * (reference: db keys missing from the cfg table,
     * HlxTools.py:821-856). Dimension side is broadcast — at 100 TB the

@@ -109,6 +109,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("string-diff fallback reports exact mismatches only") {
+    import spark.implicits._
+    val l = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val r = Seq((1L, "a"), (2L, "x"), (3L, "c")).toDF("k", "v")
+    val d = operators.Reconcile.stringDiffs(l, r, "k", "v").collect()
+    assert(d.length == 1 && d.head.getLong(0) == 2L)
+  }
+
+  test("multimodal resize and frame-sample keep plumbing shape") {
+    val media = multimodal.BinaryPipeline.toMedia(Tables.documents(spark, sf).limit(10))
+    val resized = multimodal.BinaryPipeline.resize(media, 64)
+    assert(resized.select(length(col("payload"))).collect().forall(_.getInt(0) == 64))
+    val frames = multimodal.BinaryPipeline.frameSample(media, 4)
+    assert(frames.count() == 40)
+    assert(frames.columns.toSeq == Seq("doc_id", "frame_idx", "frame", "meta"))
+  }
+
   test("multimodal feature extraction produces deterministic features") {
     val media = multimodal.BinaryPipeline.toMedia(Tables.documents(spark, sf))
     val feats = multimodal.BinaryPipeline.extractFeatures(media)
