@@ -59,11 +59,15 @@ object SparkEntry {
       Rollups.hourlyFromFiveMinute(Rollups.fiveMinute(Tables.events(s, dir)))),
     "q_rollup_daily" -> ((s, dir) =>
       Rollups.dailyPerUser(Tables.events(s, dir))),
-    // B3b: weekly/monthly calendar rollups
+    // B3b: 15-minute + weekly/monthly/yearly calendar rollups
+    "q_rollup_15m" -> ((s, dir) =>
+      Rollups.fifteenMinute(Tables.events(s, dir))),
     "q_rollup_weekly" -> ((s, dir) =>
       Rollups.calendarPerType(Tables.events(s, dir), "week")),
     "q_rollup_monthly" -> ((s, dir) =>
       Rollups.calendarPerType(Tables.events(s, dir), "month")),
+    "q_rollup_yearly" -> ((s, dir) =>
+      Rollups.calendarPerType(Tables.events(s, dir), "year")),
     // KPI formulas over rolled-up counters
     "q_kpi_daily" -> ((s, dir) =>
       graft.operators.Kpi.dailyKpis(Tables.events(s, dir))),
@@ -214,9 +218,15 @@ object SparkEntry {
     // D4: simhash near-dup (rows-only oracle)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), 3)),
-    // D5: embedding cosine near-dup
+    // D5: embedding cosine near-dup — banded LSH candidates + exact
+    // in-bucket verification, graded against the exact-pair oracle.
+    // This corpus' qualifying pairs sit at cos ≈ 0.45-0.6 (collision
+    // prob p ≈ 0.65/hyperplane), so bands are narrow and many:
+    // bits=3, bands=64 → per-pair miss (1-p³)⁶⁴ ≈ 1e-9 at the
+    // threshold. The plan has no unbounded self-join: candidates come
+    // from posting buckets, capped at 4096.
     "q_dedup_embed" -> ((s, dir) =>
-      Ann.exactPairs(Tables.embeddings(s, dir), 0.45)),
+      Ann.bandedLshPairs(Tables.embeddings(s, dir), 64, 3, 64, 0.45)),
     // D6: brute-force cosine top-k
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -260,9 +270,16 @@ object SparkEntry {
     // D11: fingerprint (rows-only oracle)
     "q_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.documents(s, dir))),
-    // D12: multimodal plumbing (rows-only oracle)
+    // D12: multimodal plumbing — features projected to scalars so the
+    // gate can sort/hash them (and oracle them: payload is UTF-8 text,
+    // so byte stats == codepoint stats on this ASCII corpus)
     "q_multimodal" -> ((s, dir) =>
-      BinaryPipeline.extractFeatures(BinaryPipeline.toMedia(Tables.documents(s, dir))))
+      BinaryPipeline.extractFeatures(BinaryPipeline.toMedia(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          element_at(col("features"), 1).as("f_len"),
+          element_at(col("features"), 2).as("f_mean"),
+          element_at(col("features"), 3).as("f_max"),
+          element_at(col("features"), 4).as("f_min")))
   )
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -282,6 +299,16 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n_events,
         | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
         | count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_rollup_15m" ->
+      """SELECT CAST(FLOOR(epoch(ts)/900)*900 AS BIGINT) AS bucket_start, event_type,
+        | count(*) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_rollup_yearly" ->
+      """SELECT CAST(date_trunc('year', CAST(ts AS TIMESTAMP)) AS DATE) AS bucket, event_type,
+        | count(*) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_rollup_weekly" ->
       """SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS bucket, event_type,
@@ -568,6 +595,19 @@ object SparkEntry {
         | len(string_split(text, ' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpeish_tokens,
         | length(text) AS n_chars
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // payload is UTF-8 of an ASCII corpus, so byte stats == codepoint
+    // stats; f_mean is one double division of the same integer sum on
+    // both sides (IEEE-identical)
+    "q_multimodal" ->
+      """WITH b AS (SELECT doc_id, 'text/plain' AS media_type,
+        |  list_transform(string_split(text, ''), x -> unicode(x)) AS cps
+        | FROM documents)
+        |SELECT doc_id, media_type, CAST(len(cps) AS BIGINT) AS n_bytes,
+        | CAST(len(cps) AS DOUBLE) AS f_len,
+        | CAST(list_sum(cps) AS DOUBLE) / len(cps) AS f_mean,
+        | CAST(list_max(cps) AS DOUBLE) AS f_max,
+        | CAST(list_min(cps) AS DOUBLE) AS f_min
+        |FROM b""".stripMargin
   )
 }

@@ -93,11 +93,14 @@ object Ann {
   }
 
   /** LSH-bucketed near-dup / ANN candidates: vectors sharing a bucket
-    * are scored exactly; only same-bucket pairs materialize, and the
-    * bucket cap keeps one hot bucket from going quadratic.
+    * are scored exactly; only same-bucket pairs materialize. The
+    * default is uncapped (full recall within buckets — the historical
+    * semantics); pass `maxBucket` to bound a hot bucket at scale —
+    * capped-out rows are DROPPED from the candidate space, so set it
+    * from the acceptable miss budget, not from memory limits alone.
     */
   def lshPairs(corpus: DataFrame, dims: Int, bits: Int, threshold: Double,
-               maxBucket: Int = 4096): DataFrame = {
+               maxBucket: Int = Int.MaxValue): DataFrame = {
     val bucketed = capBuckets(
       corpus.select(
         col("vec_id"), col("embedding"),
@@ -163,11 +166,21 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, nCells: Int,
               nprobe: Int, k: Int): DataFrame = {
+    require(nCells <= 4096,
+      s"nCells=$nCells: centroids become literals in the plan; beyond ~4k " +
+        "cells, fit them separately and broadcast-join the assignment instead")
     val cent = corpus
       .filter(col("vec_id") < nCells)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id").cast("long"), col("embedding"))
       .collect() // ≤ nCells rows by construction — a literal, like a broadcast dim
       .sortBy(_.getLong(0))
+    if (cent.isEmpty) {
+      // empty corpus → empty result with the contract schema (array()
+      // of zero struct columns would fail analysis)
+      import corpus.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rnk", "cos_sim")
+    }
     val centLit = array(cent.map { r =>
       struct(lit(r.getLong(0)).as("cell_id"),
         typedLit(r.getSeq[Float](1)).as("c_emb"))

@@ -99,10 +99,24 @@ object Dedup {
       pairs.select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Expand each sorted posting list into its (a < b) pairs in-map.
+    * `ids` is an array of anything ordered by its first field; `pair`
+    * builds the output struct from (x, y). One flat expansion per
+    * posting row, bounded by the caller's bucket cap.
+    */
+  private def postingPairs(postings: DataFrame, pair: (Column, Column) => Column): DataFrame =
+    postings.select(explode(flatten(transform(col("ids"), (x, i) =>
+      transform(
+        slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+        y => pair(x, y))))).as("p"))
+
   /** MinHash+LSH candidate pairs: band hashes (native expression, one
-    * imperative pass per row — graft.functions.MinHashBands) → group
-    * docs sharing a band hash → in-bucket pairs (deduped across
-    * bands). The band explode is the only shuffle; buckets are capped.
+    * imperative pass per row — graft.functions.MinHashBands) → posting
+    * list per (band, band_hash) → in-map pair expansion → distinct.
+    * ONE data shuffle (the posting-list groupBy, map-side combined on
+    * the band explode) + the final pair distinct; the sketch is
+    * evaluated once per row. The window-cap + self-join formulation
+    * costs 3 exchanges and evaluates the sketch twice.
     */
   def minhashLshPairs(docs: DataFrame, shingleSize: Int, numHashes: Int,
                       bands: Int, maxBucket: Int = 1000): DataFrame = {
@@ -112,16 +126,11 @@ object Dedup {
         col("text"), shingleSize, numHashes, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    capped.as("a")
-      .join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val postings = banded.groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    postingPairs(postings, (x, y) => struct(x.as("a"), y.as("b")))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
 
@@ -133,8 +142,9 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64-bit signature into four
     * 16-bit chunks; by pigeonhole, any pair within hamming distance 3
-    * shares at least one exact chunk → join on (chunk_idx, chunk),
-    * verify hamming via bit_count(xor).
+    * shares at least one exact chunk. Same one-shuffle posting-list
+    * plan as minhashLshPairs — postings carry (doc_id, sig) structs so
+    * hamming verification happens in-map during pair expansion.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
@@ -145,17 +155,13 @@ object Dedup {
           i => call_function("shiftright", col("sig"), i * 16).bitwiseAND(lit(0xffffL)))))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk")
-    val capped = chunked
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_idx"), col("chunk"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    capped.as("a")
-      .join(capped.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+    val postings = chunked.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    postingPairs(postings, (x, y) =>
+        struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
+          bit_count(x.getField("sig").bitwiseXOR(y.getField("sig"))).as("h")))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"), col("p.h").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

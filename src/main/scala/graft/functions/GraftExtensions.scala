@@ -39,9 +39,10 @@ object GraftFunctions {
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
         es(3).eval().asInstanceOf[Int])),
     ("lsh_bucket",
-      info("lsh_bucket", "random-hyperplane LSH bucket: lsh_bucket(embedding, dims, bits)"),
+      info("lsh_bucket", "random-hyperplane LSH bucket: lsh_bucket(embedding, dims, bits[, seed])"),
       (es: Seq[Expression]) => LshBucket(es.head,
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
+        if (es.length > 3) es(3).eval().asInstanceOf[Long] else 42L)))
 
   /** Register all graft functions into an existing session. */
   def register(spark: SparkSession): Unit =

@@ -11,14 +11,19 @@ import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer: keeps the k best (score desc, tie asc)
   * pairs in a small array — the min element is evicted on overflow.
+  * Score comparison uses java.lang.Double.compare semantics (NaN
+  * sorts largest), matching Spark's window `ORDER BY score DESC` on
+  * degenerate inputs (e.g. NaN cosine from zero-norm vectors).
   */
 final class TopKBuffer(val k: Int) {
   val scores = new Array[Double](k)
   val ties = new Array[Long](k)
   var size = 0
 
-  private def worse(i: Int, s: Double, t: Long): Boolean =
-    scores(i) < s || (scores(i) == s && ties(i) > t)
+  private def worse(i: Int, s: Double, t: Long): Boolean = {
+    val c = java.lang.Double.compare(scores(i), s)
+    c < 0 || (c == 0 && ties(i) > t)
+  }
 
   def add(s: Double, t: Long): Unit = {
     if (size < k) { scores(size) = s; ties(size) = t; size += 1 }
@@ -33,7 +38,8 @@ final class TopKBuffer(val k: Int) {
   /** indices sorted best-first (score desc, tie asc) */
   def sorted: Array[Int] =
     (0 until size).sortWith { (a, b) =>
-      scores(a) > scores(b) || (scores(a) == scores(b) && ties(a) < ties(b))
+      val c = java.lang.Double.compare(scores(a), scores(b))
+      c > 0 || (c == 0 && ties(a) < ties(b))
     }.toArray
 }
 

@@ -58,18 +58,21 @@ case class FloatVecDot(left: Expression, right: Expression)
   * The sign matrix is materialized once per expression instance —
   * the HOF form re-derived every coefficient per row interpreted.
   */
-case class LshBucket(child: Expression, dims: Int, bits: Int)
+case class LshBucket(child: Expression, dims: Int, bits: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "lsh_bucket"
 
   // signs(p)(i) = ±1 coefficient of hyperplane p at dimension i,
-  // derived exactly like the HOF form: bit 1 of xxhash64(i, p).
+  // derived exactly like the HOF form: bit 1 of xxhash64(i, p). The
+  // seed picks the hyperplane family, so multi-band LSH gets genuinely
+  // independent sketches per band (seed is a case-class field →
+  // expression equality / codegen cache keys differ per band).
   @transient private lazy val signs: Array[Array[Double]] =
     Array.tabulate(bits) { p =>
       Array.tabulate(dims) { i =>
-        val h = XXH64.hashLong(p.toLong, XXH64.hashLong(i.toLong, 42L))
+        val h = XXH64.hashLong(p.toLong, XXH64.hashLong(i.toLong, seed))
         if (((h >> 1) & 1L) == 1L) 1.0 else -1.0
       }
     }
@@ -104,7 +107,7 @@ object VectorFunctions {
       org.apache.spark.sql.graftglue.ColumnGlue.expr(a),
       org.apache.spark.sql.graftglue.ColumnGlue.expr(b)))
 
-  def lshBucket(emb: Column, dims: Int, bits: Int): Column =
+  def lshBucket(emb: Column, dims: Int, bits: Int, seed: Long = 42L): Column =
     org.apache.spark.sql.graftglue.ColumnGlue.column(LshBucket(
-      org.apache.spark.sql.graftglue.ColumnGlue.expr(emb), dims, bits))
+      org.apache.spark.sql.graftglue.ColumnGlue.expr(emb), dims, bits, seed))
 }

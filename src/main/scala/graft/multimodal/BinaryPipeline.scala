@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -38,15 +38,12 @@ object BinaryPipeline {
         length(col("text")).as("n_chars")).as("meta"))
 
   /** STUB decoder: a real implementation would decode image/audio
-    * bytes here (per-partition batch, like mapInPandas). The fake is
-    * deterministic: 4 "features" derived from byte statistics.
+    * bytes here. The fake is deterministic: 4 "features" derived from
+    * byte statistics (delegates to the native expression's kernel so
+    * the spec and the query path share one definition).
     */
-  def fakeDecode(payload: Array[Byte]): Array[Double] = {
-    if (payload.isEmpty) return Array(0.0, 0.0, 0.0, 0.0)
-    var sum = 0L; var mx = Int.MinValue; var mn = Int.MaxValue
-    payload.foreach { b => val v = b & 0xff; sum += v; if (v > mx) mx = v; if (v < mn) mn = v }
-    Array(payload.length.toDouble, sum.toDouble / payload.length, mx.toDouble, mn.toDouble)
-  }
+  def fakeDecode(payload: Array[Byte]): Array[Double] =
+    graft.functions.ByteStats.decode(payload)
 
   /** STUB resize: a real implementation decodes, scales, and
     * re-encodes; the fake deterministically truncates/pads the
@@ -71,24 +68,17 @@ object BinaryPipeline {
           (length(col("payload")) / frames).cast("int")))
       .select(col("doc_id"), col("frame_idx"), col("frame"), col("meta"))
 
-  /** Partition-parallel feature extraction over the payload column —
-    * the batch shape a real decoder needs (no collect, no driver
-    * loop; each task decodes its partition's rows).
+  /** Feature extraction over the payload column — a single projection
+    * through the native [[graft.functions.ByteStats]] expression, so
+    * the "decode" stays inside whole-stage codegen and the scan prunes
+    * to exactly (doc_id, meta.mime, payload). No RDD hop, no driver
+    * loop; swapping in a real decoder means swapping the expression
+    * for an arrow-batched UDF at this same call site.
     */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select(col("doc_id"), col("meta.mime").as("mime"), col("payload"))
-      .rdd.mapPartitions { rows =>
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]]("payload")
-          Row(r.getAs[Long]("doc_id"), r.getAs[String]("mime"), bytes.length,
-            fakeDecode(bytes).toSeq)
-        }
-      }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("media_type", StringType, nullable = true),
-      StructField("n_bytes", IntegerType, nullable = false),
-      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false))))
-  }
+  def extractFeatures(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("meta.mime").as("media_type"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      graft.functions.BinaryFunctions.byteStats(col("payload")).as("features"))
 }

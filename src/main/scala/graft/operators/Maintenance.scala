@@ -51,12 +51,76 @@ object Maintenance {
     * delete pass. At 100 TB this touches only the reloaded
     * datetime partitions.
     */
-  def overwritePartitions(incoming: DataFrame, path: String, partitionCol: String): Unit = {
+  def overwritePartitions(incoming: DataFrame, path: String, partitionCol: String): Unit =
+    overwritePartitions(incoming, path, Seq(partitionCol))
+
+  /** Multi-column variant (e.g. bucket + batch-id delta partitions). */
+  def overwritePartitions(incoming: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
     val spark = incoming.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try incoming.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    try incoming.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
     finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+  }
+
+  /** Per-granularity retention rule table — the reference drives
+    * thinout from a suffix→retention DECODE chain (HlxTools.py:
+    * 620-628: 5M/15M/HH 30d, HR 90d, DY 3650d, WK 3600d, MO/YR 3y).
+    * `rules` maps table suffix → retention days; every table whose
+    * suffix has a rule is thinned to `asOf - days`, others pass
+    * through. Each thinout is a pushed-down scan predicate, so the
+    * sweep reads only surviving partitions.
+    */
+  def retentionSweep(tables: Map[String, DataFrame], tsCol: String,
+                     rules: Map[String, Int], asOf: java.time.Instant): Map[String, DataFrame] =
+    tables.map { case (name, df) =>
+      val suffix = name.substring(name.lastIndexOf('_') + 1)
+      name -> rules.get(suffix).map { days =>
+        val cutoff = java.sql.Timestamp.from(asOf.minus(java.time.Duration.ofDays(days.toLong)))
+        thinout(df, tsCol, lit(cutoff))
+      }.getOrElse(df)
+    }
+
+  /** The reference's standard suffix→days retention chain. */
+  val defaultRetentionDays: Map[String, Int] = Map(
+    "5M" -> 30, "15M" -> 30, "HH" -> 30, "HR" -> 90,
+    "DY" -> 3650, "WK" -> 3600, "MO" -> 1095, "YR" -> 1095)
+
+  /** DBL error-file parsing (HlxTools.py:315-350): raw loader-log text
+    * → structured per-table rows. A log interleaves `Table <schema>.
+    * <name>_<suffix>, ...` headers with `ORA-…` errors, `Record N:
+    * <err>` bad-record lines, and `… Rows …` load statistics; each
+    * line belongs to the most recent Table header above it. That
+    * "current table" state is a running `last(…, ignoreNulls)` window
+    * per file — per-file partitioning, so log parsing never shuffles
+    * across files.
+    */
+  def parseDblErrors(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("log_file"))
+      .orderBy(col("_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.read.text(path)
+      .select(input_file_name().as("log_file"), col("value"),
+        monotonically_increasing_id().as("_ord"))
+      .withColumn("_tbl",
+        last(when(col("value").startsWith("Table "), col("value")), ignoreNulls = true).over(w))
+      .withColumn("kind",
+        when(col("value").startsWith("ORA-"), "oracle_error")
+          .when(col("value").startsWith("Record "), "record_error")
+          .when(col("value").contains("Rows"), "stats"))
+      .filter(col("kind").isNotNull && col("_tbl").isNotNull)
+      .select(
+        col("log_file"),
+        // "Table SCHEMA.NAME_SUFFIX, ..." → NAME (strip schema+suffix)
+        regexp_replace(
+          regexp_extract(col("_tbl"), "^Table ([^,]+)", 1),
+          "^[^.]*\\.|_[^_]+$", "").as("table_name"),
+        col("kind"),
+        when(col("kind") === "record_error",
+            trim(regexp_extract(col("value"), "^Record [^:]*:(.*)$", 1)))
+          .otherwise(col("value")).as("detail"))
+      .distinct()
   }
 
   /** Error summarization: group raw error events into (day, code)

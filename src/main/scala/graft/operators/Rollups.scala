@@ -26,17 +26,38 @@ object Rollups {
     (floor(unix_timestamp(org.apache.spark.sql.functions.col(col)) / seconds) * seconds)
       .cast("long")
 
-  /** events → 5-minute buckets per event_type. */
-  def fiveMinute(events: DataFrame): DataFrame =
+  /** events → `seconds`-wide buckets per event_type — the parametric
+    * fine-grain rollup behind the reference's 5M/15M suffixes.
+    */
+  def perType(events: DataFrame, seconds: Int): DataFrame =
     events
       .groupBy(
-        bucket("ts", 300).as("bucket_start"),
+        bucket("ts", seconds).as("bucket_start"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         // exact decimal sum; surfaced as double (identical nearest-double
         // conversion in every engine, no trailing-zero repr drift)
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("sum_value"))
+
+  /** events → 5-minute buckets per event_type. */
+  def fiveMinute(events: DataFrame): DataFrame = perType(events, 300)
+
+  /** events → 15-minute buckets per event_type (reference suffix 15M). */
+  def fifteenMinute(events: DataFrame): DataFrame = perType(events, 900)
+
+  /** Re-aggregate 5-minute partials (per-micro-batch deltas, partial
+    * loads) into the final rollup. Decimal re-aggregation keeps the
+    * merge exact and order-independent, so any partition of the raw
+    * feed into deltas merges to the identical rollup.
+    */
+  def mergeFiveMinute(parts: DataFrame): DataFrame =
+    parts
+      .groupBy(col("bucket_start"), col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("sum_value").cast("decimal(18,2)")).cast("decimal(18,2)")
           .cast("double").as("sum_value"))
 
   /** 5-minute rollup → hourly rollup (cascade; never re-scans raw).

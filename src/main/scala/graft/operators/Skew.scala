@@ -15,15 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** count + decimal-exact sum of `valueCol` per `key`, salted.
-    * Equivalent to `df.groupBy(key).agg(count, sum)` for any data;
-    * the salt column derives from a stable row hash, not rand(), so
-    * results are deterministic and re-runnable.
+  /** Salt assignment: round-robin within each input partition
+    * (monotonically_increasing_id = partition id ⧺ row index, so
+    * consecutive rows rotate through every bucket). Per-ROW-varying,
+    * not per-VALUE: a hot key of billions of identical rows (constant
+    * value, nulls) still spreads across all buckets, where a value
+    * hash would collapse them into one. Deterministic for a fixed
+    * input partitioning, and the final aggregate is salt-invariant
+    * anyway (count + decimal sum are order-independent).
     */
+  private[graft] def saltExpr(saltBuckets: Int) =
+    pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
+
+  /** count + decimal-exact sum of `valueCol` per `key`, salted. */
   def saltedAggregate(df: DataFrame, key: String, valueCol: String,
                       saltBuckets: Int): DataFrame =
     df
-      .withColumn("_salt", pmod(xxhash64(col(valueCol)), lit(saltBuckets)))
+      .withColumn("_salt", saltExpr(saltBuckets))
       .groupBy(col(key), col("_salt"))
       .agg(
         count(lit(1)).as("_n"),

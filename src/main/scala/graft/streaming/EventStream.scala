@@ -79,21 +79,40 @@ object EventStream {
       .toDF("user_id", "n_events", "sum_value")
   }
 
-  /** Continuous rollup maintenance: each micro-batch re-aggregates its
-    * 5-minute buckets and partition-overwrites exactly those buckets
-    * in the warehouse — the streaming form of the reference's
-    * connect-daemon + DBLoader + aggregation-scheduler loop
-    * (chill.py:159-192) with idempotent replay (a reprocessed batch
-    * rewrites the same partitions).
+  /** Continuous rollup maintenance — the streaming form of the
+    * reference's connect-daemon + DBLoader + aggregation-scheduler
+    * loop (chill.py:159-192). Each micro-batch writes its 5-minute
+    * rollup as a DELTA partitioned by (bucket_start, _batch_id):
+    *  - lossless across batches: a bucket spanning two micro-batches
+    *    keeps both deltas (a whole-bucket overwrite would keep only
+    *    the last batch's counts);
+    *  - idempotent replay: a reprocessed batch dynamic-overwrites
+    *    exactly its own (bucket, batch) delta partitions, so
+    *    foreachBatch's at-least-once never double-counts;
+    *  - write path never reads the warehouse (no read-modify-write
+    *    race, no scaling cliff); [[readRollup]] merges deltas at read
+    *    time, and a periodic compaction can fold them down.
     */
   def rollupMaintenance(events: DataFrame, warehousePath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val rolled = graft.operators.Rollups.fiveMinute(batch)
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val delta = graft.operators.Rollups.fiveMinute(batch)
+        .withColumn("_batch_id", lit(batchId))
       graft.operators.Maintenance.overwritePartitions(
-        rolled, warehousePath, "bucket_start")
+        delta, warehousePath, Seq("bucket_start", "_batch_id"))
     }
   }
+
+  /** Reader view of the delta-maintained rollup warehouse: merge the
+    * per-batch deltas into final (bucket, type) rows. Decimal
+    * re-aggregation makes the merge exact, so this equals the batch
+    * rollup of everything ingested so far.
+    */
+  def readRollup(spark: SparkSession, warehousePath: String): DataFrame =
+    graft.operators.Rollups.mergeFiveMinute(
+      spark.read.parquet(warehousePath)
+        .withColumn("bucket_start", col("bucket_start").cast("long"))
+        .drop("_batch_id"))
 
   /** Open the events parquet directory as a stream (for specs/demo). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

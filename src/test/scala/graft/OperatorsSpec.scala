@@ -130,8 +130,38 @@ class OperatorsSpec extends AnyFunSuite {
     val media = multimodal.BinaryPipeline.toMedia(Tables.documents(spark, sf))
     val feats = multimodal.BinaryPipeline.extractFeatures(media)
     val r = feats.filter(col("doc_id") === 0).collect().head
-    assert(r.getAs[Int]("n_bytes") > 0)
+    assert(r.getAs[Long]("n_bytes") > 0)
     assert(r.getSeq[Double](r.fieldIndex("features")).length == 4)
+    // the native expression agrees with the reference kernel
+    val txt = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .select("text").collect().head.getString(0)
+    val expect = multimodal.BinaryPipeline.fakeDecode(txt.getBytes("UTF-8"))
+    assert(r.getSeq[Double](r.fieldIndex("features")) == expect.toSeq)
+  }
+
+  test("banded LSH near-dup pairs match the exact pair set (recall 1.0)") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = ann.Ann.exactPairs(emb, 0.45).select("vec_a", "vec_b")
+    val banded = ann.Ann.bandedLshPairs(emb, 64, 3, 64, 0.45).select("vec_a", "vec_b")
+    assert(exact.exceptAll(banded).isEmpty, "banded LSH missed true pairs")
+    assert(banded.exceptAll(exact).isEmpty, "banded LSH produced false pairs")
+  }
+
+  test("top-k heap treats NaN as largest (matches window desc ordering)") {
+    val buf = new functions.TopKBuffer(2)
+    buf.add(0.5, 1L); buf.add(Double.NaN, 2L); buf.add(0.9, 3L)
+    val order = buf.sorted.map(buf.ties)
+    assert(order.toSeq == Seq(2L, 3L), s"got ${order.toSeq}") // NaN first, then 0.9
+  }
+
+  test("salted aggregation spreads a constant-value hot key over many buckets") {
+    import spark.implicits._
+    val hot = Seq.fill(1000)(("hot", 5.0)).toDF("key", "value").repartition(4)
+    val occupied = hot.select(operators.Skew.saltExpr(32).as("s")).distinct().count()
+    assert(occupied > 16, s"constant-value rows landed in only $occupied salt buckets")
+    val out = operators.Skew.saltedAggregate(hot, "key", "value", 32).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n_rows") == 1000L
+      && out.head.getAs[Double]("sum_value") == 5000.0)
   }
 
   test("salted aggregation equals direct aggregation") {

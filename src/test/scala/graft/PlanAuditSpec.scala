@@ -53,4 +53,27 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_recon_referential")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
   }
+
+  test("ann top-k finishes through the bounded-heap aggregate, not a window") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("top_k"), "expected the TopKByScore aggregate in the plan")
+    assert(!p.contains("Window"), s"window sort crept into the top-k plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "exactly one data shuffle: the per-query top-k aggregation")
+  }
+
+  test("ivf ann: zero shuffle between corpus scan and probe join") {
+    val p = plan("q_ann_ivf")
+    assert(p.contains("top_k") && !p.contains("Window"))
+    assert(p.contains("BroadcastHashJoin"), "probes must broadcast")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"cell assignment must not shuffle the corpus:\n$p")
+  }
+
+  test("multimodal feature extraction stays in codegen (no RDD hop)") {
+    val p = plan("q_multimodal")
+    assert(p.contains("byte_stats"), "native expression missing from plan")
+    assert(!p.contains("ExistingRDD") && !p.contains("Scan ExistingRDD"),
+      s"RDD hop in multimodal plan:\n$p")
+  }
 }

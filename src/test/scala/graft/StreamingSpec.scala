@@ -58,14 +58,33 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming rollup maintenance fills the warehouse like a batch rollup") {
-    import org.apache.spark.sql.functions._
     val wh = java.nio.file.Files.createTempDirectory("rollup_wh").toString + "/t5m"
     val stream = streaming.EventStream.readEventStream(spark, streamDir)
     val q = streaming.EventStream.rollupMaintenance(stream, wh).start()
     try q.processAllAvailable() finally q.stop()
-    val fromStream = spark.read.parquet(wh)
-      .select(col("bucket_start").cast("long"), col("event_type"),
-        col("n_events"), col("sum_value"))
+    val fromStream = streaming.EventStream.readRollup(spark, wh)
+    val fromBatch = operators.Rollups.fiveMinute(Tables.events(spark, sf))
+    assert(fromStream.exceptAll(fromBatch).isEmpty && fromBatch.exceptAll(fromStream).isEmpty)
+  }
+
+  test("rollup maintenance keeps counts when a bucket spans two micro-batches") {
+    // two files → two micro-batches (maxFilesPerTrigger=1); the halves
+    // interleave by event_id so every 5-minute bucket spans BOTH
+    // batches — a whole-bucket overwrite would halve the counts
+    val dir = java.nio.file.Files.createTempDirectory("events_2files").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = Tables.eventsRaw(spark, sf)
+    raw.filter(pmod(col("event_id"), lit(2)) === 0).coalesce(1).write.mode("append").parquet(dir)
+    raw.filter(pmod(col("event_id"), lit(2)) === 1).coalesce(1).write.mode("append").parquet(dir)
+    val wh = java.nio.file.Files.createTempDirectory("rollup_wh2").toString + "/t5m"
+    val stream = streaming.EventStream.normalize(
+      spark.readStream.schema(streaming.EventStream.eventSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+    val q = streaming.EventStream.rollupMaintenance(stream, wh).start()
+    try q.processAllAvailable() finally q.stop()
+    // more than one batch actually ran
+    assert(spark.read.parquet(wh).select("_batch_id").distinct().count() > 1)
+    val fromStream = streaming.EventStream.readRollup(spark, wh)
     val fromBatch = operators.Rollups.fiveMinute(Tables.events(spark, sf))
     assert(fromStream.exceptAll(fromBatch).isEmpty && fromBatch.exceptAll(fromStream).isEmpty)
   }
