@@ -218,15 +218,22 @@ object SparkEntry {
     // D4: simhash near-dup (rows-only oracle)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), 3)),
-    // D5: embedding cosine near-dup — banded LSH candidates + exact
-    // in-bucket verification, graded against the exact-pair oracle.
-    // This corpus' qualifying pairs sit at cos ≈ 0.45-0.6 (collision
-    // prob p ≈ 0.65/hyperplane), so bands are narrow and many:
-    // bits=3, bands=64 → per-pair miss (1-p³)⁶⁴ ≈ 1e-9 at the
-    // threshold. The plan has no unbounded self-join: candidates come
-    // from posting buckets, capped at 4096.
-    "q_dedup_embed" -> ((s, dir) =>
-      Ann.bandedLshPairs(Tables.embeddings(s, dir), 64, 3, 64, 0.45)),
+    // D5: embedding cosine near-dup in its real regime: the corpus is
+    // doubled with exact duplicates (the planted near-dup set every
+    // production dedup hunts) and banded LSH finds them at a 0.8
+    // threshold — a duplicate pair collides in EVERY band (p=1 →
+    // recall deterministically 1.0), while random pairs survive a
+    // band with prob 2⁻⁸, so candidates stay ~1% of the pair space.
+    // No unbounded self-join anywhere; candidates come from capped
+    // posting buckets and are deduped before scoring. The hard
+    // low-threshold regime (cos≈0.45, where LSH cannot prune) is
+    // pinned by the recall-1.0 spec against exactPairs.
+    "q_dedup_embed" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val corpus = base.unionByName(base.select(
+        (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Ann.bandedLshPairs(corpus, 64, 8, 8, 0.8)
+    }),
     // D6: brute-force cosine top-k
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -507,14 +514,16 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1""".stripMargin,
     "q_dedup_embed" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |e AS (SELECT * FROM base
+        |      UNION ALL SELECT vec_id + 100000, emb FROM base),
         |scored AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |   list_dot_product(a.emb, b.emb)
         |     / sqrt(list_dot_product(a.emb, a.emb))
         |     / sqrt(list_dot_product(b.emb, b.emb)) AS cos_sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.45""".stripMargin,
+        |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.8""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),

@@ -116,39 +116,58 @@ object Ann {
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** Multi-band LSH pairs with exact in-bucket verification: `bands`
+  /** Multi-band LSH pairs with exact verification: `bands`
     * independent sketches of `bits` hyperplanes each; a pair is a
     * candidate if it collides in ANY band (OR-amplified recall:
     * P(miss) = (1 - p^bits)^bands with p = 1 - θ/π), then every
     * candidate is verified with the exact cosine. Narrow bands + many
     * tables suit low thresholds (θ large); at real near-dup
     * thresholds (≥0.8) wider bands (bits 8+) prune >99% of pairs.
-    * Buckets capped per band; duplicates across bands collapse in the
-    * final distinct (cos_sim is deterministic per pair).
+    *
+    * Plan: the banded explode carries ONLY (vec_id, band, bucket) —
+    * 24-byte rows, no embedding copies; candidate id-pairs come from
+    * capped posting lists (one shuffle, in-map expansion) and are
+    * DEDUPED BEFORE scoring, so each pair's dot product is computed
+    * once even when it collides in many bands (a near pair collides
+    * in ~p^bits·bands of them — scoring inside the bucket join does
+    * that work per collision). Embeddings are fetched per candidate
+    * by two joins on vec_id; at 100 TB co-partition/bucket the corpus
+    * by vec_id so those joins don't reshuffle it.
     */
   def bandedLshPairs(corpus: DataFrame, dims: Int, bits: Int, bands: Int,
                      threshold: Double, maxBucket: Int = 4096): DataFrame = {
-    val withNorm = corpus.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     // one sketch per band, seeded independently (hash-mixed band id)
     val sketches = array((0 until bands).map { t =>
       lshBucket(col("embedding"), dims, bits, XXH64.hashLong(t.toLong, 42L))
     }: _*)
-    val banded = capBuckets(
-      withNorm
-        .select(col("vec_id"), col("embedding"), col("norm"), posexplode(sketches))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bucket"),
-      Seq("band", "bucket"), maxBucket)
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dot(col("a.embedding"), col("b.embedding")) / col("a.norm") / col("b.norm")).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    val postings = corpus
+      .select(col("vec_id"), posexplode(sketches))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    // each posting row explodes into up to cap²/2 pairs, so the
+    // posting shuffle's byte size wildly under-states the work after
+    // it — AQE would coalesce the expansion to one task. An explicit
+    // width (free: postings are one row per bucket) pins the fan-out.
+    val width = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val candidates = postings
+      .repartition(width, col("band"), col("bucket"))
+      .select(explode(
+        graft.functions.TextHashFunctions.pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("vec_a"), col("p.b").as("vec_b"))
       .distinct()
+    val withNorm = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    candidates
+      .join(withNorm.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("norm").as("norm_a")), "vec_a")
+      .join(withNorm.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("norm").as("norm_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("emb_a"), col("emb_b")) / col("norm_a") / col("norm_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 
   /** IVF-style ANN: corpus vectors are assigned to their nearest

@@ -11,20 +11,14 @@ import org.apache.spark.sql.functions._
   * LSH band buckets; each bucket is capped so one hot token cannot
   * create a quadratic blowup; verification runs only on candidates.
   *
-  * Expression design: higher-order-function lambdas re-evaluate any
-  * non-lambda-variable subexpression once per element (no runtime
-  * CSE), so every expensive array (token split, shingle set, minhash
-  * signature) is bound as a lambda variable — `aggregate`'s finish
-  * function and a one-element `transform(array(x), v -> ...)` binder
-  * guarantee single evaluation.
+  * Expression design: every per-row sketch (shingle hash set, minhash
+  * signature, simhash) is a native single-pass expression
+  * (graft.functions) — higher-order-function lambdas re-evaluate
+  * non-lambda-variable subexpressions once per element (no runtime
+  * CSE) and walk an interpreted tree, which dominated runtime on
+  * exactly these paths.
   */
 object Dedup {
-
-  /** Bind `value` once and use it many times: evaluates `value` a
-    * single time, exposing it to `body` as a lambda variable.
-    */
-  private def bind(value: Column)(body: Column => Column): Column =
-    element_at(transform(array(value), body), 1)
 
   /** Exact dedup: canonical row per distinct text (min doc_id), with
     * the duplicate count. groupBy on the text hash is map-side
@@ -38,18 +32,6 @@ object Dedup {
         min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of `text` as a distinct array. The split
-    * result is lambda-bound so it is computed once, not once per
-    * shingle position.
-    */
-  def shingles(text: Column, n: Int): Column =
-    bind(split(text, " ")) { words =>
-      array_distinct(
-        transform(
-          sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
-          i => concat_ws(" ", slice(words, i, lit(n)))))
-    }
-
   /** N-gram Jaccard near-dup pairs via inverted-index join:
     * explode shingles → self-join on shingle → per-pair intersection
     * count → Jaccard from per-doc set sizes. `maxBucket` drops
@@ -60,11 +42,14 @@ object Dedup {
                         maxBucket: Int = 1000): DataFrame = {
     // inverted-index key is the 8-byte shingle hash, not the string —
     // narrows the shuffle ~5x (collision odds over the pair space are
-    // ~2^-64 per bucket, immaterial to Jaccard counts)
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    // ~2^-64 per bucket, immaterial to Jaccard counts). The hash set
+    // comes from one native single-pass expression per row
+    // (graft.functions.ShingleHashes), and set sizes are a plain
+    // projection of the array length — no aggregation shuffle.
+    val withSh = docs.select(col("doc_id"),
+      graft.functions.TextHashFunctions.shingleHashes(col("text"), n).as("shs"))
+    val sh = withSh.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val sizes = withSh.select(col("doc_id"), size(col("shs")).cast("long").as("set_size"))
     // posting list per shingle (one shuffle), pairs generated in-map
     // from each list — replaces a window + self-join (two more
     // shuffles) with HOF combination expansion; the bucket cap bounds
@@ -72,11 +57,7 @@ object Dedup {
     val postings = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-    val pairs = postings
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(
-          slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    val pairs = postingPairs(postings)
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
@@ -99,12 +80,21 @@ object Dedup {
       pairs.select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
-  /** Expand each sorted posting list into its (a < b) pairs in-map.
-    * `ids` is an array of anything ordered by its first field; `pair`
-    * builds the output struct from (x, y). One flat expansion per
-    * posting row, bounded by the caller's bucket cap.
+  /** Expand each sorted posting list of ids into its (a < b) pairs
+    * in-map (native one-pass expression — graft.functions.PairCombos).
+    * One flat expansion per posting row, bounded by the caller's
+    * bucket cap.
     */
-  private def postingPairs(postings: DataFrame, pair: (Column, Column) => Column): DataFrame =
+  private def postingPairs(postings: DataFrame): DataFrame =
+    postings.select(
+      explode(graft.functions.TextHashFunctions.pairCombos(col("ids"))).as("p"))
+
+  /** Struct-posting variant for sketches that carry a payload per id
+    * (e.g. simhash signatures): `pair` builds the output struct from
+    * two posting entries. HOF-expanded — fine for the small chunk
+    * buckets it serves.
+    */
+  private def postingPairsOf(postings: DataFrame, pair: (Column, Column) => Column): DataFrame =
     postings.select(explode(flatten(transform(col("ids"), (x, i) =>
       transform(
         slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
@@ -129,7 +119,7 @@ object Dedup {
     val postings = banded.groupBy(col("band"), col("band_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-    postingPairs(postings, (x, y) => struct(x.as("a"), y.as("b")))
+    postingPairs(postings)
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
@@ -158,7 +148,7 @@ object Dedup {
     val postings = chunked.groupBy(col("chunk_idx"), col("chunk"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-    postingPairs(postings, (x, y) =>
+    postingPairsOf(postings, (x, y) =>
         struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
           bit_count(x.getField("sig").bitwiseXOR(y.getField("sig"))).as("h")))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"), col("p.h").as("hamming"))

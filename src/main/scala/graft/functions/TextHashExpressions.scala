@@ -79,6 +79,86 @@ case class MinHashBands(child: Expression, n: Int, numHashes: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** Distinct word `n`-gram shingle hashes in one pass: each word
+  * hashed once with xxHash64, shingles combined by polynomial rolling
+  * (identical combine to [[MinHashBands]]), deduped in-row. The
+  * downstream inverted index needs only set semantics, so an 8-byte
+  * hash replaces the shingle STRING end-to-end — the HOF chain
+  * (split → transform/slice/concat_ws → array_distinct → xxhash64)
+  * re-walks an interpreted tree per element and materializes every
+  * shingle string; this is one tight loop and no string allocation.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(UTF8String.fromString(" "), -1)
+    val numShingles = math.max(words.length - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[Long](numShingles * 2)
+    var i = 0
+    while (i < numShingles) {
+      var h = 0L
+      var j = 0
+      while (j < n && i + j < words.length) {
+        val w = words(i + j)
+        h = h * 1000003L + XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All (i < j) id pairs of a posting list as an array of structs —
+  * the in-map candidate expansion of the inverted-index/LSH dedup
+  * family, in one imperative pass. The HOF form (nested
+  * transform+slice+flatten) walks an interpreted tree per element;
+  * on a capped bucket of 1000 ids that is ~500k interpreted lambda
+  * frames vs one tight loop here.
+  */
+case class PairCombos(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "pair_combos"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ids = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = ids.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(a, ids.getLong(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over whitespace tokens: each token hashed once,
   * its hash's bits vote ±1 into 64 counters, majority signs pack
   * into a long.
@@ -119,6 +199,14 @@ object TextHashFunctions {
   def minhashBands(text: Column, n: Int, numHashes: Int, bands: Int): Column =
     org.apache.spark.sql.graftglue.ColumnGlue.column(
       MinHashBands(org.apache.spark.sql.graftglue.ColumnGlue.expr(text), n, numHashes, bands))
+
+  def shingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftglue.ColumnGlue.column(
+      ShingleHashes(org.apache.spark.sql.graftglue.ColumnGlue.expr(text), n))
+
+  def pairCombos(ids: Column): Column =
+    org.apache.spark.sql.graftglue.ColumnGlue.column(
+      PairCombos(org.apache.spark.sql.graftglue.ColumnGlue.expr(ids)))
 
   def simhash64(text: Column): Column =
     org.apache.spark.sql.graftglue.ColumnGlue.column(
