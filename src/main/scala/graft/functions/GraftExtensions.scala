@@ -42,7 +42,16 @@ object GraftFunctions {
       info("lsh_bucket", "random-hyperplane LSH bucket: lsh_bucket(embedding, dims, bits[, seed])"),
       (es: Seq[Expression]) => LshBucket(es.head,
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
-        if (es.length > 3) es(3).eval().asInstanceOf[Long] else 42L)))
+        if (es.length > 3) es(3).eval().asInstanceOf[Long] else 42L)),
+    ("shingle_hashes",
+      info("shingle_hashes", "distinct word n-gram shingle hashes: shingle_hashes(text, n)"),
+      (es: Seq[Expression]) => ShingleHashes(es.head, es(1).eval().asInstanceOf[Int])),
+    ("pair_combos",
+      info("pair_combos", "all (i<j) id pairs of a long array as structs"),
+      (es: Seq[Expression]) => PairCombos(es.head)),
+    ("byte_stats",
+      info("byte_stats", "[n_bytes, mean, max, min] feature vector of a binary payload"),
+      (es: Seq[Expression]) => ByteStats(es.head)))
 
   /** Register all graft functions into an existing session. */
   def register(spark: SparkSession): Unit =

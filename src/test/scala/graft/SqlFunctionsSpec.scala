@@ -27,6 +27,17 @@ class SqlFunctionsSpec extends AnyFunSuite {
     val bands = spark.sql("SELECT minhash_bands(text, 3, 128, 32) AS b FROM docs_v")
       .collect().map(_.getSeq[Long](0))
     assert(bands.forall(_.length == 32))
+
+    val nsh = spark.sql("SELECT size(shingle_hashes(text, 3)) AS n FROM docs_v")
+      .collect().map(_.getInt(0))
+    assert(nsh.forall(_ >= 1))
+    val pairs = spark.sql("SELECT pair_combos(array(1L, 2L, 3L)) AS p")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val bs = spark.sql("SELECT byte_stats(encode('ab', 'UTF-8')) AS f")
+      .collect().head.getSeq[Double](0)
+    assert(bs == Seq(2.0, 97.5, 98.0, 97.0))
   }
 
   test("session_window batch agg groups like gap sessionization") {
