@@ -38,35 +38,48 @@ object Dedup {
     * shingles shared by more than that many docs (stopword shingles
     * produce quadratic candidates but cannot certify similarity).
     */
+  /** (doc_id, set_size) packed into one long: id in the high bits,
+    * size in the low 20 (set size is bounded by word count; capped
+    * defensively). Packing lets the per-doc shingle-set size ride the
+    * inverted index INSIDE the id, so Jaccard needs no size-lookup
+    * joins and the corpus is scanned exactly once. Packed ordering ==
+    * doc_id ordering (size is constant per doc), so sorted posting
+    * lists still yield (doc_a < doc_b) pairs.
+    */
+  private val SizeBits = 20
+  private val SizeMask = (1L << SizeBits) - 1
+
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxBucket: Int = 1000): DataFrame = {
     // inverted-index key is the 8-byte shingle hash, not the string —
     // narrows the shuffle ~5x (collision odds over the pair space are
     // ~2^-64 per bucket, immaterial to Jaccard counts). The hash set
     // comes from one native single-pass expression per row
-    // (graft.functions.ShingleHashes), and set sizes are a plain
-    // projection of the array length — no aggregation shuffle.
-    val withSh = docs.select(col("doc_id"),
-      graft.functions.TextHashFunctions.shingleHashes(col("text"), n).as("shs"))
-    val sh = withSh.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val sizes = withSh.select(col("doc_id"), size(col("shs")).cast("long").as("set_size"))
-    // posting list per shingle (one shuffle), pairs generated in-map
-    // from each list — replaces a window + self-join (two more
-    // shuffles) with HOF combination expansion; the bucket cap bounds
-    // the quadratic expansion per posting
+    // (graft.functions.ShingleHashes).
+    val sh = docs
+      .select(col("doc_id"),
+        graft.functions.TextHashFunctions.shingleHashes(col("text"), n).as("shs"))
+      .select(
+        (shiftleft(col("doc_id"), SizeBits)
+          .bitwiseOR(least(size(col("shs")).cast("long"), lit(SizeMask)))).as("id_size"),
+        explode(col("shs")).as("sh"))
+    // posting list per shingle (the only data shuffle), pairs expanded
+    // in-map from each list; the bucket cap bounds the quadratic
+    // expansion per posting, the explicit width keeps AQE from
+    // coalescing the explosion stage onto one task
     val postings = sh.groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_list(col("id_size"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-    val pairs = postingPairs(postings)
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    postingPairs(postings.repartition(width, col("sh")))
+      .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
       .agg(count(lit(1)).as("n_common"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
       .withColumn("jaccard",
-        col("n_common").cast("double") / (col("size_a") + col("size_b") - col("n_common")))
+        col("n_common").cast("double") /
+          (col("pa").bitwiseAND(SizeMask) + col("pb").bitwiseAND(SizeMask) - col("n_common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
+        shiftrightunsigned(col("pb"), SizeBits).as("doc_b"), col("jaccard"))
   }
 
   /** Corpus filtering: drop near-duplicate documents, keeping the
