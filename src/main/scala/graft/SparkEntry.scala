@@ -246,6 +246,14 @@ object SparkEntry {
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), 16, 4, 10)
         .select("query_id", "neighbor_id", "rnk", "cos_sim")
     }),
+    // D6c: IVF ANN with k-means-refined centroids (rows-only oracle;
+    // centroid means are order-sensitive double sums, so exactness is
+    // pinned by spec instead of the DuckDB hash)
+    "q_ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), 16, 4, 10, refineIters = 2)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
+    }),
     // embedding normalization (unit vectors + norm)
     "q_embed_norm" -> ((s, dir) =>
       Tables.embeddings(s, dir).select(

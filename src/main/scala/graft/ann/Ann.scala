@@ -183,33 +183,78 @@ object Ann {
     * small), so at 100 TB the corpus moves exactly once: into the
     * final k-rows-per-query aggregation.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, nCells: Int,
-              nprobe: Int, k: Int): DataFrame = {
-    require(nCells <= 4096,
-      s"nCells=$nCells: centroids become literals in the plan; beyond ~4k " +
-        "cells, fit them separately and broadcast-join the assignment instead")
-    val cent = corpus
+  private def centroidLiteral(cent: Seq[(Long, Seq[Float])]): Column =
+    array(cent.map { case (id, emb) =>
+      struct(lit(id).as("cell_id"), typedLit(emb).as("c_emb"))
+    }: _*)
+
+  /** cells ranked by (-dot asc, cell_id asc) — same ordering as the
+    * oracle's window; struct sort compares field-by-field.
+    */
+  private def rankedCells(centLit: Column, embCol: Column): Column =
+    array_sort(transform(centLit, c =>
+      struct((-dot(embCol, c.getField("c_emb"))).as("d"),
+        c.getField("cell_id").as("cell_id"))))
+
+  /** Deterministic IVF seed centroids: the first `nCells` vectors. */
+  private def seedCentroids(corpus: DataFrame, nCells: Int): Seq[(Long, Seq[Float])] =
+    corpus
       .filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("long"), col("embedding"))
       .collect() // ≤ nCells rows by construction — a literal, like a broadcast dim
-      .sortBy(_.getLong(0))
-    if (cent.isEmpty) {
+      .toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+
+  /** Lloyd refinement of IVF centroids, `iters` rounds of: assign each
+    * corpus vector to its best cell (a single projection against the
+    * literal centroid array — zero shuffle), then take the per-cell
+    * element-wise mean (posexplode to (cell, dim); the partial average
+    * combines map-side, so the shuffle carries ≤ cells×dims rows per
+    * partition regardless of corpus size). Centroids live on the
+    * driver between rounds — nCells×dims floats, the same footprint as
+    * any broadcast dimension. Cells that lose all members keep their
+    * previous centroid.
+    */
+  def refineCentroids(corpus: DataFrame, seeds: Seq[(Long, Seq[Float])],
+                      iters: Int): Seq[(Long, Seq[Float])] = {
+    var cent = seeds
+    for (_ <- 0 until iters) {
+      val centLit = centroidLiteral(cent)
+      val means = corpus
+        .select(
+          element_at(rankedCells(centLit, col("embedding")), 1)
+            .getField("cell_id").as("cell_id"),
+          posexplode(col("embedding")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect() // ≤ nCells×dims rows
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        }
+      cent = cent.map { case (id, emb) => (id, means.getOrElse(id, emb)) }
+    }
+    cent
+  }
+
+  /** IVF top-k with optional k-means refinement of the seed cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, nCells: Int,
+              nprobe: Int, k: Int, refineIters: Int = 0): DataFrame = {
+    require(nCells <= 4096,
+      s"nCells=$nCells: centroids become literals in the plan; beyond ~4k " +
+        "cells, fit them separately and broadcast-join the assignment instead")
+    val seeds = seedCentroids(corpus, nCells)
+    if (seeds.isEmpty) {
       // empty corpus → empty result with the contract schema (array()
       // of zero struct columns would fail analysis)
       import corpus.sparkSession.implicits._
       return Seq.empty[(Long, Long, Int, Double)]
         .toDF("query_id", "neighbor_id", "rnk", "cos_sim")
     }
-    val centLit = array(cent.map { r =>
-      struct(lit(r.getLong(0)).as("cell_id"),
-        typedLit(r.getSeq[Float](1)).as("c_emb"))
-    }: _*)
-    // cells ranked by (-dot asc, cell_id asc) — same ordering as the
-    // oracle's window; struct sort compares field-by-field
-    def rankedCells(embCol: Column): Column =
-      array_sort(transform(centLit, c =>
-        struct((-dot(embCol, c.getField("c_emb"))).as("d"),
-          c.getField("cell_id").as("cell_id"))))
+    val centLit = centroidLiteral(
+      if (refineIters > 0) refineCentroids(corpus, seeds, refineIters) else seeds)
+    def rankedCells(embCol: Column): Column = Ann.rankedCells(centLit, embCol)
     val cells = corpus.select(
       col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("c_norm"),

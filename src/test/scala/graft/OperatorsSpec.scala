@@ -194,6 +194,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hit >= 20, s"IVF recall too low: $hit/50") // probing 4/16 cells
   }
 
+  test("k-means refinement converges to exact cluster means") {
+    import spark.implicits._
+    // two tight clusters around (10,0) and (0,10); seeds = first two
+    // vectors, one from each cluster
+    val corpus = Seq(
+      (0L, Seq(10f, 0f)), (1L, Seq(0f, 10f)),
+      (2L, Seq(12f, 0f)), (3L, Seq(8f, 2f)),
+      (4L, Seq(0f, 12f)), (5L, Seq(2f, 8f))).toDF("vec_id", "embedding")
+    val seeds = Seq(0L -> Seq(10f, 0f), 1L -> Seq(0f, 10f))
+    val refined = ann.Ann.refineCentroids(corpus, seeds, 1).toMap
+    assert(refined(0L) == Seq(10f, 2f / 3))  // mean of (10,0),(12,0),(8,2)
+    assert(refined(1L) == Seq(2f / 3, 10f))  // mean of (0,10),(0,12),(2,8)
+  }
+
+  test("refined IVF keeps recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = ann.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      .select("query_id", "neighbor_id")
+    val ivf = SparkEntry.queries("q_ann_ivf_kmeans")(spark, sf)
+      .select("query_id", "neighbor_id")
+    val hit = exact.intersect(ivf).count()
+    assert(hit >= 20, s"refined IVF recall too low: $hit/50")
+  }
+
   test("top-k heap aggregate equals window top-N") {
     val heap = SparkEntry.queries("q_topn_heap")(spark, sf)
     val win = SparkEntry.queries("q_topn_per_group")(spark, sf)

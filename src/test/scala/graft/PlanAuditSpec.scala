@@ -70,6 +70,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cell assignment must not shuffle the corpus:\n$p")
   }
 
+  test("ngram dedup scans the corpus exactly once") {
+    val p = plan("q_dedup_ngram")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"size-lookup joins must not rescan documents:\n$p")
+  }
+
+  test("embedding near-dup has no unbounded join") {
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("CartesianProduct"), "no cross join in the LSH plan")
+    assert(!p.contains("SortMergeJoin"), "embedding fetch should broadcast at this SF")
+  }
+
   test("multimodal feature extraction stays in codegen (no RDD hop)") {
     val p = plan("q_multimodal")
     assert(p.contains("byte_stats"), "native expression missing from plan")
