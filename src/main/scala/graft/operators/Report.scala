@@ -40,6 +40,19 @@ object Report {
       lit("failed").as("status"),
       concat(lit("left="), col("val_left"), lit(" right="), col("val_right")).as("message"))
 
+  /** DBL loader-error suite (TestReport.py:create_db_errors): the
+    * parsed loader logs ([[Maintenance.parseDblErrors]]) as one case
+    * per (table, line) — ORA-/record errors fail, load statistics
+    * pass, so a clean load renders as a green suite with its row
+    * counts in the messages.
+    */
+  def dblErrorsSuite(parsedLogs: DataFrame): DataFrame =
+    parsedLogs.select(
+      lit("dbl_errors").as("suite"),
+      concat_ws(": ", col("table_name"), col("kind")).as("test_name"),
+      when(col("kind") === "stats", "passed").otherwise("failed").as("status"),
+      col("detail").as("message"))
+
   /** Missing-column suite (TestReport.py:create_missing_cols) — from
     * the metadata-level schema compare.
     */

@@ -84,6 +84,10 @@ class ConfigFileSpec extends AnyFunSuite {
         |ORA-01722: invalid number
         |500 Rows successfully loaded.""".stripMargin)
     val parsed = graft.operators.Maintenance.parseDblErrors(spark, dir.toString + "/*.log")
+    // renders into the junit report like TestReport.create_db_errors
+    val xml = graft.operators.Report.toJunitXml(
+      graft.operators.Report.dblErrorsSuite(parsed))
+    assert(xml.contains("dbl_errors") && xml.contains("failures=\"3\""))
     val byTable = parsed.collect().groupBy(_.getAs[String]("table_name"))
     assert(byTable.keySet == Set("ERICSSON_NODE", "HUAWEI_CELL"))
     val eric = byTable("ERICSSON_NODE").map(r => (r.getAs[String]("kind"), r.getAs[String]("detail")))
