@@ -48,10 +48,19 @@ object ChillPipeline {
     */
   def rawCsv(spark: SparkSession, path: String, delimiter: String,
              columns: Seq[String], skipHeader: Int, skipFooter: Int,
-             ignoreLines: Set[String]): DataFrame = {
+             ignoreLines: Set[String]): DataFrame =
+    sliceLines(
+      spark.read.text(path).select(input_file_name().as("_file"), col("value")),
+      delimiter, columns, skipHeader, skipFooter, ignoreLines)
+
+  /** The line-slicing + delimiter-split core of [[rawCsv]], over any
+    * `(_file, value)` line set — also the per-batch parser of the
+    * streaming library run, where the lines arrive from a file stream
+    * instead of a batch scan.
+    */
+  def sliceLines(lines: DataFrame, delimiter: String, columns: Seq[String],
+                 skipHeader: Int, skipFooter: Int, ignoreLines: Set[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lines = spark.read.text(path)
-      .select(input_file_name().as("_file"), col("value"))
     val w = Window.partitionBy(col("_file")).orderBy(monotonically_increasing_id())
     val numbered = lines
       .withColumn("_ln", row_number().over(w))
@@ -72,13 +81,18 @@ object ChillPipeline {
     * tag tables are tiny → broadcast join; the feed never shuffles.
     */
   def withTagColumns(spark: SparkSession, path: String, df: DataFrame,
-                     tagRules: Seq[FromTag]): DataFrame = {
+                     tagRules: Seq[FromTag]): DataFrame =
+    withTagColumnsFrom(
+      spark.read.text(path).select(input_file_name().as("_file"), col("value")),
+      df, tagRules)
+
+  /** [[withTagColumns]] over an existing `(_file, value)` line set. */
+  def withTagColumnsFrom(lines: DataFrame, df: DataFrame,
+                         tagRules: Seq[FromTag]): DataFrame = {
     if (tagRules.isEmpty) return df
-    val lines = spark.read.text(path)
-      .select(input_file_name().as("_file"), col("value"),
-        monotonically_increasing_id().as("_ord"))
+    val ordered = lines.withColumn("_ord", monotonically_increasing_id())
     tagRules.foldLeft(df) { (acc, rule) =>
-      val tagLines = lines
+      val tagLines = ordered
         .filter(col("value").contains(rule.tag))
         .groupBy(col("_file"))
         .agg(min_by(col("value"), col("_ord")).as(s"_tag_${rule.name}"))

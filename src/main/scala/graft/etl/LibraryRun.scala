@@ -67,4 +67,28 @@ object LibraryRun {
     val report = Report.merge(suites: _*)
     LibraryResult(loaded, report, Report.toJunitXml(report))
   }
+
+  /** Continuous form of the cycle — the reference's connect-daemon
+    * polling loop (chill.py wait_rd/copy_rd + DBLoader) as a file
+    * stream: each micro-batch of newly-arrived raw files parses with
+    * the SAME config rules and partition-overwrites the routed
+    * tables. Matches the reference's delete-by-datetime-then-reload
+    * unit of work: a batch replaces exactly the datetime partitions
+    * it carries, so replaying a file set is idempotent as long as
+    * files carry whole partitions (the Chill model: one file = one
+    * datetime slice).
+    */
+  def stream(spark: SparkSession, cfg: LibraryConfig)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val lines = spark.readStream.text(cfg.rawPath)
+      .select(input_file_name().as("_file"), col("value"))
+    lines.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val raw = ChillPipeline.sliceLines(batch, cfg.delimiter, cfg.rawColumns,
+        cfg.skipHeader, cfg.skipFooter, cfg.ignoreLines)
+      val tagged = ChillPipeline.withTagColumnsFrom(batch, raw, cfg.tagRules)
+      ChillPipeline.run(tagged, cfg.rules, cfg.routes).foreach { case (table, df) =>
+        Maintenance.overwritePartitions(df, s"${cfg.warehouseDir}/$table", cfg.partitionCol)
+      }
+    }
+  }
 }

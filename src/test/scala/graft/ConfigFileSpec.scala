@@ -54,6 +54,29 @@ class ConfigFileSpec extends AnyFunSuite {
       result.junitXml)
   }
 
+  test("config-driven streaming ingestion loads arriving files continuously") {
+    val rawDir = java.nio.file.Files.createTempDirectory("cfg_stream_raw")
+    val wh = java.nio.file.Files.createTempDirectory("cfg_stream_wh").toString
+    import spark.implicits._
+    Seq(("A", "Alpha")).toDF("g_code", "g_name").createOrReplaceTempView("grp_dim")
+    val compiled = ConfigFile.compile(spark,
+      ConfigFile.load(spark, "src/test/resources/chill_config.json")
+        .copy(input_path = rawDir.toString + "/*.csv"), wh)
+    writeRaw(rawDir, "F_20240101.csv", "EAST", Seq((1, "A", 10), (2, "B", 20)))
+    val q = LibraryRun.stream(spark, compiled.lib).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$wh/TBL_A_5M").count() == 1)
+      // a new file arrives: next batch loads its partition alongside
+      writeRaw(rawDir, "F_20240102.csv", "WEST", Seq((3, "A", 30), (4, "A", 40)))
+      q.processAllAvailable()
+      val a = spark.read.parquet(s"$wh/TBL_A_5M")
+      assert(a.count() == 3)
+      assert(a.select("day").distinct().count() == 2)
+      assert(a.filter(col("region") === "WEST").count() == 2)
+    } finally q.stop()
+  }
+
   test("retention sweep thins only suffix-matched tables") {
     import spark.implicits._
     val asOf = java.time.Instant.parse("2024-02-01T00:00:00Z")
