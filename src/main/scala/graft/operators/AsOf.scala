@@ -42,7 +42,7 @@ object AsOf {
       col(key), col(tsCol), lit(1).as("_tag"),
       lit(null).cast(org.apache.spark.sql.types.StructType(
         rightDedup.select(pickCols.map(col): _*).schema.fields).sql).as("_r"),
-      struct(left.columns.map(col): _*).as("_l"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_l"))
 
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol), col("_tag"))
@@ -56,6 +56,6 @@ object AsOf {
     }
     pickCols.foldLeft(base) { (df, c) =>
       df.withColumn(s"asof_$c", col("_picked").getField(c))
-    }.select((left.columns ++ pickCols.map(c => s"asof_$c")).map(col): _*)
+    }.select((left.columns.toIndexedSeq ++ pickCols.map(c => s"asof_$c")).map(col): _*)
   }
 }

@@ -77,6 +77,26 @@ class ConfigFileSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("config compile rejects unknown sources and undefined views") {
+    val base = ConfigFile.FieldSpec("f", "constant", Some("x"), None, None,
+      None, None, None, None, None, None, None)
+    val bad = intercept[IllegalArgumentException] {
+      ConfigFile.compileField(base.copy(source = "teleport"), Map.empty)
+    }
+    assert(bad.getMessage.contains("unknown source"))
+    val noView = intercept[IllegalArgumentException] {
+      ConfigFile.compileField(
+        base.copy(source = "lookup", view = Some("ghost_vw"),
+          inputs = Some("k"), view_keys = Some("k"), value_col = Some("v")),
+        Map.empty)
+    }
+    assert(noView.getMessage.contains("ghost_vw"))
+    val missing = intercept[IllegalArgumentException] {
+      ConfigFile.compileField(base.copy(source = "filename", pattern = None), Map.empty)
+    }
+    assert(missing.getMessage.contains("pattern"))
+  }
+
   test("retention sweep thins only suffix-matched tables") {
     import spark.implicits._
     val asOf = java.time.Instant.parse("2024-02-01T00:00:00Z")
