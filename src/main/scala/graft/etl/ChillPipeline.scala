@@ -21,7 +21,13 @@ final case class TableRoute(
       * OM_GROUP value to a table via the HLD Tables sheet). */
     predicate: org.apache.spark.sql.Column,
     /** Columns to keep, in order. */
-    columns: Seq[String])
+    columns: Seq[String],
+    /** Per-table rules applied AFTER routing/projection — the HLD's
+      * TYPE=KPI formula columns, computed over this table's counters
+      * (the reference loads counters and leaves KPIs to DB-side
+      * formulas; here they stay in the same projection).
+      */
+    postRules: Seq[FieldRule] = Nil)
 
 object ChillPipeline {
 
@@ -31,7 +37,8 @@ object ChillPipeline {
   def run(raw: DataFrame, rules: Seq[FieldRule], routes: Seq[TableRoute]): Map[String, DataFrame] = {
     val transformed = FieldRule.applyAll(raw, rules)
     routes.map { r =>
-      r.table -> transformed.filter(r.predicate).select(r.columns.map(col): _*)
+      r.table -> FieldRule.applyAll(
+        transformed.filter(r.predicate).select(r.columns.map(col): _*), r.postRules)
     }.toMap
   }
 

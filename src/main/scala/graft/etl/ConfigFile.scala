@@ -55,7 +55,11 @@ object ConfigFile {
       om_group: String,
       table: String,
       granularity: String,
-      columns: Seq[String])
+      columns: Seq[String],
+      /** TYPE=KPI rows of the Key_Counters_Kpis sheet: formula
+        * columns over this table's counters, applied after routing.
+        */
+      kpis: Option[Seq[FieldSpec]])
 
   final case class ViewSpec(name: String, sql: String)
 
@@ -148,7 +152,8 @@ object ConfigFile {
     val omRule = compileField(cfg.om_group.copy(name = "_om_group"), views)
     val routes = cfg.tables.map { t =>
       TableRoute(s"${t.table}_${t.granularity}",
-        col("_om_group") === t.om_group, t.columns)
+        col("_om_group") === t.om_group, t.columns,
+        t.kpis.getOrElse(Nil).map(compileField(_, views)))
     }
     Compiled(
       LibraryConfig(

@@ -49,6 +49,8 @@ class ConfigFileSpec extends AnyFunSuite {
     // partition-column inference reads `day` back as an integer
     assert(r4.get(r4.fieldIndex("day")).toString == "20240102")
     assert(r4.getAs[Long]("cnt10") == 404L)
+    // KPI formula column (post-route rule from the config)
+    assert(r4.getAs[Double]("cnt_per_id") == 101.0)
     // clean reconcile
     assert(result.report.filter(col("status") === "failed").count() == 0,
       result.junitXml)
