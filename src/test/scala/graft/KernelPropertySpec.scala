@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{Literal, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/** Randomized properties for the native kernels, checked against
+  * straightforward reference implementations (seeded generators —
+  * deterministic across runs).
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def holds(p: Prop): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(200)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val scoreGen: Gen[Double] = Gen.oneOf(
+    Gen.choose(-1.0, 1.0), Gen.const(Double.NaN),
+    Gen.const(0.0), Gen.const(-0.0), Gen.const(1.0))
+
+  test("TopKBuffer equals sort-take-k under Double.compare ordering (incl NaN, ties)") {
+    val rows = Gen.listOf(Gen.zip(scoreGen, Gen.choose(0L, 20L)))
+    holds(Prop.forAll(rows, Gen.choose(1, 8)) { (xs, k) =>
+      val buf = new TopKBuffer(k)
+      xs.foreach { case (s, t) => buf.add(s, t) }
+      val got = buf.sorted.map(i => (buf.scores(i), buf.ties(i))).toSeq
+      val expect = xs.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2)
+      }.take(k)
+      // compare via bit patterns so NaN == NaN
+      got.map { case (s, t) => (java.lang.Double.doubleToLongBits(s), t) } ==
+        expect.map { case (s, t) => (java.lang.Double.doubleToLongBits(s), t) }
+    })
+  }
+
+  test("TopKByScore buffers survive serialize/deserialize and merge like a union") {
+    val agg = functions.TopKByScore(Literal(0.0), Literal(0L), 5)
+    val rows = Gen.listOf(Gen.zip(scoreGen, Gen.choose(0L, 50L)))
+    holds(Prop.forAll(rows, rows) { (xs, ys) =>
+      def fill(zs: Seq[(Double, Long)]) = {
+        val b = new TopKBuffer(5); zs.foreach { case (s, t) => b.add(s, t) }; b
+      }
+      val merged = agg.merge(agg.deserialize(agg.serialize(fill(xs))), fill(ys))
+      val direct = fill(xs ++ ys)
+      merged.sorted.map(i => (java.lang.Double.doubleToLongBits(merged.scores(i)), merged.ties(i))).toSeq ==
+        direct.sorted.map(i => (java.lang.Double.doubleToLongBits(direct.scores(i)), direct.ties(i))).toSeq
+    })
+  }
+
+  test("PairCombos equals the naive nested loop") {
+    val ids = Gen.listOf(Gen.choose(0L, 1000L)).map(_.distinct.sorted)
+    holds(Prop.forAll(ids) { xs =>
+      val out = PairCombos(Literal.create(xs,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+        .eval(null).asInstanceOf[ArrayData]
+      val got = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+      val expect = for { i <- xs.indices; j <- (i + 1) until xs.length } yield (xs(i), xs(j))
+      got == expect
+    })
+  }
+
+  test("ShingleHashes matches a reference shingler") {
+    val word = Gen.oneOf("a", "bb", "ccc", "d", "the", "x1")
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    holds(Prop.forAll(text, Gen.choose(1, 4)) { (t, n) =>
+      val got = ShingleHashes(Literal(t), n)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val words = t.split(" ", -1)
+      def wh(w: String) = {
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(w)
+        XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      }
+      val expect = (0 until math.max(words.length - (n - 1), 1)).map { i =>
+        words.slice(i, math.min(i + n, words.length)).foldLeft(0L)((h, w) => h * 1000003L + wh(w))
+      }.distinct
+      got == expect
+    })
+  }
+}
