@@ -183,10 +183,19 @@ object Ann {
     * small), so at 100 TB the corpus moves exactly once: into the
     * final k-rows-per-query aggregation.
     */
+  /** Named struct element for the centroid literal (struct field
+    * names inside lambda bodies come from the VALUE's schema — lambda
+    * aliases are ignored — so the case class carries them).
+    */
+  private final case class Cent(cell_id: Long, c_emb: Seq[Float])
+
+  /** One Literal NODE holding the whole centroid table — element-wise
+    * `array(struct(lit…))` construction costs ~nCells×dims expression
+    * nodes that every analyzer/optimizer pass re-walks; a single
+    * typedLit carries the same data as one value.
+    */
   private def centroidLiteral(cent: Seq[(Long, Seq[Float])]): Column =
-    array(cent.map { case (id, emb) =>
-      struct(lit(id).as("cell_id"), typedLit(emb).as("c_emb"))
-    }: _*)
+    typedLit(cent.map { case (id, emb) => Cent(id, emb) })
 
   /** cells ranked by (-dot asc, cell_id asc) — same ordering as the
     * oracle's window; struct sort compares field-by-field.
