@@ -32,14 +32,20 @@ object Reconcile {
 
   /** Keys present on one side and not the other, both directions
     * (reference: missing_oracle_records / missing_raw_data_records,
-    * HlxTools.py:885-899). Two left_anti joins, tagged and unioned.
+    * HlxTools.py:885-899). ONE full-outer join of the distinct key
+    * sets — the two-anti-join formulation scans and aggregates each
+    * side twice (no plan reuse without caching); this does both
+    * directions in a single co-partitioned pass.
     */
   def missingKeys(left: DataFrame, right: DataFrame, key: String): DataFrame = {
-    val lk = left.select(col(key)).distinct()
-    val rk = right.select(col(key)).distinct()
-    lk.join(rk, Seq(key), "left_anti").withColumn("direction", lit("missing_right"))
-      .unionByName(
-        rk.join(lk, Seq(key), "left_anti").withColumn("direction", lit("missing_left")))
+    val lk = left.select(col(key)).distinct().withColumn("_l", lit(1))
+    val rk = right.select(col(key)).distinct().withColumn("_r", lit(1))
+    lk.join(rk, Seq(key), "full_outer")
+      .withColumn("direction",
+        when(col("_r").isNull, "missing_right")
+          .when(col("_l").isNull, "missing_left"))
+      .filter(col("direction").isNotNull)
+      .select(col(key), col("direction"))
   }
 
   /** Per-counter value diff with tolerance (reference rounds both
