@@ -259,10 +259,10 @@ object SparkEntry {
       Tables.embeddings(s, dir).select(
         col("vec_id"),
         sqrt(Ann.dot(col("embedding"), col("embedding"))).as("norm"))),
-    // per-source/lang corpus quality rollup
+    // per-source/lang corpus quality rollup (source carried through
+    // the metric projection — one corpus scan, no join-back)
     "q_quality_by_source" -> ((s, dir) =>
-      graft.text.TextOps.quality(Tables.documents(s, dir))
-        .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+      graft.text.TextOps.quality(Tables.documents(s, dir), keep = Seq("source"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),

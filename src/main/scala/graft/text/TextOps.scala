@@ -29,17 +29,21 @@ object TextOps {
 
   /** Quality metrics: length, word count, stopword ratio, mean word
     * length — single-division doubles (IEEE-identical across engines).
+    * `keep` carries extra input columns through (e.g. `source` for a
+    * per-source rollup) so callers never re-scan and re-join the
+    * corpus just to recover them.
     */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val nWords = size(split(col("text"), " "))
     val nStop = regexp_count(col("text"), lit(StopwordPattern))
     docs.select(
-      col("doc_id"),
-      length(col("text")).as("n_chars"),
-      nWords.as("n_words"),
-      nStop.as("n_stopwords"),
-      (nStop.cast("double") / nWords).as("stopword_ratio"),
-      ((length(col("text")) - (nWords - lit(1))).cast("double") / nWords).as("mean_word_len"))
+      col("doc_id") +:
+        length(col("text")).as("n_chars") +:
+        nWords.as("n_words") +:
+        nStop.as("n_stopwords") +:
+        (nStop.cast("double") / nWords).as("stopword_ratio") +:
+        ((length(col("text")) - (nWords - lit(1))).cast("double") / nWords).as("mean_word_len") +:
+        keep.map(col): _*)
   }
 
   /** Language ID via stopword-profile scoring: count hits against a
