@@ -82,6 +82,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "embedding fetch should broadcast at this SF")
   }
 
+  test("missing-keys reconciliation is a single full-outer join") {
+    val p = plan("q_recon_missing")
+    assert(p.contains("FullOuter"), "both directions must come from one join")
+    assert(!p.contains("Union"), "the two-anti-join shape scans each side twice")
+  }
+
+  test("quality rollup scans the corpus once") {
+    val p = plan("q_quality_by_source")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"grouping columns must ride the metric projection, not a join-back:\n$p")
+  }
+
   test("multimodal feature extraction stays in codegen (no RDD hop)") {
     val p = plan("q_multimodal")
     assert(p.contains("byte_stats"), "native expression missing from plan")
