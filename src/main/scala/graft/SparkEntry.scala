@@ -215,6 +215,11 @@ object SparkEntry {
     // D3: minhash LSH candidates (rows-only oracle)
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), 3, 128, 32)),
+    // D3b: sketch-then-verify minhash dedup — candidates verified
+    // with the exact Jaccard; recall 1.0 at 0.8 (spec), so the result
+    // equals the inverted-index path and shares its exact oracle
+    "q_dedup_minhash_v" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, dir), 3, 0.8, 128, 32)),
     // D4: simhash near-dup (rows-only oracle)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), 3)),
@@ -489,6 +494,20 @@ object SparkEntry {
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
     "q_dedup_ngram" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w,
+        |         unnest(generate_series(1, greatest(len(w)-2, 1))) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+        |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""".stripMargin,
+    // identical semantics to q_dedup_ngram: minhash candidates with
+    // recall 1.0 at this threshold + exact verification
+    "q_dedup_minhash_v" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |idx AS (SELECT doc_id, w,
         |         unnest(generate_series(1, greatest(len(w)-2, 1))) AS i FROM tok),

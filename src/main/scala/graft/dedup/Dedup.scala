@@ -137,6 +137,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Complete MinHash near-dup: LSH band candidates + EXACT Jaccard
+    * verification of each candidate (the standard sketch-then-verify
+    * shape). The verification joins each side's shingle-hash set by
+    * doc id — work proportional to candidates, not to the pair
+    * space; at 100 TB co-partition/bucket `docs` by doc_id so the
+    * two fetch joins don't reshuffle the corpus. With band
+    * parameters whose recall is 1.0 at `threshold` (pinned by spec),
+    * the output equals [[ngramJaccardPairs]] exactly — same shingle
+    * sets, same arithmetic — so it shares the exact-Jaccard oracle.
+    */
+  def minhashNearDupPairs(docs: DataFrame, n: Int, threshold: Double,
+                          numHashes: Int, bands: Int, maxBucket: Int = 1000): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      graft.functions.TextHashFunctions.shingleHashes(col("text"), n).as("shs"))
+    minhashLshPairs(docs, n, numHashes, bands, maxBucket)
+      .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (native expression —
     * graft.functions.SimHash64: one imperative pass per row).
     */

@@ -81,6 +81,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(missed == 0, s"LSH missed $missed true near-dup pairs")
   }
 
+  test("verified minhash dedup equals the inverted-index Jaccard path") {
+    val docs = Tables.documents(spark, sf)
+    val viaMinhash = dedup.Dedup.minhashNearDupPairs(docs, 3, 0.8, 128, 32)
+    val viaIndex = dedup.Dedup.ngramJaccardPairs(docs, 3, 0.8)
+    assert(viaMinhash.exceptAll(viaIndex).isEmpty && viaIndex.exceptAll(viaMinhash).isEmpty)
+  }
+
   test("simhash identical docs collide, hamming 0") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w q r t"))
