@@ -100,4 +100,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ExistingRDD") && !p.contains("Scan ExistingRDD"),
       s"RDD hop in multimodal plan:\n$p")
   }
+
+  test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
+    // the strategy SURVEY §5 prescribes for repeated large-large joins
+    // (candidate fetch, reconcile): pre-bucket both sides on the key
+    val dir = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val docs = Tables.documents(spark, sf)
+    try {
+      docs.select("doc_id", "source").write.bucketBy(4, "doc_id").sortBy("doc_id")
+        .option("path", s"$dir/d1").saveAsTable("ba_docs1")
+      docs.select("doc_id", "n_chars").write.bucketBy(4, "doc_id").sortBy("doc_id")
+        .option("path", s"$dir/d2").saveAsTable("ba_docs2")
+      // force the large-large strategy (at test SF the planner would
+      // broadcast these tiny tables and skip the bucketed path)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ba_docs1").join(spark.table("ba_docs2"), "doc_id")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), s"planner skipped the buckets:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(joined.count() == docs.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS ba_docs1")
+      spark.sql("DROP TABLE IF EXISTS ba_docs2")
+    }
+  }
 }
