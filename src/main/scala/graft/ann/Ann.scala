@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * Baseline: brute-force cosine top-k (exact; queries broadcast, one
   * pass over the corpus — the right plan even at 100 TB when the
   * query set is small). Scale paths: random-hyperplane LSH buckets
-  * (single- and multi-band) and IVF cells, so only same-bucket/cell
-  * candidates are scored; every bucket is capped.
+  * (single-band, and multi-band with pre-score candidate dedup) and
+  * IVF cells with optional Lloyd refinement, so only same-bucket/cell
+  * candidates are scored; banded buckets are capped (single-band
+  * capping is opt-in — it drops rows, see [[lshPairs]]).
   *
   * Plan shape invariants (pinned by PlanAuditSpec):
   *  - top-k finishes through the bounded-heap aggregate

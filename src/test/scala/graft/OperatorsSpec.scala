@@ -38,7 +38,7 @@ class OperatorsSpec extends AnyFunSuite {
       name -> fn(spark, sf).count()
     }
     val empty = counts.filter(_._2 == 0).keys.toSeq
-      .filterNot(Set("q_recon_missing", "q_dedup_embed")) // legitimately may be empty
+      .filterNot(Set("q_recon_missing")) // legitimately may be empty
     assert(empty.isEmpty, s"unexpected empty results: $empty")
   }
 
