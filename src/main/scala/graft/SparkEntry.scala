@@ -278,6 +278,13 @@ object SparkEntry {
     // D7: LSH-bucketed ANN pairs (rows-only oracle)
     "q_ann_lsh" -> ((s, dir) =>
       Ann.lshPairs(Tables.embeddings(s, dir), 64, 8, 0.3)),
+    // D7d: query-time LSH ANN with multiprobe (rows-only oracle;
+    // duplicate-retrieval exactness + recall pinned by specs)
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), 64, 6, 10, hammingProbes = 2)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
+    }),
     // D8: language id
     "q_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir))),

@@ -172,6 +172,39 @@ object Ann {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Query-time LSH ANN with multiprobe: the corpus is bucketed by
+    * its sign sketch in the scan projection (zero shuffle); each
+    * query probes its own bucket plus every bucket within hamming
+    * distance `hammingProbes` of it (flipping low-confidence sketch
+    * bits — the classic multiprobe recall boost that costs extra
+    * PROBES instead of extra TABLES). Probes broadcast, candidates
+    * are scored exactly, and the finish is the bounded-heap top-k —
+    * the corpus moves only into the final k-rows-per-query
+    * aggregation, the same 100 TB shape as [[ivfTopK]].
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dims: Int, bits: Int,
+              k: Int, hammingProbes: Int = 1): DataFrame = {
+    require(bits <= 62, "bucket ids pack into a long")
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("c_norm"),
+      lshBucket(col("embedding"), dims, bits).as("bucket"))
+    // all bit-masks with ≤ hammingProbes bits set, as literals — the
+    // probe fan-out is a tiny constant (1 + bits + bits·(bits-1)/2 …)
+    val masks = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= hammingProbes)
+    val q = queries.select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"),
+        lshBucket(col("embedding"), dims, bits).as("b0"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) / col("q_norm") / col("c_norm")).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF-style ANN: corpus vectors are assigned to their nearest
     * centroid cell (coarse quantizer); each query searches only the
     * `nprobe` nearest cells. Centroids here are a deterministic

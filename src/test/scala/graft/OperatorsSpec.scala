@@ -225,6 +225,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hit >= 20, s"refined IVF recall too low: $hit/50")
   }
 
+  test("multiprobe LSH ANN always retrieves an exact duplicate as rank 1") {
+    // a duplicate shares the sketch bit-for-bit, so it is found in the
+    // base probe regardless of parameters — deterministic recall
+    val base = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val corpus = base.unionByName(base.select(
+      (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val res = ann.Ann.lshTopK(corpus, base.filter(col("vec_id") < 5), 64, 6, 1)
+      .collect()
+    assert(res.length == 5)
+    res.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") + 100000)
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-12)
+    }
+  }
+
+  test("multiprobe widens LSH ANN recall vs base-bucket-only") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = ann.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      .select("query_id", "neighbor_id")
+    def hits(probes: Int) = exact.intersect(
+      ann.Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), 64, 6, 10, probes)
+        .select("query_id", "neighbor_id")).count()
+    val (h0, h2) = (hits(0), hits(2))
+    assert(h2 >= h0, s"multiprobe must not lose recall: $h0 -> $h2")
+    assert(h2 >= 15, s"hamming-2 multiprobe recall too low: $h2/50")
+  }
+
   test("top-k heap aggregate equals window top-N") {
     val heap = SparkEntry.queries("q_topn_heap")(spark, sf)
     val win = SparkEntry.queries("q_topn_per_group")(spark, sf)
