@@ -199,6 +199,9 @@ object SparkEntry {
     // D2: n-gram jaccard near-dup
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.8)),
+    // D2c: asymmetric containment near-dup (short doc inside long doc)
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, dir), 3, 0.8)),
     // D2b: the filtered corpus — near-dups dropped, survivors kept
     "q_dedup_filtered" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -512,6 +515,18 @@ object SparkEntry {
         | CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
         |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w,
+        |         unnest(generate_series(1, greatest(len(w)-2, 1))) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | CAST(inter AS DOUBLE) / least(x.n, y.n) AS containment
+        |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / least(x.n, y.n) >= 0.8""".stripMargin,
     // identical semantics to q_dedup_ngram: minhash candidates with
     // recall 1.0 at this threshold + exact verification
     "q_dedup_minhash_v" ->

@@ -49,13 +49,15 @@ object Dedup {
   private val SizeBits = 20
   private val SizeMask = (1L << SizeBits) - 1
 
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                        maxBucket: Int = 1000): DataFrame = {
-    // inverted-index key is the 8-byte shingle hash, not the string —
-    // narrows the shuffle ~5x (collision odds over the pair space are
-    // ~2^-64 per bucket, immaterial to Jaccard counts). The hash set
-    // comes from one native single-pass expression per row
-    // (graft.functions.ShingleHashes).
+  /** Shared candidate stage of the n-gram family: packed-id posting
+    * lists per shingle hash (the only data shuffle; the inverted-index
+    * key is the 8-byte shingle hash, not the string — narrows the
+    * shuffle ~5x, collision odds ~2^-64 per bucket are immaterial),
+    * pairs expanded in-map (native PairCombos; explicit width keeps
+    * AQE from coalescing the explosion onto one task), then a count
+    * per pair → (pa, pb, n_common) with sizes riding inside the ids.
+    */
+  private def packedPostingPairs(docs: DataFrame, n: Int, maxBucket: Int): DataFrame = {
     val sh = docs
       .select(col("doc_id"),
         graft.functions.TextHashFunctions.shingleHashes(col("text"), n).as("shs"))
@@ -63,10 +65,6 @@ object Dedup {
         (shiftleft(col("doc_id"), SizeBits)
           .bitwiseOR(least(size(col("shs")).cast("long"), lit(SizeMask)))).as("id_size"),
         explode(col("shs")).as("sh"))
-    // posting list per shingle (the only data shuffle), pairs expanded
-    // in-map from each list; the bucket cap bounds the quadratic
-    // expansion per posting, the explicit width keeps AQE from
-    // coalescing the explosion stage onto one task
     val postings = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id_size"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
@@ -74,12 +72,34 @@ object Dedup {
     postingPairs(postings.repartition(width, col("sh")))
       .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
       .agg(count(lit(1)).as("n_common"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxBucket: Int = 1000): DataFrame =
+    packedPostingPairs(docs, n, maxBucket)
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("pa").bitwiseAND(SizeMask) + col("pb").bitwiseAND(SizeMask) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
         shiftrightunsigned(col("pb"), SizeBits).as("doc_b"), col("jaccard"))
+
+  /** N-gram containment pairs: containment = |A∩B| / min(|A|,|B|) —
+    * the asymmetric near-dup measure that catches a short document
+    * embedded in a longer one, which Jaccard's union denominator
+    * dilutes. Same packed single-shuffle posting plan as
+    * [[ngramJaccardPairs]]; only the denominator differs.
+    */
+  def ngramContainmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                            maxBucket: Int = 1000): DataFrame = {
+    val pairs = packedPostingPairs(docs, n, maxBucket)
+    pairs
+      .withColumn("containment",
+        col("n_common").cast("double") /
+          least(col("pa").bitwiseAND(SizeMask), col("pb").bitwiseAND(SizeMask)))
+      .filter(col("containment") >= threshold)
+      .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
+        shiftrightunsigned(col("pb"), SizeBits).as("doc_b"), col("containment"))
   }
 
   /** Corpus filtering: drop near-duplicate documents, keeping the
