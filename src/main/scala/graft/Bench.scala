@@ -30,11 +30,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    // three interleaved passes over the whole suite, min per query:
+    // four interleaved passes over the whole suite, min per query:
     // the host's stall windows span several consecutive executions,
     // so back-to-back repeats of one query can all be hit — passes
     // minutes apart are not
-    val passes = Seq.fill(3)(queries.map { case (name, fn) => name -> timeOnce(fn) })
+    val passes = Seq.fill(4)(queries.map { case (name, fn) => name -> timeOnce(fn) })
     val results = queries.keys.map { name =>
       name -> passes.map(_(name)).min
     }.toMap
