@@ -276,6 +276,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("p3").isEmpty)        // no prior right row
   }
 
+  test("operators tolerate an empty corpus") {
+    val docs = Tables.documents(spark, sf).filter(lit(false))
+    assert(dedup.Dedup.ngramJaccardPairs(docs, 3, 0.8).count() == 0)
+    assert(dedup.Dedup.ngramContainmentPairs(docs, 3, 0.8).count() == 0)
+    assert(dedup.Dedup.minhashNearDupPairs(docs, 3, 0.8, 128, 32).count() == 0)
+    assert(dedup.Dedup.simhashPairs(docs, 3).count() == 0)
+    val emb = Tables.embeddings(spark, sf).filter(lit(false))
+      .select("vec_id", "embedding")
+    assert(ann.Ann.bandedLshPairs(emb, 64, 3, 8, 0.8).count() == 0)
+    assert(ann.Ann.ivfTopK(emb, emb, 16, 4, 10).count() == 0) // empty-centroid guard
+    assert(ann.Ann.lshTopK(emb, emb, 64, 6, 10).count() == 0)
+    val ev = Tables.events(spark, sf).filter(lit(false))
+    assert(operators.Rollups.fiveMinute(ev).count() == 0)
+    assert(operators.Analytics.sessionize(ev, 1800L).count() == 0)
+    assert(operators.Skew.saltedAggregate(ev, "event_type", "value", 8).count() == 0)
+  }
+
+  test("sketch expressions are deterministic and seed-sensitive") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    def buckets(seed: Long) = emb.select(
+      ann.Ann.lshBucket(col("embedding"), 64, 8, seed).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(buckets(42L) == buckets(42L), "same seed must be deterministic")
+    assert(buckets(42L) != buckets(43L), "different seeds must give a different family")
+    assert(buckets(42L).forall(b => b >= 0 && b < 256))
+  }
+
   test("referential summary adds up") {
     val r = SparkEntry.queries("q_recon_referential")(spark, sf).collect().head
     assert(r.getAs[Long]("n_facts") == r.getAs[Long]("n_matched") + r.getAs[Long]("n_orphans"))
