@@ -297,6 +297,16 @@ object SparkEntry {
     // D10: token counting
     "q_token_count" -> ((s, dir) =>
       TextOps.tokenCounts(Tables.documents(s, dir))),
+    // D13: context-window chunking (sequence prep)
+    "q_text_chunk" -> ((s, dir) =>
+      TextOps.chunk(Tables.documents(s, dir), 64, 16)),
+    // D14: deterministic corpus sampling
+    "q_sample_corpus" -> ((s, dir) =>
+      TextOps.sampleByKey(Tables.documents(s, dir), "doc_id", 10)
+        .select("doc_id", "lang", "source", "n_chars")),
+    // D15: PII-ish redaction (scrub pass)
+    "q_text_redact" -> ((s, dir) =>
+      TextOps.redact(Tables.documents(s, dir))),
     // D11: fingerprint (rows-only oracle)
     "q_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.documents(s, dir))),
@@ -653,6 +663,26 @@ object SparkEntry {
         | len(string_split(text, ' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpeish_tokens,
         | length(text) AS n_chars
+        |FROM documents""".stripMargin,
+    "q_text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |n AS (SELECT doc_id, w,
+        |       greatest(CAST(ceil((len(w) - 16) / 48.0) AS INT), 1) AS nc FROM t),
+        |c AS (SELECT doc_id, w,
+        |       unnest(generate_series(0, nc - 1)) AS chunk_idx FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        | array_to_string(w[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk
+        |FROM c""".stripMargin,
+    "q_sample_corpus" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 100 < 10",
+    "q_text_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(text,
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+        |   '\+?\d[\d() -]{6,}\d', '<NUM>', 'g') AS text
         |FROM documents""".stripMargin,
     // payload is UTF-8 of an ASCII corpus, so byte stats == codepoint
     // stats; f_mean is one double division of the same integer sum on

@@ -68,6 +68,58 @@ object TextOps {
           .otherwise("fr"))
   }
 
+  /** Evaluate `value` once and expose it to `body` as a lambda
+    * variable — projection collapsing would otherwise inline an
+    * expensive subexpression (like a split) into a HOF lambda, where
+    * it re-evaluates per element.
+    */
+  private def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
+  /** Context-window chunking: split each document into word windows
+    * of `chunkWords` with `overlap` words carried between adjacent
+    * chunks (stride = chunkWords - overlap) — the sequence-prep step
+    * ahead of tokenization. One row per (doc, chunk); empty docs
+    * still produce their single (possibly short) chunk. Pure
+    * projection + bounded explode: scales linearly, no shuffle.
+    */
+  def chunk(docs: DataFrame, chunkWords: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkWords, "overlap must be smaller than the window")
+    val stride = chunkWords - overlap
+    docs.select(col("doc_id"),
+        posexplode(bind(split(col("text"), " ")) { words =>
+          transform(
+            sequence(lit(0),
+              greatest(ceil((size(words) - overlap) / lit(stride.toDouble)).cast("int"), lit(1)) - 1),
+            i => concat_ws(" ", slice(words, i * stride + 1, lit(chunkWords))))
+        }))
+      .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("chunk"))
+  }
+
+  /** Deterministic corpus sampling: stable keep/drop per key
+    * (`key mod 100 < pct`) — reproducible across runs and engines, no
+    * rand(), and a pure scan-pushdown filter at any scale. For
+    * clumpy keys, pre-hash the key (engine-specific → weaker oracle).
+    */
+  def sampleByKey(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(pmod(col(keyCol), lit(100)) < pct)
+
+  /** PII-ish redaction: emails, long digit runs (phone/account-ish),
+    * and IPv4 literals replaced by typed placeholders — the scrub
+    * pass a training corpus gets before packaging. Patterns stick to
+    * syntax shared by Java regex and RE2 so the operation is
+    * portable (and oracle-checkable).
+    */
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"),
+        "\\+?\\d[\\d() -]{6,}\\d", "<NUM>").as("text"))
+
   /** Deterministic document fingerprint: a rolling polynomial hash
     * over per-word xxhash64 values (wrap-around arithmetic). Two
     * documents with identical token streams get identical

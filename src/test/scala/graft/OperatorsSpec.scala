@@ -276,6 +276,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("p3").isEmpty)        // no prior right row
   }
 
+  test("chunking covers every word with the configured overlap") {
+    import spark.implicits._
+    val doc = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = text.TextOps.chunk(doc, 64, 16).orderBy("chunk_idx")
+      .collect().map(_.getString(2).split(" ").toSeq)
+    assert(chunks.length == 2) // ceil((100-16)/48) = 2
+    assert(chunks(0) == (1 to 64).map(i => s"w$i"))
+    assert(chunks(1) == (49 to 100).map(i => s"w$i")) // 16-word overlap
+    // short doc → one whole chunk
+    val one = text.TextOps.chunk(Seq((2L, "a b c")).toDF("doc_id", "text"), 64, 16)
+    assert(one.count() == 1 && one.collect().head.getString(2) == "a b c")
+  }
+
+  test("redaction scrubs emails, ips, and digit runs") {
+    import spark.implicits._
+    val df = Seq((1L, "mail a.b+c@ex-1.org ip 10.0.0.1 tel +1 (555) 123-4567 ok"))
+      .toDF("doc_id", "text")
+    val out = text.TextOps.redact(df).collect().head.getString(1)
+    assert(out == "mail <EMAIL> ip <IP> tel <NUM> ok", out)
+  }
+
   test("operators tolerate an empty corpus") {
     val docs = Tables.documents(spark, sf).filter(lit(false))
     assert(dedup.Dedup.ngramJaccardPairs(docs, 3, 0.8).count() == 0)
