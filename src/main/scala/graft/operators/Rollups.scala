@@ -60,18 +60,37 @@ object Rollups {
         sum(col("sum_value").cast("decimal(18,2)")).cast("decimal(18,2)")
           .cast("double").as("sum_value"))
 
-  /** 5-minute rollup → hourly rollup (cascade; never re-scans raw).
-    * Re-aggregates through decimal so the cascade stays exact.
+  /** Re-aggregate a finer epoch-bucket rollup into `seconds`-wide
+    * buckets (cascade step; never re-scans raw — re-aggregates
+    * through decimal so the step is exact).
     */
-  def hourlyFromFiveMinute(fiveMin: DataFrame): DataFrame =
-    fiveMin
+  def coarsen(finer: DataFrame, seconds: Int): DataFrame =
+    finer
       .groupBy(
-        (floor(col("bucket_start") / 3600) * 3600).cast("long").as("bucket_start"),
+        (floor(col("bucket_start") / seconds) * seconds).cast("long").as("bucket_start"),
         col("event_type"))
       .agg(
         sum(col("n_events")).as("n_events"),
         sum(col("sum_value").cast("decimal(18,2)")).cast("decimal(18,2)")
           .cast("double").as("sum_value"))
+
+  /** 5-minute rollup → hourly rollup (cascade; never re-scans raw). */
+  def hourlyFromFiveMinute(fiveMin: DataFrame): DataFrame =
+    coarsen(fiveMin, 3600)
+
+  /** The reference's scheduled TRAggr suffix chain (HlxTools.py:
+    * 658-725) as one cascade: every epoch granularity derives from
+    * the 5-minute base by re-aggregation — the raw feed is scanned
+    * exactly once no matter how many granularities are maintained.
+    */
+  def cascade(events: DataFrame): Map[String, DataFrame] = {
+    val base = fiveMinute(events)
+    Map(
+      "5M" -> base,
+      "15M" -> coarsen(base, 900),
+      "HH" -> coarsen(base, 3600),
+      "DY" -> coarsen(base, 86400))
+  }
 
   /** Calendar-aligned rollup at `unit` granularity ("week" = ISO
     * Monday start, "month") per event_type — the coarse end of the

@@ -47,6 +47,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql without query impl: $extra")
   }
 
+  test("full cascade: every granularity equals its direct-from-raw rollup") {
+    val ev = Tables.events(spark, sf)
+    val levels = operators.Rollups.cascade(ev)
+    Seq("15M" -> 900, "HH" -> 3600, "DY" -> 86400).foreach { case (sfx, secs) =>
+      val direct = operators.Rollups.perType(ev, secs)
+      val c = levels(sfx)
+      assert(c.exceptAll(direct).isEmpty && direct.exceptAll(c).isEmpty,
+        s"cascade level $sfx diverges from the direct rollup")
+    }
+  }
+
   test("rollup cascade is exact: hourly from 5m equals hourly from raw") {
     val ev = Tables.events(spark, sf)
     val cascaded = operators.Rollups.hourlyFromFiveMinute(operators.Rollups.fiveMinute(ev))
