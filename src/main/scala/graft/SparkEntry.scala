@@ -71,6 +71,9 @@ object SparkEntry {
     // KPI formulas over rolled-up counters
     "q_kpi_daily" -> ((s, dir) =>
       graft.operators.Kpi.dailyKpis(Tables.events(s, dir))),
+    // order-statistic KPIs (exact percentiles)
+    "q_kpi_percentiles" -> ((s, dir) =>
+      graft.operators.Kpi.valuePercentiles(Tables.events(s, dir))),
     // B4: cfg/dimension extraction
     "q_cfg_extract" -> ((s, dir) =>
       Maintenance.cfgExtract(Tables.events(s, dir))),
@@ -369,6 +372,13 @@ object SparkEntry {
         |   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
         |   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |  FROM events GROUP BY 1)""".stripMargin,
+    "q_kpi_percentiles" ->
+      """SELECT event_type,
+        | quantile_cont(value, 0.5) AS p50,
+        | quantile_cont(value, 0.95) AS p95,
+        | quantile_cont(value, 0.99) AS p99,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
     "q_cfg_extract" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "q_thinout" ->

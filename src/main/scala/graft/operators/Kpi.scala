@@ -19,6 +19,22 @@ object Kpi {
   def withKpis(agg: DataFrame, kpis: Seq[(String, Column)]): DataFrame =
     kpis.foldLeft(agg) { case (df, (name, expr)) => df.withColumn(name, expr) }
 
+  /** Order-statistic KPIs: exact value percentiles per event type
+    * (p50/p95/p99 — Spark's `percentile` and DuckDB's `quantile_cont`
+    * interpolate bit-identically). Exact percentile sorts inside each
+    * group; at 100 TB swap in `approx_percentile` (a mergeable sketch
+    * that partial-aggregates map-side) and accept its documented
+    * error bound — same output shape.
+    */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"),
+        percentile(col("value"), lit(0.99)).as("p99"),
+        count(lit(1)).as("n_events"))
+
   /** Daily ops KPIs over the event feed: per-day totals plus derived
     * rate/average KPIs (single-division doubles).
     */
