@@ -74,6 +74,10 @@ object SparkEntry {
     // order-statistic KPIs (exact percentiles)
     "q_kpi_percentiles" -> ((s, dir) =>
       graft.operators.Kpi.valuePercentiles(Tables.events(s, dir))),
+    // sketch-based percentiles (the 100 TB path; rows-only oracle,
+    // error bound spec-tested against the exact values)
+    "q_kpi_percentiles_approx" -> ((s, dir) =>
+      graft.operators.Kpi.valuePercentilesApprox(Tables.events(s, dir))),
     // B4: cfg/dimension extraction
     "q_cfg_extract" -> ((s, dir) =>
       Maintenance.cfgExtract(Tables.events(s, dir))),

@@ -35,6 +35,19 @@ object Kpi {
         percentile(col("value"), lit(0.99)).as("p99"),
         count(lit(1)).as("n_events"))
 
+  /** The 100 TB percentile path: a mergeable quantile sketch that
+    * partial-aggregates map-side (no per-group sort). `accuracy` is
+    * the inverse rank-error bound (10000 ≈ 0.01% rank error).
+    */
+  def valuePercentilesApprox(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        approx_percentile(col("value"), lit(0.5), lit(accuracy)).as("p50"),
+        approx_percentile(col("value"), lit(0.95), lit(accuracy)).as("p95"),
+        approx_percentile(col("value"), lit(0.99), lit(accuracy)).as("p99"),
+        count(lit(1)).as("n_events"))
+
   /** Daily ops KPIs over the event feed: per-day totals plus derived
     * rate/average KPIs (single-division doubles).
     */

@@ -191,6 +191,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("approx percentiles honor the sketch's rank-error guarantee") {
+    // the sketch guarantees RANK error, not value error (tail value
+    // gaps on small groups are arbitrarily wide): the returned value's
+    // true rank must sit within 2% of the requested percentile
+    val ev = Tables.events(spark, sf)
+    val approx = operators.Kpi.valuePercentilesApprox(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        Seq(r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Double]("p99"))).toMap
+    approx.foreach { case (k, as) =>
+      val vals = ev.filter(col("event_type") === k)
+        .select("value").collect().map(_.getDouble(0)).sorted
+      Seq(0.50, 0.95, 0.99).zip(as).foreach { case (p, a) =>
+        val rank = vals.count(_ <= a).toDouble / vals.length
+        assert(math.abs(rank - p) <= 0.02, s"$k p$p: value=$a has rank $rank")
+      }
+    }
+  }
+
   test("approx distinct within 5% of exact") {
     val ev = Tables.events(spark, sf)
     val approx = SparkEntry.queries("q_rollup_approx")(spark, sf)
