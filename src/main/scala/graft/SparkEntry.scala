@@ -329,6 +329,26 @@ object SparkEntry {
           element_at(col("features"), 4).as("f_min")))
   )
 
+  /** Shared DuckDB CTE chain of the n-gram oracle family: distinct
+    * word-3-gram shingles per doc, set sizes, and per-pair
+    * intersection counts — the single definition every shingle-based
+    * oracle builds on, so a fix lands everywhere at once.
+    */
+  private val shingleCtes =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w,
+      |         unnest(generate_series(1, greatest(len(w)-2, 1))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private val ngramJaccardOracle = shingleCtes + "\n" +
+    """SELECT doc_a, doc_b,
+      | CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+      |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""".stripMargin
+
   // ---- DuckDB oracles -------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
@@ -527,57 +547,21 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2""".stripMargin,
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
-    "q_dedup_ngram" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |idx AS (SELECT doc_id, w,
-        |         unnest(generate_series(1, greatest(len(w)-2, 1))) AS i FROM tok),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        | CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
-        |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""".stripMargin,
-    "q_dedup_containment" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |idx AS (SELECT doc_id, w,
-        |         unnest(generate_series(1, greatest(len(w)-2, 1))) AS i FROM tok),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
+    "q_dedup_ngram" -> ngramJaccardOracle,
+    "q_dedup_containment" -> (shingleCtes + "\n" +
+      """SELECT doc_a, doc_b,
         | CAST(inter AS DOUBLE) / least(x.n, y.n) AS containment
         |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-        |WHERE CAST(inter AS DOUBLE) / least(x.n, y.n) >= 0.8""".stripMargin,
+        |WHERE CAST(inter AS DOUBLE) / least(x.n, y.n) >= 0.8""".stripMargin),
     // identical semantics to q_dedup_ngram: minhash candidates with
     // recall 1.0 at this threshold + exact verification
-    "q_dedup_minhash_v" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |idx AS (SELECT doc_id, w,
-        |         unnest(generate_series(1, greatest(len(w)-2, 1))) AS i FROM tok),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        | CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
-        |FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""".stripMargin,
-    "q_dedup_filtered" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |idx AS (SELECT doc_id, w,
-        |         unnest(generate_series(1, greatest(len(w)-2, 1))) AS i FROM tok),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |dups AS (SELECT DISTINCT doc_b FROM pairs
+    "q_dedup_minhash_v" -> ngramJaccardOracle,
+    "q_dedup_filtered" -> (shingleCtes + ",\n" +
+      """dups AS (SELECT DISTINCT doc_b FROM pairs
         |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
         |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8)
         |SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id NOT IN (SELECT doc_b FROM dups)""".stripMargin,
+        |WHERE doc_id NOT IN (SELECT doc_b FROM dups)""".stripMargin),
     "q_pivot_daily" ->
       """SELECT CAST(ts AS DATE) AS day,
         | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

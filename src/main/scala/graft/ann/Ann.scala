@@ -87,12 +87,14 @@ object Ann {
     * back as a broadcast semi-join, so the data side never shuffles.
     * A hot bucket bounds, not explodes, the downstream pair space.
     */
-  private def capBuckets(df: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame = {
-    val ok = df.groupBy(bucketCols.map(col): _*).count()
-      .filter(col("count") <= maxBucket)
-      .select(bucketCols.map(col): _*)
-    df.join(broadcast(ok), bucketCols, "left_semi")
-  }
+  private def capBuckets(df: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) df // uncapped: skip the pointless count+semi-join
+    else {
+      val ok = df.groupBy(bucketCols.map(col): _*).count()
+        .filter(col("count") <= maxBucket)
+        .select(bucketCols.map(col): _*)
+      df.join(broadcast(ok), bucketCols, "left_semi")
+    }
 
   /** LSH-bucketed near-dup / ANN candidates: vectors sharing a bucket
     * are scored exactly; only same-bucket pairs materialize. The
@@ -182,16 +184,25 @@ object Ann {
     * the corpus moves only into the final k-rows-per-query
     * aggregation, the same 100 TB shape as [[ivfTopK]].
     */
+  /** All masks with at most `maxBits` of the low `bits` positions
+    * set, built by choosing bit positions (≈ bits^maxBits masks) —
+    * never by enumerating the 2^bits space.
+    */
+  private def hammingMasks(bits: Int, maxBits: Int): Seq[Long] = {
+    def choose(from: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (from until bits).flatMap(i => choose(i + 1, left - 1).map(_ | (1L << i)))
+    (0 to maxBits).flatMap(choose(0, _))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, dims: Int, bits: Int,
               k: Int, hammingProbes: Int = 1): DataFrame = {
     require(bits <= 62, "bucket ids pack into a long")
     val c = corpus.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("c_norm"),
       lshBucket(col("embedding"), dims, bits).as("bucket"))
-    // all bit-masks with ≤ hammingProbes bits set, as literals — the
-    // probe fan-out is a tiny constant (1 + bits + bits·(bits-1)/2 …)
-    val masks = (0L until (1L << bits))
-      .filter(m => java.lang.Long.bitCount(m) <= hammingProbes)
+    // the probe fan-out is a small polynomial (1 + bits + bits·(bits-1)/2 …)
+    val masks = hammingMasks(bits, hammingProbes)
     val q = queries.select(
         col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"),
@@ -240,12 +251,16 @@ object Ann {
       struct((-dot(embCol, c.getField("c_emb"))).as("d"),
         c.getField("cell_id").as("cell_id"))))
 
-  /** Deterministic IVF seed centroids: the first `nCells` vectors. */
+  /** Deterministic IVF seed centroids: the `nCells` lowest-id vectors
+    * (a TakeOrdered, not a full sort — and correct for any id space,
+    * not only 0-based dense ids).
+    */
   private def seedCentroids(corpus: DataFrame, nCells: Int): Seq[(Long, Seq[Float])] =
     corpus
-      .filter(col("vec_id") < nCells)
       .select(col("vec_id").cast("long"), col("embedding"))
-      .collect() // ≤ nCells rows by construction — a literal, like a broadcast dim
+      .orderBy(col("vec_id"))
+      .limit(nCells)
+      .collect() // ≤ nCells rows — a literal, like a broadcast dim
       .toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)

@@ -45,6 +45,12 @@ object Dedup {
     * joins and the corpus is scanned exactly once. Packed ordering ==
     * doc_id ordering (size is constant per doc), so sorted posting
     * lists still yield (doc_a < doc_b) pairs.
+    *
+    * Domain contract: 0 <= doc_id < 2^43 (the packed id must stay
+    * non-negative) and shingle sets beyond 2^20-1 entries have their
+    * size clamped, UNDERSTATING the Jaccard denominator for
+    * book-length documents — re-key or widen SizeBits if either bound
+    * binds for a corpus.
     */
   private val SizeBits = 20
   private val SizeMask = (1L << SizeBits) - 1

@@ -96,12 +96,14 @@ object ConfigFile {
       .json(path).as[ChillConfig](enc).head()
 
   /** Bind `argN` placeholders to the declared input columns and
-    * compile the SQL fragment. Descending N so `arg1` never clobbers
-    * the prefix of `arg10`.
+    * compile the SQL fragment. Word-boundary matching so `arg1`
+    * neither clobbers the prefix of `arg10` nor rewrites an `argM`
+    * substring inside an already-substituted column name.
     */
   private def compileFunction(function: String, inputs: Seq[String]): Column =
     expr((inputs.length to 1 by -1).foldLeft(function) { (f, n) =>
-      f.replace(s"arg$n", inputs(n - 1))
+      f.replaceAll(s"\\barg$n\\b",
+        java.util.regex.Matcher.quoteReplacement(inputs(n - 1)))
     })
 
   private def inputCols(spec: FieldSpec): Seq[String] =
@@ -149,11 +151,22 @@ object ConfigFile {
     require(cfg.format.equalsIgnoreCase("csv"), s"unsupported format '${cfg.format}'")
     val views = cfg.views.getOrElse(Nil).map(v => v.name -> spark.sql(v.sql)).toMap
     val rules = cfg.fields.map(compileField(_, views))
+    // om_group participates in tag capture like any field (a tag-
+    // sourced group is legal: the group is file-level metadata)
     val omRule = compileField(cfg.om_group.copy(name = "_om_group"), views)
     val routes = cfg.tables.map { t =>
+      val kpiRules = t.kpis.getOrElse(Nil).map { k =>
+        // KPIs run AFTER routing/projection: raw-line context (tags,
+        // filenames) is gone by then, so only counter-level sources
+        // can appear — fail at compile time, not with a missing
+        // column at run time
+        require(Set("column", "constant", "lookup").contains(k.source.toLowerCase),
+          s"table ${t.table}: kpi ${k.name} has source '${k.source}'; " +
+            "KPIs are formulas over this table's columns (column/constant/lookup)")
+        compileField(k, views)
+      }
       TableRoute(s"${t.table}_${t.granularity}",
-        col("_om_group") === t.om_group, t.columns,
-        t.kpis.getOrElse(Nil).map(compileField(_, views)))
+        col("_om_group") === t.om_group, t.columns, kpiRules)
     }
     Compiled(
       LibraryConfig(
@@ -164,7 +177,7 @@ object ConfigFile {
         skipFooter = cfg.skip_footer,
         ignoreLines = cfg.ignore_lines.getOrElse(Nil).toSet,
         rules = rules :+ omRule,
-        tagRules = rules.collect { case t: FromTag => t },
+        tagRules = (rules :+ omRule).collect { case t: FromTag => t },
         routes = routes,
         partitionCol = cfg.partition_col,
         warehouseDir = warehouseDir),

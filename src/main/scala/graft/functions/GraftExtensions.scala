@@ -42,7 +42,8 @@ object GraftFunctions {
       info("lsh_bucket", "random-hyperplane LSH bucket: lsh_bucket(embedding, dims, bits[, seed])"),
       (es: Seq[Expression]) => LshBucket(es.head,
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
-        if (es.length > 3) es(3).eval().asInstanceOf[Long] else 42L)),
+        // SQL integer literals arrive as INT; accept any integral seed
+        if (es.length > 3) es(3).eval().asInstanceOf[Number].longValue() else 42L)),
     ("shingle_hashes",
       info("shingle_hashes", "distinct word n-gram shingle hashes: shingle_hashes(text, n)"),
       (es: Seq[Expression]) => ShingleHashes(es.head, es(1).eval().asInstanceOf[Int])),

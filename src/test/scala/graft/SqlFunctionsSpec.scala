@@ -24,6 +24,11 @@ class SqlFunctionsSpec extends AnyFunSuite {
     val buckets = spark.sql("SELECT lsh_bucket(embedding, 64, 8) AS b FROM emb_v")
       .collect().map(_.getLong(0))
     assert(buckets.forall(b => b >= 0 && b < 256))
+    // 4-arg form: a plain INT seed literal must coerce, and a
+    // different seed must pick a different hyperplane family
+    val seeded = spark.sql("SELECT lsh_bucket(embedding, 64, 8, 7) AS b FROM emb_v")
+      .collect().map(_.getLong(0))
+    assert(seeded.toSeq != buckets.toSeq && seeded.forall(b => b >= 0 && b < 256))
     val bands = spark.sql("SELECT minhash_bands(text, 3, 128, 32) AS b FROM docs_v")
       .collect().map(_.getSeq[Long](0))
     assert(bands.forall(_.length == 32))
