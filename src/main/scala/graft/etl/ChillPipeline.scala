@@ -48,10 +48,10 @@ object ChillPipeline {
     * and `ignore_lines` exact-match drops, then delimiter-split into
     * named columns.
     *
-    * Line numbers are derived per file partition-locally (files are
-    * read whole per task at this layer); at 100 TB raw text feeds are
-    * many small-to-medium files — the per-file window never shuffles
-    * because the partitioning key is the file itself.
+    * The body of the feed is never exchanged: line numbers come from
+    * a tiny per-split aggregate broadcast back onto the scan (see
+    * [[sliceLines]]), so a 10 GB file is sliced by its parallel
+    * splits instead of being funneled through one task.
     */
   def rawCsv(spark: SparkSession, path: String, delimiter: String,
              columns: Seq[String], skipHeader: Int, skipFooter: Int,
@@ -64,21 +64,70 @@ object ChillPipeline {
     * `(_file, value)` line set — also the per-batch parser of the
     * streaming library run, where the lines arrive from a file stream
     * instead of a batch scan.
+    *
+    * Scale design: skip-header/footer needs per-file line numbers,
+    * but only the boundary lines of each file matter — so the body is
+    * NEVER exchanged. A second, tiny subtree aggregates one row per
+    * (split, file): line count and the min/max `monotonically_
+    * increasing_id` of the chunk. Per-file cumulative offsets over
+    * those chunks (a window over split-count rows, not feed rows) are
+    * broadcast back onto the scan, and a row's line number is
+    * `chunk_offset + (mid − chunk_min) + 1`. The feed is scanned
+    * twice (the stats scan reduces map-side to counters) but the body
+    * crosses no shuffle and a big file is sliced by its parallel
+    * splits instead of serializing through one task.
+    *
+    * The `mid − chunk_min` arithmetic requires each (split, file)
+    * chunk to be a contiguous run of rows, and chunk order by split
+    * id to be file order. Both hold under Spark's file-partition
+    * packing: every non-tail split of a multi-split file has size
+    * `maxSplitBytes` and therefore fills its partition bin alone, so
+    * a partition mixing files holds only whole small files and tails
+    * — each file at most once; and splits are stably size-sorted then
+    * packed sequentially, so ascending partition id is ascending file
+    * offset. A `raise_error` guard on the tiny side still verifies
+    * contiguity at run time rather than trusting the argument.
     */
   def sliceLines(lines: DataFrame, delimiter: String, columns: Seq[String],
                  skipHeader: Int, skipFooter: Int, ignoreLines: Set[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("_file")).orderBy(monotonically_increasing_id())
-    val numbered = lines
-      .withColumn("_ln", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_file"))))
-    val body = numbered
-      .filter(col("_ln") > skipHeader && col("_ln") <= col("_n") - skipFooter)
-      .filter(!col("value").isin(ignoreLines.toSeq: _*))
+    val body =
+      if (skipHeader <= 0 && skipFooter <= 0) lines
+      else {
+        val marked = lines
+          .withColumn("_pid", spark_partition_id())
+          .withColumn("_mid", monotonically_increasing_id())
+        // one row per (split, file) — ~1 row per 128 MB of feed
+        val chunkStats = marked
+          .groupBy(col("_pid").as("_s_pid"), col("_file").as("_s_file"))
+          .agg(count(lit(1)).as("_s_cnt"), min(col("_mid")).as("_s_min"),
+            max(col("_mid")).as("_s_max"))
+        val fileW = Window.partitionBy(col("_s_file")).orderBy(col("_s_pid"))
+        val offsets = chunkStats
+          // guard lives inside _s_min (a column the join output uses)
+          // so column pruning cannot drop the runtime check
+          .withColumn("_s_min",
+            when(col("_s_max") - col("_s_min") + 1 =!= col("_s_cnt"),
+              raise_error(lit("sliceLines: non-contiguous file chunk in split"))
+                .cast("long"))
+              .otherwise(col("_s_min")))
+          .withColumn("_s_off", coalesce(
+            sum(col("_s_cnt")).over(fileW.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .withColumn("_s_tot",
+            sum(col("_s_cnt")).over(Window.partitionBy(col("_s_file"))))
+        marked
+          .join(broadcast(offsets),
+            col("_pid") === col("_s_pid") && col("_file") === col("_s_file"))
+          .withColumn("_ln", col("_s_off") + (col("_mid") - col("_s_min")) + 1)
+          .filter(col("_ln") > skipHeader && col("_ln") <= col("_s_tot") - skipFooter)
+          .select(col("_file"), col("value"))
+      }
+    val kept = body.filter(!col("value").isin(ignoreLines.toSeq: _*))
     val parts = split(col("value"), java.util.regex.Pattern.quote(delimiter))
-    columns.zipWithIndex.foldLeft(body) { case (acc, (c, i)) =>
+    columns.zipWithIndex.foldLeft(kept) { case (acc, (c, i)) =>
       acc.withColumn(c, parts.getItem(i))
-    }.drop("value", "_ln", "_n")
+    }.drop("value")
   }
 
   /** Capture per-file header ("tag") lines for [[FromTag]] rules: for

@@ -43,6 +43,32 @@ class EtlSourceSpec extends AnyFunSuite {
     assert(df.filter(col("id") === "3").select("cnt2").collect().head.getString(0) == "300")
   }
 
+  test("slicing is exact when one file spans many splits") {
+    // force multi-split reads so the per-split offset arithmetic is
+    // exercised across chunk boundaries (at 100 TB every big file is
+    // read this way)
+    val d = java.nio.file.Files.createTempDirectory("rawsplit")
+    val lines = (1 to 200).map(i => f"L$i%03d|$i%d")
+    java.nio.file.Files.writeString(d.resolve("big.csv"), lines.mkString("\n"))
+    java.nio.file.Files.writeString(d.resolve("small.csv"), "H|0\nS1|1\nS2|2\nF|0")
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val df = ChillPipeline.rawCsv(spark, d.toString + "/*.csv", "|",
+        Seq("id", "n"), skipHeader = 1, skipFooter = 1, ignoreLines = Set())
+      val scan = df.queryExecution.executedPlan.toString
+      assert(df.rdd.getNumPartitions > 4, s"file did not split:\n$scan")
+      val got = df.select("id").collect().map(_.getString(0)).toSet
+      val want = (2 to 199).map(i => f"L$i%03d").toSet ++ Set("S1", "S2")
+      assert(got == want)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
   test("filename- and tag-derived fields flow into the pipeline") {
     val raw = ChillPipeline.rawCsv(spark, rawDir + "/*.csv", "|",
       Seq("id", "cnt1", "cnt2"), skipHeader = 3, skipFooter = 1,

@@ -101,6 +101,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"RDD hop in multimodal plan:\n$p")
   }
 
+  test("raw line slicing never exchanges the feed body") {
+    val dir = java.nio.file.Files.createTempDirectory("sliceaudit")
+    java.nio.file.Files.writeString(dir.resolve("a.csv"),
+      (1 to 50).map(i => s"$i|x").mkString("\n"))
+    val df = graft.etl.ChillPipeline.rawCsv(spark, dir.toString + "/*.csv", "|",
+      Seq("id", "v"), skipHeader = 2, skipFooter = 1, ignoreLines = Set())
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(_file"),
+      s"feed body must not shuffle on _file:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-split offsets must broadcast back onto the scan:\n$p")
+    assert(df.count() == 47)
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
