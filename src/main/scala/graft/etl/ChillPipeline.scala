@@ -34,13 +34,19 @@ object ChillPipeline {
   /** Apply field rules then split the feed into the configured target
     * tables. Returns table name → DataFrame.
     */
-  def run(raw: DataFrame, rules: Seq[FieldRule], routes: Seq[TableRoute]): Map[String, DataFrame] = {
-    val transformed = FieldRule.applyAll(raw, rules)
+  def run(raw: DataFrame, rules: Seq[FieldRule], routes: Seq[TableRoute]): Map[String, DataFrame] =
+    route(FieldRule.applyAll(raw, rules), routes)
+
+  /** Routing alone, over an already-transformed feed — split out so a
+    * multi-table write can persist the transformed feed ONCE and fan
+    * the routes out from the cache (see [[LibraryRun.run]]), instead
+    * of every route's action re-parsing the raw text.
+    */
+  def route(transformed: DataFrame, routes: Seq[TableRoute]): Map[String, DataFrame] =
     routes.map { r =>
       r.table -> FieldRule.applyAll(
         transformed.filter(r.predicate).select(r.columns.map(col): _*), r.postRules)
     }.toMap
-  }
 
   /** Raw CSV source with the reference's line-level controls
     * (Partrans.py:98-122, 222-236): `valid_lines` slice — drop the

@@ -40,32 +40,46 @@ object LibraryRun {
     * (the reference's CONF_KEY_FIELDS + DATETIME).
     */
   def run(spark: SparkSession, cfg: LibraryConfig, keyCols: Seq[String]): LibraryResult = {
-    // 1. parse + transform (Partrans.parse_data)
+    // 1. parse + transform (Partrans.parse_data), ONCE: the reference
+    // parses each file once and accumulates per-table frames
+    // (Partrans.py:356-364). Spark-first that is a persisted
+    // transformed feed — every route's write (its own action) and
+    // every reconcile suite fans out from the cache instead of
+    // re-parsing the raw text. MEMORY_AND_DISK: a huge batch spills
+    // to local disk rather than evicting (a re-parse costs far more
+    // than a disk read of the parsed columns).
     val raw = ChillPipeline.rawCsv(spark, cfg.rawPath, cfg.delimiter, cfg.rawColumns,
       cfg.skipHeader, cfg.skipFooter, cfg.ignoreLines)
     val tagged = ChillPipeline.withTagColumns(spark, cfg.rawPath, raw, cfg.tagRules)
-    val routed = ChillPipeline.run(tagged, cfg.rules, cfg.routes)
+    val transformed = FieldRule.applyAll(tagged, cfg.rules)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val routed = ChillPipeline.route(transformed, cfg.routes)
 
-    // 2. load: per-table dynamic partition overwrite (delete+reload)
-    routed.foreach { case (table, df) =>
-      Maintenance.overwritePartitions(df, s"${cfg.warehouseDir}/$table", cfg.partitionCol)
-    }
+      // 2. load: per-table dynamic partition overwrite (delete+reload)
+      routed.foreach { case (table, df) =>
+        Maintenance.overwritePartitions(df, s"${cfg.warehouseDir}/$table", cfg.partitionCol)
+      }
 
-    // 3. read back what the warehouse now holds
-    val loaded = routed.keys.map { table =>
-      table -> spark.read.parquet(s"${cfg.warehouseDir}/$table")
-    }.toMap
+      // 3. read back what the warehouse now holds
+      val loaded = routed.keys.map { table =>
+        table -> spark.read.parquet(s"${cfg.warehouseDir}/$table")
+      }.toMap
 
-    // 4. reconcile per table: counts + missing keys (compare_data)
-    val suites = routed.keys.toSeq.sorted.flatMap { table =>
-      val expected = routed(table).withColumn("_key", concat_ws("", keyCols.map(col): _*))
-      val actual = loaded(table).withColumn("_key", concat_ws("", keyCols.map(col): _*))
-      Seq(
-        Report.countSuite(Reconcile.countCompare(expected, actual, "_key"), "_key"),
-        Report.missingSuite(Reconcile.missingKeys(expected, actual, "_key"), "_key"))
-    }
-    val report = Report.merge(suites: _*)
-    LibraryResult(loaded, report, Report.toJunitXml(report))
+      // 4. reconcile per table: counts + missing keys (compare_data)
+      val suites = routed.keys.toSeq.sorted.flatMap { table =>
+        val expected = routed(table).withColumn("_key", concat_ws("", keyCols.map(col): _*))
+        val actual = loaded(table).withColumn("_key", concat_ws("", keyCols.map(col): _*))
+        Seq(
+          Report.countSuite(Reconcile.countCompare(expected, actual, "_key"), "_key"),
+          Report.missingSuite(Reconcile.missingKeys(expected, actual, "_key"), "_key"))
+      }
+      val report = Report.merge(suites: _*)
+      // toJunitXml collects, so the report materializes from the cache
+      // before the unpersist below; the returned DataFrames (parquet-
+      // backed or recomputable) stay valid after it
+      LibraryResult(loaded, report, Report.toJunitXml(report))
+    } finally transformed.unpersist()
   }
 
   /** Continuous form of the cycle — the reference's connect-daemon
@@ -86,9 +100,13 @@ object LibraryRun {
       val raw = ChillPipeline.sliceLines(batch, cfg.delimiter, cfg.rawColumns,
         cfg.skipHeader, cfg.skipFooter, cfg.ignoreLines)
       val tagged = ChillPipeline.withTagColumnsFrom(batch, raw, cfg.tagRules)
-      ChillPipeline.run(tagged, cfg.rules, cfg.routes).foreach { case (table, df) =>
+      // parse the batch once; each route's partition-overwrite action
+      // reads the cached parse, not the batch's source files again
+      val transformed = FieldRule.applyAll(tagged, cfg.rules)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try ChillPipeline.route(transformed, cfg.routes).foreach { case (table, df) =>
         Maintenance.overwritePartitions(df, s"${cfg.warehouseDir}/$table", cfg.partitionCol)
-      }
+      } finally transformed.unpersist()
     }
   }
 }

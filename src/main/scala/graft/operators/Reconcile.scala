@@ -48,10 +48,11 @@ object Reconcile {
       .select(col(key), col("direction"))
   }
 
-  /** Per-counter value diff with tolerance (reference rounds both
-    * sides to 3 decimals and flags nonzero diffs, HlxTools.py:907-929).
-    * `left`/`right` carry (key, value) with the same column names;
-    * rows whose |left-right| exceeds `tolerance` are reported.
+  /** Per-counter value diff with tolerance. `left`/`right` carry
+    * (key, value) with the same column names; rows whose |left-right|
+    * exceeds `tolerance` are reported. For the reference's exact edge
+    * behavior (round to 3 decimals, flag ANY nonzero difference) use
+    * [[valueDiffsRounded]].
     */
   def valueDiffs(left: DataFrame, right: DataFrame, key: String,
                  valueCol: String, tolerance: Double): DataFrame =
@@ -60,6 +61,23 @@ object Reconcile {
       .withColumn("diff", col("val_left") - col("val_right"))
       .filter(abs(col("diff")) > tolerance)
 
+  /** The reference's own diff semantics, bit-faithful: round each side
+    * to `scale` decimals FIRST, then flag any nonzero difference of
+    * the rounded values (HlxTools.py:915-918 rounds to 3). This
+    * differs from a tolerance at the rounding boundary — 1.0004 vs
+    * 1.0006 round to 1.000 vs 1.001 and are flagged, though their raw
+    * difference (0.0002) passes any tolerance ≥ 0.001. Spark's
+    * `round` is HALF_UP, matching Python's round-half-away-from-zero
+    * on the magnitudes involved.
+    */
+  def valueDiffsRounded(left: DataFrame, right: DataFrame, key: String,
+                        valueCol: String, scale: Int = 3): DataFrame =
+    left.select(col(key), round(col(valueCol), scale).as("val_left"))
+      .join(right.select(col(key), round(col(valueCol), scale).as("val_right")),
+        Seq(key), "inner")
+      .withColumn("diff", col("val_left") - col("val_right"))
+      .filter(col("diff") =!= 0.0)
+
   /** All-counter value diff in one pass (the reference loops every
     * counter per joined row, HlxTools.py:907-929): one join on the
     * key, then `stack` unpivots the counter columns to long format
@@ -67,14 +85,21 @@ object Reconcile {
     * — N counters cost one shuffle, not N.
     */
   def valueDiffsMulti(left: DataFrame, right: DataFrame, key: String,
-                      counters: Seq[String], tolerance: Double): DataFrame = {
-    val l = left.select(col(key) +: counters.map(c => col(c).as(s"${c}_l")): _*)
-    val r = right.select(col(key) +: counters.map(c => col(c).as(s"${c}_r")): _*)
+                      counters: Seq[String], tolerance: Double,
+                      roundScale: Option[Int] = None): DataFrame = {
+    // roundScale = reference parity mode: round each side first, flag
+    // any nonzero rounded difference (see valueDiffsRounded); the
+    // tolerance is ignored in that mode
+    def side(df: DataFrame, sfx: String) = df.select(
+      col(key) +: counters.map { c =>
+        roundScale.fold(col(c))(s => round(col(c), s)).as(s"${c}_$sfx")
+      }: _*)
     val stackArgs = counters.map(c => s"'$c', ${c}_l, ${c}_r").mkString(", ")
-    l.join(r, Seq(key), "inner")
+    val stacked = side(left, "l").join(side(right, "r"), Seq(key), "inner")
       .selectExpr(key, s"stack(${counters.size}, $stackArgs) AS (counter, val_left, val_right)")
       .withColumn("diff", col("val_left") - col("val_right"))
-      .filter(abs(col("diff")) > tolerance)
+    if (roundScale.isDefined) stacked.filter(col("diff") =!= 0.0)
+    else stacked.filter(abs(col("diff")) > tolerance)
   }
 
   /** String-valued counter diff — the reference's fallback when a

@@ -54,6 +54,74 @@ class LibraryRunSpec extends AnyFunSuite {
     assert(byDay("20240101") == 20 && byDay("20240102") == 25)
   }
 
+  test("library run parses the raw feed once for a 3-route config") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+
+    val rawDir = java.nio.file.Files.createTempDirectory("lib_raw1p")
+    val wh = java.nio.file.Files.createTempDirectory("lib_wh1p").toString
+    writeRaw(rawDir, "F_20240101.csv", "2024-01-01", 1 to 30)
+    val cfg = LibraryConfig(
+      rawPath = rawDir.toString + "/*.csv",
+      delimiter = "|",
+      rawColumns = Seq("id", "cnt"),
+      skipHeader = 1, skipFooter = 0, ignoreLines = Set(),
+      rules = Seq(
+        FromFilename("day", "F_(\\d{8})\\.csv", 1),
+        Derived("idn", col("id").cast("long")),
+        Derived("cntn", col("cnt").cast("long"))),
+      tagRules = Seq(),
+      routes = Seq(
+        TableRoute("low", col("idn") <= 10, Seq("day", "id", "cntn")),
+        TableRoute("mid", col("idn") > 10 && col("idn") <= 20, Seq("day", "id", "cntn")),
+        TableRoute("high", col("idn") > 20, Seq("day", "id", "cntn"))),
+      partitionCol = "day",
+      warehouseDir = wh)
+
+    val qes = scala.collection.mutable.ArrayBuffer[QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qes.synchronized { qes += qe }
+      override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+    }
+    // collect tree nodes, descending through AQE wrappers (collect()
+    // treats AdaptiveSparkPlanExec and QueryStageExec — including
+    // TableCacheQueryStageExec, which wraps every cached-relation
+    // read under AQE — as leaves); innerChildren of InMemoryTableScan
+    // are deliberately NOT traversed — a text scan inside the cached
+    // relation's plan executes once at cache build, which is exactly
+    // what this test permits
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case x => x }.flatMap {
+        case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+        case s: QueryStageExec        => s +: nodes(s.plan)
+        case x                        => Seq(x)
+      }
+    spark.listenerManager.register(listener)
+    try {
+      val result = LibraryRun.run(spark, cfg, keyCols = Seq("day", "id"))
+      assert(result.tables.keySet == Set("low", "mid", "high"))
+      assert(result.tables.values.map(_.count()).sum == 30)
+      // listener events are async; wait for all actions to report
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        qes.synchronized(qes.size) < 3) Thread.sleep(100)
+      val all = qes.synchronized(qes.toVector)
+      assert(all.nonEmpty)
+      val rawScans = all.flatMap(qe => nodes(qe.executedPlan)).collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("lib_raw1p")) => f
+      }
+      assert(rawScans.isEmpty,
+        s"an action re-parsed the raw feed instead of reading the cached parse:\n${all.map(_.executedPlan).mkString("\n---\n")}")
+      val cacheReads = all.count(qe =>
+        nodes(qe.executedPlan).exists(_.isInstanceOf[InMemoryTableScanExec]))
+      assert(cacheReads >= 3,
+        s"route writes should read the persisted transform (got $cacheReads cache-reading actions)")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("overwritePartitions is idempotent and partition-scoped") {
     val wh = java.nio.file.Files.createTempDirectory("ow_wh").toString + "/t"
     import spark.implicits._

@@ -135,6 +135,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d.length == 1 && d.head.getLong(0) == 2L)
   }
 
+  test("rounded diff mode matches the reference's round-3-then-exact edge") {
+    import spark.implicits._
+    // 1.0004 vs 1.0006: raw diff 0.0002 passes tolerance 0.001, but
+    // round-3 gives 1.000 vs 1.001 → the reference flags it
+    val l = Seq((1L, 1.0004), (2L, 5.0), (3L, 2.0004)).toDF("k", "v")
+    val r = Seq((1L, 1.0006), (2L, 5.0), (3L, 2.0006)).toDF("k", "v")
+    assert(operators.Reconcile.valueDiffs(l, r, "k", "v", 0.001).count() == 0)
+    val flagged = operators.Reconcile.valueDiffsRounded(l, r, "k", "v")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L, 3L))
+    // and the multi-counter form in parity mode agrees
+    val lm = Seq((1L, 1.0004, 7.0)).toDF("k", "a", "b")
+    val rm = Seq((1L, 1.0006, 7.0)).toDF("k", "a", "b")
+    val multi = operators.Reconcile.valueDiffsMulti(lm, rm, "k", Seq("a", "b"),
+      tolerance = 0.001, roundScale = Some(3)).collect()
+    assert(multi.length == 1 && multi.head.getAs[String]("counter") == "a")
+  }
+
   test("multimodal resize and frame-sample keep plumbing shape") {
     val media = multimodal.BinaryPipeline.toMedia(Tables.documents(spark, sf).limit(10))
     val resized = multimodal.BinaryPipeline.resize(media, 64)
