@@ -326,8 +326,83 @@ object SparkEntry {
           element_at(col("features"), 1).as("f_len"),
           element_at(col("features"), 2).as("f_mean"),
           element_at(col("features"), 3).as("f_max"),
-          element_at(col("features"), 4).as("f_min")))
+          element_at(col("features"), 4).as("f_min"))),
+    // B7b: DBL error-log parsing — a deterministic synthetic loader
+    // log derived from orders feeds the line-level parser; the oracle
+    // replays the identical generation + window parse in SQL
+    "q_dbl_errors" -> ((s, dir) => {
+      val k = col("o_orderkey")
+      val lines = Tables.orders(s, dir)
+        .filter(k % 97 === 0)
+        .select(
+          concat(lit("dbl_"), (k % 2).cast("string"), lit(".log")).as("log_file"),
+          when(k % 5 === 0,
+              concat(lit("Table PM_SCHEMA.TBL_"), (k % 3).cast("string"), lit("_5M, loading")))
+            .when(k % 5 === 1 || k % 5 === 2,
+              concat(lit("Record "), k.cast("string"), lit(": bad value in field F"), (k % 7).cast("string")))
+            .when(k % 5 === 3,
+              concat(lit("ORA-"), (lit(1700) + k % 100).cast("string"), lit(": invalid number")))
+            .otherwise(lit("1234 Rows successfully loaded")).as("value"),
+          k.as("_ord"))
+      Maintenance.parseDblErrorLines(lines)
+    }),
+    // B5b: retention-rule sweep over the whole rollup cascade — each
+    // granularity thins to its suffix rule; every cutoff is a pushed-
+    // down predicate over the (already single-scan) cascade
+    "q_retention_sweep" -> ((s, dir) => {
+      val asOf = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      val tables = Rollups.cascade(Tables.events(s, dir)).map { case (sfx, df) =>
+        s"rollup_$sfx" -> df.withColumn("datetime",
+          timestamp_seconds(col("bucket_start")).cast("timestamp_ntz"))
+      }
+      Maintenance.retentionSweep(tables, "datetime",
+          Maintenance.defaultRetentionDays, asOf)
+        .toSeq.sortBy(_._1)
+        .map { case (name, df) =>
+          df.select(lit(name).as("tbl"), col("bucket_start"),
+            col("event_type"), col("n_events"), col("sum_value"))
+        }.reduce(_.unionByName(_))
+    }),
+    // A10: config-compiled run from the native workbook entry point —
+    // fixed raw content through the whole parse+transform+route path,
+    // so the oracle is the expected table as literal VALUES
+    "q_config_run" -> ((s, dir) => configRun(s))
   )
+
+  /** q_config_run body: compile the checked-in Chill+HLD workbooks
+    * (the reference's own entry-point format) and run the routed
+    * pipeline over a two-file raw feed with fixed contents.
+    */
+  private def configRun(s: SparkSession): DataFrame = {
+    import graft.etl.{ChillPipeline, ConfigFile, WorkbookConfig}
+    val rawDir = java.nio.file.Files.createTempDirectory("q_config_run")
+    def writeRaw(name: String, region: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(rawDir.resolve(name),
+        s"#REGION=$region\nid|grp|cnt\n" + rows.mkString("\n") + "\nJUNK\nTRAILER")
+    writeRaw("F_20240101.csv", "EAST", Seq("1|A|10", "2|B|20", "3|A|30"))
+    writeRaw("F_20240102.csv", "WEST", Seq("4|A|40", "5|B|50"))
+    import s.implicits._
+    Seq(("A", "Alpha")).toDF("g_code", "g_name").createOrReplaceTempView("grp_dim")
+    val parsed = WorkbookConfig.load(
+      "src/main/resources/graft/fixtures/chill_conf.xlsx",
+      "src/main/resources/graft/fixtures/hld.xlsx")
+    val compiled = ConfigFile.compile(s,
+      parsed.cfg.copy(input_path = rawDir.toString + "/*.csv"),
+      rawDir.resolve("wh").toString)
+    val cfg = compiled.lib
+    val raw = ChillPipeline.rawCsv(s, cfg.rawPath, cfg.delimiter, cfg.rawColumns,
+      cfg.skipHeader, cfg.skipFooter, cfg.ignoreLines)
+    val tagged = ChillPipeline.withTagColumns(s, cfg.rawPath, raw, cfg.tagRules)
+    ChillPipeline.run(tagged, cfg.rules, cfg.routes)
+      .toSeq.sortBy(_._1)
+      .map { case (table, df) =>
+        // only TBL_A carries the workbook's KPI column
+        val kpi = if (df.columns.contains("cnt_per_id")) col("cnt_per_id")
+                  else lit(null).cast("double").as("cnt_per_id")
+        df.select(lit(table).as("tbl"), col("day").cast("int").as("day"),
+          col("idn"), col("grp_name"), col("cnt10"), col("region"), kpi)
+      }.reduce(_.unionByName(_))
+  }
 
   /** Shared DuckDB CTE chain of the n-gram oracle family: distinct
     * word-3-gram shingles per doc, set sizes, and per-pair
@@ -694,6 +769,69 @@ object SparkEntry {
         | CAST(list_sum(cps) AS DOUBLE) / len(cps) AS f_mean,
         | CAST(list_max(cps) AS DOUBLE) AS f_max,
         | CAST(list_min(cps) AS DOUBLE) AS f_min
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+    // replays the same deterministic log generation + running
+    // last-header window + regex extraction as the Spark side
+    "q_dbl_errors" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |    'dbl_' || CAST(o_orderkey % 2 AS VARCHAR) || '.log' AS log_file,
+        |    CASE
+        |      WHEN o_orderkey % 5 = 0 THEN
+        |        'Table PM_SCHEMA.TBL_' || CAST(o_orderkey % 3 AS VARCHAR) || '_5M, loading'
+        |      WHEN o_orderkey % 5 IN (1, 2) THEN
+        |        'Record ' || CAST(o_orderkey AS VARCHAR) || ': bad value in field F' || CAST(o_orderkey % 7 AS VARCHAR)
+        |      WHEN o_orderkey % 5 = 3 THEN
+        |        'ORA-' || CAST(1700 + o_orderkey % 100 AS VARCHAR) || ': invalid number'
+        |      ELSE '1234 Rows successfully loaded' END AS value
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |tagged AS (
+        |  SELECT log_file, value,
+        |    last_value(CASE WHEN value LIKE 'Table %' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY log_file ORDER BY k
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _tbl,
+        |    CASE WHEN value LIKE 'ORA-%' THEN 'oracle_error'
+        |         WHEN value LIKE 'Record %' THEN 'record_error'
+        |         WHEN value LIKE '%Rows%' THEN 'stats' END AS kind
+        |  FROM src)
+        |SELECT DISTINCT log_file,
+        |  regexp_replace(regexp_extract(_tbl, '^Table ([^,]+)', 1),
+        |                 '^[^.]*\.|_[^_]+$', '', 'g') AS table_name,
+        |  kind,
+        |  CASE WHEN kind = 'record_error'
+        |       THEN trim(regexp_extract(value, '^Record [^:]*:(.*)$', 1))
+        |       ELSE value END AS detail
+        |FROM tagged WHERE kind IS NOT NULL AND _tbl IS NOT NULL""".stripMargin,
+    // each granularity recomputed directly from events (decimal sums
+    // make cascade == direct, like q_rollup_hourly); cutoffs are the
+    // fixed asOf 2024-03-01T00:00:00Z minus the suffix's days
+    "q_retention_sweep" ->
+      """WITH g(tbl, secs, cutoff) AS (VALUES
+        |  ('rollup_5M', 300, 1706659200),
+        |  ('rollup_15M', 900, 1706659200),
+        |  ('rollup_HH', 3600, 1706659200),
+        |  ('rollup_DY', 86400, 1393891200))
+        |SELECT g.tbl,
+        |  CAST(FLOOR(epoch(ts)/g.secs)*g.secs AS BIGINT) AS bucket_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN g
+        |WHERE CAST(FLOOR(epoch(ts)/g.secs)*g.secs AS BIGINT) >= g.cutoff
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // the raw feed content is fixed, so the expected output is the
+    // routed tables as literals + the same lookup/formula arithmetic
+    "q_config_run" ->
+      """WITH raw(tbl, day, id, grp, cnt, region) AS (VALUES
+        |  ('TBL_A_5M', 20240101, 1, 'A', 10, 'EAST'),
+        |  ('TBL_A_5M', 20240101, 3, 'A', 30, 'EAST'),
+        |  ('TBL_A_5M', 20240102, 4, 'A', 40, 'WEST'),
+        |  ('TBL_B_5M', 20240101, 2, 'B', 20, 'EAST'),
+        |  ('TBL_B_5M', 20240102, 5, 'B', 50, 'WEST'))
+        |SELECT tbl, day, CAST(id AS BIGINT) AS idn,
+        |  CASE WHEN grp = 'A' THEN 'Alpha' ELSE 'UNKNOWN' END AS grp_name,
+        |  CAST(cnt*10 + id AS BIGINT) AS cnt10, region,
+        |  CASE WHEN tbl = 'TBL_A_5M'
+        |       THEN CAST(cnt*10 + id AS DOUBLE) / id END AS cnt_per_id
+        |FROM raw""".stripMargin
   )
 }

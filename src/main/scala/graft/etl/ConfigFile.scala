@@ -78,12 +78,32 @@ object ConfigFile {
       fields: Seq[FieldSpec],
       tables: Seq[TableSpec],
       partition_col: String,
-      retention_days: Option[Map[String, Int]])
+      retention_days: Option[Map[String, Int]],
+      /** HLD front-matter (ParseHLD.py:8-38): carried into physical
+        * table and report naming the way chill.py composes
+        * LIBRARY_NAME (chill.py:63-91). Absent in older JSON
+        * renditions → None.
+        */
+      library_name: Option[String] = None,
+      library_version: Option[String] = None)
 
   final case class Compiled(
       lib: LibraryConfig,
       schemaName: String,
-      retentionDays: Map[String, Int])
+      retentionDays: Map[String, Int],
+      libraryName: Option[String] = None,
+      libraryVersion: Option[String] = None) {
+    /** The reference's physical name: `{schema}.{table}_{resolution}`
+      * (Partrans.py:252-257). Route targets already carry the
+      * `_granularity` suffix.
+      */
+    def physicalName(route: String): String = s"$schemaName.$route"
+    /** junit report file name, `{LIBRARY_NAME}_test_report.xml`
+      * (chill.py:70-71).
+      */
+    def reportFileName: String =
+      s"${libraryName.getOrElse(schemaName)}_test_report.xml"
+  }
 
   private val enc: Encoder[ChillConfig] = Encoders.product[ChillConfig]
 
@@ -182,8 +202,17 @@ object ConfigFile {
         partitionCol = cfg.partition_col,
         warehouseDir = warehouseDir),
       cfg.schema_name,
-      cfg.retention_days.getOrElse(graft.operators.Maintenance.defaultRetentionDays))
+      cfg.retention_days.getOrElse(graft.operators.Maintenance.defaultRetentionDays),
+      cfg.library_name,
+      cfg.library_version)
   }
+
+  /** Compile straight from the reference's native entry point — the
+    * Chill conf workbook + HLD workbook ([[WorkbookConfig.load]]).
+    */
+  def compileWorkbooks(spark: SparkSession, chillXlsx: String, hldXlsx: String,
+                       warehouseDir: String): Compiled =
+    compile(spark, WorkbookConfig.load(chillXlsx, hldXlsx).cfg, warehouseDir)
 
   /** load + compile in one step. */
   def loadAndCompile(spark: SparkSession, path: String, warehouseDir: String): Compiled =

@@ -95,14 +95,23 @@ object Maintenance {
     * per file — per-file partitioning, so log parsing never shuffles
     * across files.
     */
-  def parseDblErrors(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+  def parseDblErrors(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    parseDblErrorLines(
+      spark.read.text(path)
+        .select(input_file_name().as("log_file"), col("value"),
+          monotonically_increasing_id().as("_ord")))
+
+  /** Line-level form of [[parseDblErrors]]: `lines` carries
+    * (log_file, value, _ord) — the path form feeds it from raw text,
+    * and the driver-graded query feeds it a deterministic synthetic
+    * log so the DuckDB oracle can replay the same parse.
+    */
+  def parseDblErrorLines(lines: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("log_file"))
       .orderBy(col("_ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spark.read.text(path)
-      .select(input_file_name().as("log_file"), col("value"),
-        monotonically_increasing_id().as("_ord"))
+    lines
       .withColumn("_tbl",
         last(when(col("value").startsWith("Table "), col("value")), ignoreNulls = true).over(w))
       .withColumn("kind",

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl._
+
+/** Native workbook ingestion: the checked-in .xlsx fixtures (written
+  * by tools/make_xlsx_fixture.py with the Python stdlib only — an
+  * independent OOXML producer) must compile to the SAME ChillConfig
+  * as the JSON rendition, and drive the full library cycle.
+  */
+class WorkbookConfigSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val chillXlsx = "src/main/resources/graft/fixtures/chill_conf.xlsx"
+  private val hldXlsx = "src/main/resources/graft/fixtures/hld.xlsx"
+
+  private def writeRaw(dir: java.nio.file.Path, name: String, region: String,
+                       rows: Seq[(Int, String, Int)]): Unit =
+    java.nio.file.Files.writeString(dir.resolve(name),
+      s"#REGION=$region\nid|grp|cnt\n" +
+        rows.map { case (i, g, c) => s"$i|$g|$c" }.mkString("\n") +
+        "\nJUNK\nTRAILER")
+
+  test("xlsx cells: shared strings, inline strings, numbers, sparse refs") {
+    val sheets = Xlsx.read(chillXlsx)
+    val chill = sheets("Chill")
+    assert(chill.cell(0, 0).contains("library") && chill.cell(0, 1).contains("PM_LIB_WB"))
+    // the delimiter value is written as an inlineStr cell
+    assert(chill.cell(3, 1).contains("|"))
+    val li = Xlsx.read(hldXlsx)("Library Info")
+    // numeric retention cell, column C of a row that skips column A
+    assert(li.cell(4, 1).contains("5M") && li.cell(4, 2).contains("30"))
+    assert(Xlsx.colIndex("A1") == 0 && Xlsx.colIndex("BC7") == 54)
+  }
+
+  test("valid_lines python slices map to skip_header/skip_footer") {
+    assert(WorkbookConfig.parseValidLines("[2:-1]") == ((2, 1)))
+    assert(WorkbookConfig.parseValidLines("[:]") == ((0, 0)))
+    assert(WorkbookConfig.parseValidLines("[3:]") == ((3, 0)))
+    assert(WorkbookConfig.parseValidLines("[:-2]") == ((0, 2)))
+  }
+
+  test("workbook pair compiles to the identical ChillConfig as the JSON rendition") {
+    val parsed = WorkbookConfig.load(chillXlsx, hldXlsx)
+    val fromJson = ConfigFile.load(spark, "src/test/resources/chill_config.json")
+    // library metadata is the workbook path's extra signal — compare
+    // the shared surface exactly, then the metadata on its own
+    assert(parsed.cfg.copy(library_name = None, library_version = None) == fromJson)
+    assert(parsed.meta == WorkbookConfig.LibraryMeta(
+      Some("PM_LIB_WB"), Some("2.1"), Some("ACME")))
+    assert(parsed.frontPage.get("Vendor").contains("ACME"))
+    // the Revision History section is excluded, like ParseHLD's break
+    assert(!parsed.frontPage.contains("1.0"))
+    assert(parsed.libraryInfo.get("Schema").contains("PM_SCHEMA"))
+  }
+
+  test("workbook-driven library run loads and reconciles clean") {
+    val rawDir = java.nio.file.Files.createTempDirectory("wb_raw")
+    val wh = java.nio.file.Files.createTempDirectory("wb_wh").toString
+    writeRaw(rawDir, "F_20240101.csv", "EAST", Seq((1, "A", 10), (2, "B", 20), (3, "A", 30)))
+    writeRaw(rawDir, "F_20240102.csv", "WEST", Seq((4, "A", 40), (5, "B", 50)))
+    import spark.implicits._
+    Seq(("A", "Alpha")).toDF("g_code", "g_name").createOrReplaceTempView("grp_dim")
+
+    val parsed = WorkbookConfig.load(chillXlsx, hldXlsx)
+    val compiled = ConfigFile.compile(spark,
+      parsed.cfg.copy(input_path = rawDir.toString + "/*.csv"), wh)
+    // reference-style naming composed from the workbook metadata
+    assert(compiled.libraryName.contains("PM_LIB_WB"))
+    assert(compiled.physicalName("TBL_A_5M") == "PM_SCHEMA.TBL_A_5M")
+    assert(compiled.reportFileName == "PM_LIB_WB_test_report.xml")
+
+    val result = LibraryRun.run(spark, compiled.lib, keyCols = Seq("day", "idn"))
+    assert(result.tables.keySet == Set("TBL_A_5M", "TBL_B_5M"))
+    val a = result.tables("TBL_A_5M").collect()
+    assert(a.length == 3)
+    assert(a.forall(_.getAs[String]("grp_name") == "Alpha"))
+    val r4 = a.find(_.getAs[Long]("idn") == 4L).get
+    assert(r4.getAs[String]("region") == "WEST")
+    assert(r4.getAs[Long]("cnt10") == 404L)
+    assert(r4.getAs[Double]("cnt_per_id") == 101.0)
+    assert(result.report.filter(col("status") === "failed").count() == 0, result.junitXml)
+  }
+}
