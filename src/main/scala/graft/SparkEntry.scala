@@ -311,6 +311,13 @@ object SparkEntry {
     "q_sample_corpus" -> ((s, dir) =>
       TextOps.sampleByKey(Tables.documents(s, dir), "doc_id", 10)
         .select("doc_id", "lang", "source", "n_chars")),
+    // D14b: stratified sampling — k docs per source by deterministic
+    // multiplicative-hash order, through the bounded-heap aggregate
+    "q_sample_stratified" -> ((s, dir) =>
+      TextOps.sampleStratified(Tables.documents(s, dir), Seq("source"), "doc_id", 20)),
+    // D13b: stream packing into token budgets per source shard
+    "q_pack_sequences" -> ((s, dir) =>
+      TextOps.pack(Tables.documents(s, dir), Seq("source"), 2048)),
     // D15: PII-ish redaction (scrub pass)
     "q_text_redact" -> ((s, dir) =>
       TextOps.redact(Tables.documents(s, dir))),
@@ -366,7 +373,12 @@ object SparkEntry {
     // A10: config-compiled run from the native workbook entry point —
     // fixed raw content through the whole parse+transform+route path,
     // so the oracle is the expected table as literal VALUES
-    "q_config_run" -> ((s, dir) => configRun(s))
+    "q_config_run" -> ((s, dir) => configRun(s)),
+    // D2d: duplicate-cluster ids — connected components over the
+    // (already oracle-matched) n-gram Jaccard pair graph; the oracle
+    // replays reachability with a recursive CTE
+    "q_dedup_groups" -> ((s, dir) =>
+      Dedup.components(Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.8)))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -631,6 +643,19 @@ object SparkEntry {
     // identical semantics to q_dedup_ngram: minhash candidates with
     // recall 1.0 at this threshold + exact verification
     "q_dedup_minhash_v" -> ngramJaccardOracle,
+    // reachability closure over the same jaccard pair graph: every
+    // node's group is the minimum doc_id reachable through pairs
+    "q_dedup_groups" -> (shingleCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" +
+      """jp AS (SELECT doc_a, doc_b
+        |  FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION SELECT doc_b, doc_a FROM jp),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node)
+        |SELECT node AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY node""".stripMargin),
     "q_dedup_filtered" -> (shingleCtes + ",\n" +
       """dups AS (SELECT DISTINCT doc_b FROM pairs
         |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
@@ -748,6 +773,26 @@ object SparkEntry {
         |FROM c""".stripMargin,
     "q_sample_corpus" ->
       "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 100 < 10",
+    // same multiplicative hash (exact long arithmetic) and the same
+    // (hkey, doc_id) order — row_number replays the heap selection
+    "q_sample_stratified" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    (doc_id * 2654435761) % 4294967296 AS hkey FROM documents),
+        |r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS rn
+        |  FROM h)
+        |SELECT source, CAST(doc_id AS BIGINT) AS doc_id FROM r WHERE rn <= 20""".stripMargin,
+    // exclusive running token total per source in doc_id order; the
+    // pack is the budget window the doc's first token lands in
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset,
+        |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
+        |FROM t""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         | regexp_replace(

@@ -119,6 +119,89 @@ object Dedup {
       pairs.select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Connected components over near-dup pairs: every document in the
+    * pair graph is labeled with the SMALLEST doc_id reachable from it
+    * — the duplicate-cluster id a production dedup keys on (greedy
+    * per-pair dropping over- or under-deletes on chains a-b-c where
+    * (a,c) was never emitted as a pair).
+    *
+    * Algorithm: min-label propagation to a fixpoint. Each round,
+    * label(v) := min(label(v), min over neighbors' labels); a round
+    * that changes nothing ends the loop. Rounds = component diameter,
+    * which for near-dup graphs is small (LSH/shingle buckets emit
+    * near-cliques). Each round shuffles ONLY the label table (one
+    * join against the edge list pre-partitioned once on `dst`, one
+    * min-aggregate) — edge rows never move again; labels are a
+    * (node, label) pair, narrow at any corpus size. The per-round
+    * convergence count is an aggregate over that same label table,
+    * never a collect. For adversarial long-chain graphs (diameter ≫
+    * rounds budget) the O(log n) alternating large-star/small-star
+    * contraction is the upgrade path; `maxIter` fails loudly rather
+    * than returning half-converged labels.
+    *
+    * Returns (doc_id, group_id) for every doc that appears in a pair;
+    * docs with no near-dup are their own singleton group and are not
+    * emitted (join semantics: absent = keep).
+    */
+  def components(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val width = spark.sessionState.conf.numShufflePartitions
+    // symmetric, deduped edge list, partitioned ONCE on the join key:
+    // every propagation round reuses this layout instead of
+    // re-exchanging the (much larger) edge set
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .repartition(width, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // initial label: the smallest id among the node and its neighbors
+    var labels = edges
+      .groupBy(col("src").as("node"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIter) {
+      // labels reachable through one more hop: node <- min label of
+      // its neighbors (the join shuffles labels to the edges' layout)
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels
+        .join(viaNbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev_label"), "node")
+        .filter(col("label") < col("prev_label"))
+        .count() // materializes `next`, so unpersisting the old table is safe
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    require(changed == 0,
+      s"components did not converge in $maxIter rounds — component diameter " +
+        "exceeds the budget; raise maxIter or switch to star-contraction")
+    labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+  }
+
+  /** Component-exact corpus dedup: keep one representative (the
+    * smallest doc_id) per duplicate cluster. Unlike
+    * [[dropNearDuplicates]]' greedy pair drop, chains a-b-c collapse
+    * to exactly one survivor even when the (a,c) pair was never
+    * emitted. One anti-join against the non-representative members.
+    */
+  def dropDuplicateGroups(docs: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    docs.join(
+      components(pairs, maxIter)
+        .filter(col("doc_id") =!= col("group_id"))
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** Expand each sorted posting list of ids into its (a < b) pairs
     * in-map (native one-pass expression — graft.functions.PairCombos).
     * One flat expansion per posting row, bounded by the caller's

@@ -104,6 +104,57 @@ object TextOps {
   def sampleByKey(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(pmod(col(keyCol), lit(100)) < pct)
 
+  /** Stream packing: concatenate each shard's token stream in stable
+    * `orderCol` order and cut it at fixed `tokenBudget` boundaries;
+    * each document is assigned to the pack its FIRST token lands in.
+    * This is the deterministic window-expressible packing a training
+    * pipeline uses to batch documents into context-sized sequences
+    * (greedy next-fit needs a stateful scan and is not replayable in
+    * SQL; offset-cut packing is, and wastes at most one document's
+    * tokens per boundary).
+    *
+    * Scale: the only shuffle is the window partition on `shardCols` —
+    * the caller's sharding contract. Pass columns that bound shard
+    * size (e.g. (source, day) rather than source alone) so no single
+    * window task sees an unbounded stream; packs are meaningful
+    * per-shard, so sharding finer costs nothing semantically.
+    */
+  def pack(docs: DataFrame, shardCols: Seq[String], tokenBudget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardCols.nonEmpty, "packing needs a sharding contract")
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id") +: shardCols.map(col) :+
+        size(split(col("text"), " ")).cast("long").as("n_tokens"): _*)
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"start_offset div $tokenBudget"))
+  }
+
+  /** Stratified deterministic sampling: k rows per stratum, chosen by
+    * a multiplicative-hash order over `keyCol` (Knuth 2654435761 mod
+    * 2^32 — exact long arithmetic, so any engine replays the same
+    * sample; requires key < ~2^31 to stay inside long range).
+    *
+    * The selection runs through the bounded-heap top-k aggregate:
+    * partial heaps combine map-side and k rows per stratum cross the
+    * shuffle — the row_number() window formulation would shuffle and
+    * sort the entire corpus per stratum. Returns (strata..., key);
+    * fetch payload columns by joining the (tiny) sample back against
+    * the bucketed corpus.
+    */
+  def sampleStratified(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                       k: Int): DataFrame = {
+    val hkey = pmod(col(keyCol) * lit(2654435761L), lit(4294967296L))
+    df.select(strataCols.map(col) :+ hkey.as("hkey") :+
+        col(keyCol).cast("long").as(keyCol): _*)
+      .groupBy(strataCols.map(col): _*)
+      .agg(graft.functions.TopKFunctions
+        .topK(-col("hkey").cast("double"), col(keyCol), k).as("picks"))
+      .select(strataCols.map(col) :+ explode(col("picks")).as("p"): _*)
+      .select(strataCols.map(col) :+ col("p.tie").as(keyCol): _*)
+  }
+
   /** PII-ish redaction: emails, long digit runs (phone/account-ish),
     * and IPv4 literals replaced by typed placeholders — the scrub
     * pass a training corpus gets before packaging. Patterns stick to

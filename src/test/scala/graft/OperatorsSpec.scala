@@ -344,6 +344,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == "mail <EMAIL> ip <IP> tel <NUM> ok", out)
   }
 
+  test("components labels every node with the min reachable id, across chains") {
+    import spark.implicits._
+    // two components: a 5-chain (min propagates 4 hops) + a 2-clique
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = dedup.Dedup.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // budget exceeded fails loudly instead of returning partial labels
+    assertThrows[IllegalArgumentException] {
+      dedup.Dedup.components(pairs, maxIter = 2).count()
+    }
+  }
+
+  test("component dedup keeps exactly one survivor per cluster on chains") {
+    import spark.implicits._
+    // greedy pair-drop on chain a-b-c with pairs (a,b),(b,c) drops b
+    // and c; component dedup must do the same here (a is the rep) AND
+    // keep exactly one of {d,e,f} for the chain where greedy would
+    // over-drop: pairs (d,e),(e,f) — greedy drops e and f too, but
+    // with only (e,f),(d,f) emitted, greedy drops f twice and keeps
+    // d AND e, leaving two "survivors" of one cluster
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (4L, 6L)).toDF("doc_a", "doc_b")
+    val greedy = dedup.Dedup.dropNearDuplicates(docs, pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(greedy == Set(1L, 4L, 5L)) // 4 and 5 both survive one cluster
+    val exact = dedup.Dedup.dropDuplicateGroups(docs, pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L, 4L)) // one representative per component
+  }
+
+  test("packing cuts shard streams at exact token-budget boundaries") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b c"),        // 3 tokens, offset 0  -> pack 0
+      (2L, "s1", "d e f g"),      // 4 tokens, offset 3  -> pack 0
+      (3L, "s1", "h i"),          // offset 7 -> pack 1 (budget 5)
+      (4L, "s2", "x y z w v u"))  // other shard restarts at offset 0
+      .toDF("doc_id", "source", "text")
+    val got = text.TextOps.pack(docs, Seq("source"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("stratified sample picks exactly k per stratum, deterministically") {
+    val docs = Tables.documents(spark, sf)
+    val sample = text.TextOps.sampleStratified(docs, Seq("source"), "doc_id", 5)
+    val bySource = sample.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = docs.select("source").distinct().count()
+    assert(bySource.size == strata && bySource.values.forall(_ == 5))
+    // replay = identical selection
+    val again = text.TextOps.sampleStratified(docs, Seq("source"), "doc_id", 5)
+    assert(sample.exceptAll(again).isEmpty && again.exceptAll(sample).isEmpty)
+    // and the heap selection equals the window-sort definition
+    import org.apache.spark.sql.expressions.Window
+    val win = docs
+      .withColumn("hkey", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))))
+      .filter(col("rn") <= 5).select(col("source"), col("doc_id"))
+    assert(sample.exceptAll(win).isEmpty && win.exceptAll(sample).isEmpty)
+  }
+
   test("operators tolerate an empty corpus") {
     val docs = Tables.documents(spark, sf).filter(lit(false))
     assert(dedup.Dedup.ngramJaccardPairs(docs, 3, 0.8).count() == 0)

@@ -62,6 +62,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "exactly one data shuffle: the per-query top-k aggregation")
   }
 
+  test("stratified sampling is a heap aggregate, one shuffle, no window sort") {
+    val p = plan("q_sample_stratified")
+    assert(p.contains("top_k"), "expected the TopKByScore aggregate in the plan")
+    assert(!p.contains("Window"), s"window sort crept into the sampling plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "exactly one data shuffle: the per-stratum heap aggregation")
+  }
+
   test("ivf ann: zero shuffle between corpus scan and probe join") {
     val p = plan("q_ann_ivf")
     assert(p.contains("top_k") && !p.contains("Window"))
