@@ -359,6 +359,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("components equals union-find on 30 random graphs (one disjoint run)") {
+    import spark.implicits._
+    // 30 seeded random graphs, node ids offset per graph so their
+    // components can never merge — one Spark run checks all of them
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 30).flatMap { g =>
+      val base = g * 1000L
+      val nodes = 2 + rnd.nextInt(20)
+      val nEdges = 1 + rnd.nextInt(30)
+      Seq.fill(nEdges) {
+        val a = base + rnd.nextInt(nodes); val b = base + rnd.nextInt(nodes)
+        if (a == b) (a, b + 1) // doc_a < doc_b, no self-loops
+        else (math.min(a, b), math.max(a, b))
+      }
+    }.distinct
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = dedup.Dedup.components(edges.toDF("doc_a", "doc_b"), maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("component dedup keeps exactly one survivor per cluster on chains") {
     import spark.implicits._
     // greedy pair-drop on chain a-b-c with pairs (a,b),(b,c) drops b
