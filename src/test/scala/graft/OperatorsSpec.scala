@@ -355,8 +355,18 @@ class OperatorsSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
     // budget exceeded fails loudly instead of returning partial labels
     assertThrows[IllegalArgumentException] {
-      dedup.Dedup.components(pairs, maxIter = 2).count()
+      dedup.Dedup.components(pairs, maxIter = 1).count()
     }
+  }
+
+  test("pointer doubling converges a long chain in O(log n) rounds") {
+    import spark.implicits._
+    // an 80-node path has diameter 79: one-hop propagation alone
+    // needs 79 rounds, pointer doubling must finish well inside 10
+    val chain = (0L until 79L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = dedup.Dedup.components(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 80 && got.forall(_._2 == 0L))
   }
 
   test("components equals union-find on 30 random graphs (one disjoint run)") {
