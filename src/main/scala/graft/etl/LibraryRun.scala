@@ -82,6 +82,20 @@ object LibraryRun {
     } finally transformed.unpersist()
   }
 
+  /** Cycle from a compiled config, finishing the way the reference's
+    * harness does (chill.py:70-71): the junit report lands next to
+    * the warehouse as `{LIBRARY_NAME}_test_report.xml`, with the
+    * library name taken from the workbook/JSON metadata.
+    */
+  def runCompiled(spark: SparkSession, compiled: ConfigFile.Compiled,
+                  keyCols: Seq[String]): LibraryResult = {
+    val result = run(spark, compiled.lib, keyCols)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(compiled.lib.warehouseDir, compiled.reportFileName),
+      result.junitXml)
+    result
+  }
+
   /** Continuous form of the cycle — the reference's connect-daemon
     * polling loop (chill.py wait_rd/copy_rd + DBLoader) as a file
     * stream: each micro-batch of newly-arrived raw files parses with

@@ -72,7 +72,10 @@ class WorkbookConfigSpec extends AnyFunSuite {
     assert(compiled.physicalName("TBL_A_5M") == "PM_SCHEMA.TBL_A_5M")
     assert(compiled.reportFileName == "PM_LIB_WB_test_report.xml")
 
-    val result = LibraryRun.run(spark, compiled.lib, keyCols = Seq("day", "idn"))
+    val result = LibraryRun.runCompiled(spark, compiled, keyCols = Seq("day", "idn"))
+    // the junit report lands under the workbook's library name
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(wh, "PM_LIB_WB_test_report.xml")).contains("<testsuite"))
     assert(result.tables.keySet == Set("TBL_A_5M", "TBL_B_5M"))
     val a = result.tables("TBL_A_5M").collect()
     assert(a.length == 3)
