@@ -61,10 +61,43 @@ object ChillPipeline {
     */
   def rawCsv(spark: SparkSession, path: String, delimiter: String,
              columns: Seq[String], skipHeader: Int, skipFooter: Int,
-             ignoreLines: Set[String]): DataFrame =
+             ignoreLines: Set[String]): DataFrame = {
+    // empty columns = derive them from the feed's own header line,
+    // the reference's read_csv default (header inside the slice);
+    // the body parse then starts one line later
+    val (cols, skip) =
+      if (columns.nonEmpty) (columns, skipHeader)
+      else (headerColumns(spark, path, delimiter, skipHeader, ignoreLines), skipHeader + 1)
     sliceLines(
       spark.read.text(path).select(input_file_name().as("_file"), col("value")),
-      delimiter, columns, skipHeader, skipFooter, ignoreLines)
+      delimiter, cols, skip, skipFooter, ignoreLines)
+  }
+
+  /** Raw column names from the feed itself — the reference's
+    * `pd.read_csv(stream, sep=delimiter)` semantics (Partrans.py:
+    * 222-236): after the valid-lines slice and ignore-lines filter,
+    * the FIRST remaining line is the header. Driver-side peek of one
+    * file (the lexicographically first match — in the Chill model all
+    * files of a feed share one layout), so no Spark job runs.
+    */
+  def headerColumns(spark: SparkSession, path: String, delimiter: String,
+                    skipHeader: Int, ignoreLines: Set[String]): Seq[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath)
+    require(matches.nonEmpty, s"headerColumns: no files match $path")
+    val first = matches.minBy(_.toString)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(first), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      val header = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .drop(skipHeader).filterNot(ignoreLines.contains).take(1).toSeq.headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"headerColumns: $first has no line left after the valid-lines slice"))
+      header.split(java.util.regex.Pattern.quote(delimiter), -1).map(_.trim).toSeq
+    } finally in.close()
+  }
 
   /** The line-slicing + delimiter-split core of [[rawCsv]], over any
     * `(_file, value)` line set — also the per-batch parser of the
@@ -93,9 +126,19 @@ object ChillPipeline {
     * packed sequentially, so ascending partition id is ascending file
     * offset. A `raise_error` guard on the tiny side still verifies
     * contiguity at run time rather than trusting the argument.
+    *
+    * The two subtrees scan the same files, so input files must be
+    * immutable while the query runs (the standard Spark file-source
+    * contract; the Chill model writes a feed file completely before
+    * the pipeline picks it up). A file growing between the two scans
+    * would mis-place the footer cut without tripping the contiguity
+    * guard.
     */
   def sliceLines(lines: DataFrame, delimiter: String, columns: Seq[String],
                  skipHeader: Int, skipFooter: Int, ignoreLines: Set[String]): DataFrame = {
+    require(columns.nonEmpty,
+      "sliceLines needs explicit columns; header derivation (empty raw_columns) " +
+        "is resolved by rawCsv from the files, which a line-set source cannot do")
     import org.apache.spark.sql.expressions.Window
     val body =
       if (skipHeader <= 0 && skipFooter <= 0) lines

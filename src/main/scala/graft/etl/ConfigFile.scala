@@ -118,12 +118,20 @@ object ConfigFile {
   /** Bind `argN` placeholders to the declared input columns and
     * compile the SQL fragment. Word-boundary matching so `arg1`
     * neither clobbers the prefix of `arg10` nor rewrites an `argM`
-    * substring inside an already-substituted column name.
+    * substring inside an already-substituted column name. Input
+    * names that are not bare SQL identifiers (raw counter names may
+    * be dotted OIDs, carry dashes, spaces…) are backtick-quoted, so
+    * `pmCtr.5` substitutes as a column reference rather than parsing
+    * as struct-field access.
     */
+  private def sqlIdent(name: String): String =
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
+    else "`" + name.replace("`", "``") + "`"
+
   private def compileFunction(function: String, inputs: Seq[String]): Column =
     expr((inputs.length to 1 by -1).foldLeft(function) { (f, n) =>
       f.replaceAll(s"\\barg$n\\b",
-        java.util.regex.Matcher.quoteReplacement(inputs(n - 1)))
+        java.util.regex.Matcher.quoteReplacement(sqlIdent(inputs(n - 1))))
     })
 
   private def inputCols(spec: FieldSpec): Seq[String] =

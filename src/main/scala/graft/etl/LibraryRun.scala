@@ -90,9 +90,13 @@ object LibraryRun {
   def runCompiled(spark: SparkSession, compiled: ConfigFile.Compiled,
                   keyCols: Seq[String]): LibraryResult = {
     val result = run(spark, compiled.lib, keyCols)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(compiled.lib.warehouseDir, compiled.reportFileName),
-      result.junitXml)
+    // Hadoop FS, not java.nio: the warehouse may be hdfs://or s3a://
+    // like every other write in the cycle, and create() makes parents
+    val path = new org.apache.hadoop.fs.Path(compiled.lib.warehouseDir, compiled.reportFileName)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(result.junitXml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     result
   }
 

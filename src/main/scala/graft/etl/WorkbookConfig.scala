@@ -79,9 +79,14 @@ object WorkbookConfig {
         s"column '$db' maps from multiple raw counters ${pairs.map(_._1).distinct.mkString(", ")}; " +
           "per-table raw names for one DB name are not supported")
     }
-    val renameFields = renames.collect { case (raw, db) if raw != db =>
-      FieldSpec(db, "column", None, None, Some(raw), Some("arg1"),
-        None, None, None, None, None, None)
+    // a Chill field row that names the same DB column is the explicit
+    // transform — it wins over the implicit HLD rename (appending
+    // both would let the later rename silently clobber the transform)
+    val chillNames = fields.map(_.name).toSet
+    val renameFields = renames.collect {
+      case (raw, db) if raw != db && !chillNames.contains(db) =>
+        FieldSpec(db, "column", None, None, Some(raw), Some("arg1"),
+          None, None, None, None, None, None)
     }
 
     val meta = LibraryMeta(
@@ -90,9 +95,14 @@ object WorkbookConfig {
       version = frontPage.get("Version").orElse(libraryInfo.get("Version")),
       vendor = frontPage.get("Vendor").orElse(libraryInfo.get("Vendor")))
 
+    // absent raw_columns (the reference's normal case — its read_csv
+    // takes column names from the feed's own header line) = empty,
+    // which ChillPipeline.rawCsv resolves by peeking that header;
+    // guessing names from HLD rename rows would invent an ordering
+    // the physical feed never promised
     val rawColumns = scalars.get("raw_columns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(tables.flatMap(_.renames.map(_._1)).distinct)
+      .getOrElse(Seq.empty)
 
     val cfg = ChillConfig(
       input_path = joinPath(
@@ -157,7 +167,10 @@ object WorkbookConfig {
           fields += fieldSpec(name, source = c(1), tag = c(2), inputs = c(3),
             value = c(4), function = c(5), view = c(6), default = c(7))
         case Some(key) =>
-          scalars += key -> c(1).getOrElse("")
+          // a blank value cell means "not configured": omitting lets
+          // every downstream default apply, where storing "" would
+          // defeat it (e.g. delimiter "" splits between every char)
+          c(1).foreach(v => scalars += key -> v)
       }
     }
     val dup = fields.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
@@ -188,8 +201,15 @@ object WorkbookConfig {
           throw new IllegalArgumentException(s"field $name ($src): missing function"))
         val (pattern, group) = ReSearch.findFirstMatchIn(f)
           .map(m => (m.group(1), m.group(2).toInt))
-          // plain-regex form: the function cell holds the pattern itself
-          .getOrElse((f, 1))
+          // plain-regex form: the function cell holds the pattern
+          // itself — but an re.* eval string the regex above could
+          // not parse must fail loudly, not degrade into a pattern
+          // that never matches anything
+          .getOrElse {
+            require(!f.trim.startsWith("re."),
+              s"field $name ($src): cannot parse regex eval '$f' structurally")
+            (f, 1)
+          }
         FieldSpec(name, src, value, tag, inputs, None,
           Some(pattern), Some(group), None, None, None, None)
       case "lookup" =>

@@ -112,18 +112,21 @@ object Xlsx {
     val cur = new StringBuilder
     var inSi = false
     var inT = false
+    var inRph = false // phonetic runs (<rPh>) are guides, not content
     try {
       while (r.hasNext) r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "si" => inSi = true; cur.clear()
-            case "t" if inSi => inT = true
+            case "rPh" => inRph = true
+            case "t" if inSi && !inRph => inT = true
             case _ =>
           }
         case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inT =>
           cur.append(r.getText)
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
+            case "rPh" => inRph = false
             case "t" => inT = false
             case "si" => inSi = false; out += cur.toString
             case _ =>

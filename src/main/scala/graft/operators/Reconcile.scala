@@ -67,8 +67,11 @@ object Reconcile {
     * differs from a tolerance at the rounding boundary — 1.0004 vs
     * 1.0006 round to 1.000 vs 1.001 and are flagged, though their raw
     * difference (0.0002) passes any tolerance ≥ 0.001. Spark's
-    * `round` is HALF_UP, matching Python's round-half-away-from-zero
-    * on the magnitudes involved.
+    * `round` is HALF_UP, matching the reference runtime's Python 2
+    * round (half away from zero). NOTE: Python 3 / numpy round
+    * half-to-even — if the reference harness is ever re-run on
+    * Python 3, exactly-representable .xxx5 ties (e.g. 0.0625 at
+    * scale 3) diverge between the two.
     */
   def valueDiffsRounded(left: DataFrame, right: DataFrame, key: String,
                         valueCol: String, scale: Int = 3): DataFrame =

@@ -43,6 +43,17 @@ class EtlSourceSpec extends AnyFunSuite {
     assert(df.filter(col("id") === "3").select("cnt2").collect().head.getString(0) == "300")
   }
 
+  test("rawCsv derives columns from the feed header when none are configured") {
+    // slice [2:-1] keeps the header line first — the reference's
+    // read_csv takes names from it; the body then starts one line on
+    val df = ChillPipeline.rawCsv(spark, rawDir + "/*.csv", "|",
+      Seq.empty, skipHeader = 2, skipFooter = 1,
+      ignoreLines = Set("IGNORE_ROW"))
+    assert(df.columns.toSet == Set("_file", "id", "cnt1", "cnt2"))
+    assert(df.count() == 5) // header lines are consumed, not data rows
+    assert(df.filter(col("id") === "7").select("cnt1").collect().head.getString(0) == "70")
+  }
+
   test("slicing is exact when one file spans many splits") {
     // force multi-split reads so the per-split offset arithmetic is
     // exercised across chunk boundaries (at 100 TB every big file is

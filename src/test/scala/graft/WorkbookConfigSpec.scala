@@ -35,6 +35,30 @@ class WorkbookConfigSpec extends AnyFunSuite {
     assert(Xlsx.colIndex("A1") == 0 && Xlsx.colIndex("BC7") == 54)
   }
 
+  test("shared strings skip phonetic rPh runs (Excel furigana guides)") {
+    // minimal hand-built package: a shared string with an <rPh> run
+    // must yield the base text only, the way pandas/xlrd read it
+    val f = java.nio.file.Files.createTempFile("rph", ".xlsx")
+    val zip = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(f))
+    def entry(name: String, body: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/sharedStrings.xml",
+      """<sst><si><t>東京</t><rPh sb="0" eb="2"><t>トウキョウ</t></rPh></si></sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData><row r="2"><c r="B2" t="s"><v>0</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    try assert(Xlsx.read(f.toString)("S").cell(1, 1).contains("東京"))
+    finally java.nio.file.Files.delete(f)
+  }
+
   test("valid_lines python slices map to skip_header/skip_footer") {
     assert(WorkbookConfig.parseValidLines("[2:-1]") == ((2, 1)))
     assert(WorkbookConfig.parseValidLines("[:]") == ((0, 0)))
