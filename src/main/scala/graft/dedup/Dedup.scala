@@ -184,7 +184,11 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jump: label(v) := label(label(v)); a label is always
       // a node of the graph, so the lookup is a self-join (left: a
-      // node's own label row may be its fixpoint already)
+      // node's own label row may be its fixpoint already). A giant
+      // component makes its label a hot join key on the probe side —
+      // the lookup side stays unique-keyed, so AQE's skew-join split
+      // handles it without correctness caveats
+
       val next = hopped
         .join(
           hopped.select(col("node").as("label"), col("label").as("jump")),

@@ -272,6 +272,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hit >= 20, s"refined IVF recall too low: $hit/50")
   }
 
+  test("a fitted IVF model reused across searches equals fit-per-search") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val model = ann.Ann.fitIvf(emb, nCells = 16, refineIters = 1)
+    val qA = emb.filter(col("vec_id") < 10)
+    val qB = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    // the same model serves both query sets; each equals the
+    // one-shot fit+search the graded query runs
+    Seq(qA, qB).foreach { q =>
+      val reused = ann.Ann.ivfSearch(model, emb, q, nprobe = 4, k = 5)
+      val oneShot = ann.Ann.ivfTopK(emb, q, nCells = 16, nprobe = 4, k = 5, refineIters = 1)
+      assert(reused.exceptAll(oneShot).isEmpty && oneShot.exceptAll(reused).isEmpty)
+    }
+  }
+
   test("multiprobe LSH ANN always retrieves an exact duplicate as rank 1") {
     // a duplicate shares the sketch bit-for-bit, so it is found in the
     // base probe regardless of parameters — deterministic recall
