@@ -318,6 +318,11 @@ object SparkEntry {
     // D13b: stream packing into token budgets per source shard
     "q_pack_sequences" -> ((s, dir) =>
       TextOps.pack(Tables.documents(s, dir), Seq("source"), 2048)),
+    // D14c: weighted mixture — up-weight src1, drop src2, thin the rest
+    "q_sample_weighted" -> ((s, dir) =>
+      TextOps.sampleWeighted(Tables.documents(s, dir), "source", "doc_id",
+          Map("src1" -> 80, "src2" -> 0), defaultPct = 25)
+        .select("doc_id", "source", "n_chars")),
     // D15: PII-ish redaction (scrub pass)
     "q_text_redact" -> ((s, dir) =>
       TextOps.redact(Tables.documents(s, dir))),
@@ -782,6 +787,11 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS rn
         |  FROM h)
         |SELECT source, CAST(doc_id AS BIGINT) AS doc_id FROM r WHERE rn <= 20""".stripMargin,
+    // same mixed-hash mod-100 selection per stratum
+    "q_sample_weighted" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+        |  CASE source WHEN 'src1' THEN 80 WHEN 'src2' THEN 0 ELSE 25 END""".stripMargin,
     // exclusive running token total per source in doc_id order; the
     // pack is the budget window the doc's first token lands in
     "q_pack_sequences" ->

@@ -155,6 +155,23 @@ object TextOps {
       .select(strataCols.map(col) :+ col("p.tie").as(keyCol): _*)
   }
 
+  /** Weighted mixture sampling: keep `weights(stratum)` percent of
+    * each stratum (`defaultPct` for unlisted strata) — how a training
+    * mix up- or down-weights its sources. Selection reuses the
+    * multiplicative-hash key of [[sampleStratified]] mod 100, so it
+    * is deterministic, engine-replayable, and uncorrelated with
+    * `sampleByKey`'s plain key-mod. A pure scan filter: the weight
+    * map compiles to a literal CASE, no join, fully pushdown-able.
+    */
+  def sampleWeighted(df: DataFrame, strataCol: String, keyCol: String,
+                     weights: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(strataCol) === s, p).otherwise(acc)
+    }
+    df.filter(
+      pmod(pmod(col(keyCol) * lit(2654435761L), lit(4294967296L)), lit(100)) < pct)
+  }
+
   /** PII-ish redaction: emails, long digit runs (phone/account-ish),
     * and IPv4 literals replaced by typed placeholders — the scrub
     * pass a training corpus gets before packaging. Patterns stick to

@@ -466,6 +466,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sample.exceptAll(win).isEmpty && win.exceptAll(sample).isEmpty)
   }
 
+  test("weighted mixture drops zero-weight strata and scales the rest") {
+    val docs = Tables.documents(spark, sf)
+    val mixed = text.TextOps.sampleWeighted(docs, "source", "doc_id",
+      Map("src1" -> 100, "src2" -> 0), defaultPct = 25)
+    val bySource = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySource.contains("src2"))
+    assert(bySource("src1") == 25) // 100% of its 25 docs
+    // hash-spread strata: each retains roughly a quarter; exact
+    // counts are deterministic, just not uniform per tiny stratum
+    val rest = bySource.view.filterKeys(k => k != "src1" && k != "src2").values
+    assert(rest.sum < 25 * 18 / 2 && rest.sum > 0)
+    val again = text.TextOps.sampleWeighted(docs, "source", "doc_id",
+      Map("src1" -> 100, "src2" -> 0), defaultPct = 25)
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+  }
+
   test("operators tolerate an empty corpus") {
     val docs = Tables.documents(spark, sf).filter(lit(false))
     assert(dedup.Dedup.ngramJaccardPairs(docs, 3, 0.8).count() == 0)
