@@ -200,6 +200,18 @@ object SparkEntry {
       Analytics.sessionize(Tables.events(s, dir), 1800L)
         .withColumn("session_start", col("session_start").cast("timestamp_ntz"))
         .withColumn("session_end", col("session_end").cast("timestamp_ntz"))),
+    // E15: bucketed range join — classify every order price against
+    // each priority cohort's [min, max] envelope; the interval join
+    // runs as a bucket equi-join, never a nested loop
+    "q_range_band" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val bands = o.groupBy(col("o_orderpriority").as("band"))
+        .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      Analytics.rangeJoin(
+          o.select(col("o_orderkey"), col("o_totalprice")), "o_totalprice",
+          bands, "lo", "hi", bucketWidth = 50000.0)
+        .groupBy(col("band")).agg(count(lit(1)).as("n_in_band"))
+    }),
     // D1: exact dedup
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).select("keep_id", "n_copies")),
@@ -787,6 +799,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS rn
         |  FROM h)
         |SELECT source, CAST(doc_id AS BIGINT) AS doc_id FROM r WHERE rn <= 20""".stripMargin,
+    // interval containment replayed as a plain BETWEEN join
+    "q_range_band" ->
+      """WITH b AS (SELECT o_orderpriority AS band,
+        |    min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |  FROM orders GROUP BY 1)
+        |SELECT band, count(*) AS n_in_band
+        |FROM orders o JOIN b ON o.o_totalprice BETWEEN b.lo AND b.hi
+        |GROUP BY band""".stripMargin,
     // same mixed-hash mod-100 selection per stratum
     "q_sample_weighted" ->
       """SELECT doc_id, source, n_chars FROM documents

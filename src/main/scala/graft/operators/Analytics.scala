@@ -20,6 +20,36 @@ object Analytics {
     df.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
   }
 
+  /** Bucketed range join: each point row joins every range row whose
+    * `[lo, hi]` interval contains its `pointCol` value. Spark plans a
+    * raw inequality join as BroadcastNestedLoopJoin — quadratic and
+    * broadcast-bound; here each range explodes into the fixed-width
+    * buckets it covers, points compute their single bucket, and the
+    * join is an EQUI-join on the bucket id (shuffle-partitionable at
+    * any scale) with exact containment as a post-filter.
+    *
+    * `bucketWidth` trades range fan-out (a range spanning s buckets
+    * costs s index rows — keep width ≳ the typical range span)
+    * against bucket selectivity (width ≫ spans puts many ranges in
+    * one bucket and the post-filter does the pruning). Both sides
+    * keep all their columns; name collisions must be resolved by the
+    * caller beforehand.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                ranges: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val expanded = ranges
+      .withColumn("_bucket",
+        explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
+          floor(col(hiCol) / bucketWidth).cast("long"))))
+    points
+      .withColumn("_bucket", floor(col(pointCol) / bucketWidth).cast("long"))
+      .join(expanded, "_bucket")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bucket")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same user exceeds `gapSeconds`.
     * Two window passes over the same (user, time) ordering — Catalyst

@@ -483,6 +483,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
   }
 
+  test("bucketed range join equals the naive inequality join") {
+    import spark.implicits._
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 99.5), (4L, -3.0), (5L, 250.0))
+      .toDF("pid", "v")
+    val ranges = Seq(("a", 0.0, 10.0), ("b", 9.5, 100.0), ("c", -10.0, -1.0),
+      ("d", 300.0, 400.0)).toDF("rid", "lo", "hi")
+    val got = operators.Analytics.rangeJoin(points, "v", ranges, "lo", "hi", 7.0)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = points.join(ranges, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == naive)
+    assert(got == Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"), (4L, "c")))
+  }
+
+  test("range join plans as an equi-join, not a nested loop") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val points = Tables.orders(spark, sf).select(col("o_totalprice").as("v"))
+      val ranges = Seq((0.0, 100000.0), (100000.0, 600000.0)).toDF("lo", "hi")
+      val p = operators.Analytics.rangeJoin(points, "v", ranges, "lo", "hi", 50000.0)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"range join degenerated to a nested loop:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected a shuffled equi-join:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("operators tolerate an empty corpus") {
     val docs = Tables.documents(spark, sf).filter(lit(false))
     assert(dedup.Dedup.ngramJaccardPairs(docs, 3, 0.8).count() == 0)
