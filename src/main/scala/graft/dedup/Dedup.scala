@@ -165,10 +165,11 @@ object Dedup {
       .repartition(width, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // initial label: the smallest id among the node and its neighbors
-    var labels = edges
+    var ckpt = edges
       .groupBy(col("src").as("node"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
       .localCheckpoint()
+    var labels = ckpt
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxIter) {
@@ -180,27 +181,27 @@ object Dedup {
         .agg(min(col("label")).as("nbr_label"))
       val hopped = labels
         .join(viaNbr, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jump: label(v) := label(label(v)); a label is always
       // a node of the graph, so the lookup is a self-join (left: a
       // node's own label row may be its fixpoint already). A giant
       // component makes its label a hot join key on the probe side —
       // the lookup side stays unique-keyed, so AQE's skew-join split
-      // handles it without correctness caveats
-
+      // handles it without correctness caveats. The pre-hop label
+      // rides along so the convergence check below is a scan of the
+      // checkpointed table, not another join against the old one.
       val next = hopped
         .join(
           hopped.select(col("node").as("label"), col("label").as("jump")),
           Seq("label"), "left")
-        .select(col("node"), coalesce(col("jump"), col("label")).as("label"))
+        .select(col("node"), coalesce(col("jump"), col("label")).as("label"),
+          col("prev_label"))
         .localCheckpoint() // eager: materializes AND truncates lineage
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev_label"), "node")
-        .filter(col("label") < col("prev_label"))
-        .count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("label") < col("prev_label")).count()
+      ckpt.unpersist()
+      ckpt = next
+      labels = next.select(col("node"), col("label"))
       rounds += 1
     }
     edges.unpersist()
