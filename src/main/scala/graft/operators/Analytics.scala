@@ -39,7 +39,13 @@ object Analytics {
                 ranges: DataFrame, loCol: String, hiCol: String,
                 bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!points.columns.contains("_bucket") && !ranges.columns.contains("_bucket"),
+      "rangeJoin uses _bucket internally; rename that column on the inputs")
     val expanded = ranges
+      // an inverted range matches nothing — dropping it up front also
+      // keeps sequence() from stepping DOWNWARD through ~lo/width
+      // rows (its default when start > stop) for one malformed row
+      .filter(col(loCol) <= col(hiCol))
       .withColumn("_bucket",
         explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
           floor(col(hiCol) / bucketWidth).cast("long"))))

@@ -132,9 +132,7 @@ object TextOps {
   }
 
   /** Stratified deterministic sampling: k rows per stratum, chosen by
-    * a multiplicative-hash order over `keyCol` (Knuth 2654435761 mod
-    * 2^32 — exact long arithmetic, so any engine replays the same
-    * sample; requires key < ~2^31 to stay inside long range).
+    * the [[hashKey]] multiplicative-hash order over `keyCol`.
     *
     * The selection runs through the bounded-heap top-k aggregate:
     * partial heaps combine map-side and k rows per stratum cross the
@@ -143,9 +141,18 @@ object TextOps {
     * fetch payload columns by joining the (tiny) sample back against
     * the bucketed corpus.
     */
+  /** The shared multiplicative-hash order key (Knuth 2654435761 mod
+    * 2^32): exact long arithmetic both engines replay identically.
+    * Requires key < ~2^31 to stay inside long range — larger keys
+    * overflow the multiply (wrap in non-ANSI Spark, error in ANSI
+    * and in DuckDB), so re-key or pre-mod first.
+    */
+  private def hashKey(keyCol: String) =
+    pmod(col(keyCol) * lit(2654435761L), lit(4294967296L))
+
   def sampleStratified(df: DataFrame, strataCols: Seq[String], keyCol: String,
                        k: Int): DataFrame = {
-    val hkey = pmod(col(keyCol) * lit(2654435761L), lit(4294967296L))
+    val hkey = hashKey(keyCol)
     df.select(strataCols.map(col) :+ hkey.as("hkey") :+
         col(keyCol).cast("long").as(keyCol): _*)
       .groupBy(strataCols.map(col): _*)
@@ -157,9 +164,9 @@ object TextOps {
 
   /** Weighted mixture sampling: keep `weights(stratum)` percent of
     * each stratum (`defaultPct` for unlisted strata) — how a training
-    * mix up- or down-weights its sources. Selection reuses the
-    * multiplicative-hash key of [[sampleStratified]] mod 100, so it
-    * is deterministic, engine-replayable, and uncorrelated with
+    * mix up- or down-weights its sources. Selection is the shared
+    * [[hashKey]] mod 100, so it is deterministic, engine-replayable
+    * (same key bound as [[hashKey]]), and uncorrelated with
     * `sampleByKey`'s plain key-mod. A pure scan filter: the weight
     * map compiles to a literal CASE, no join, fully pushdown-able.
     */
@@ -168,8 +175,7 @@ object TextOps {
     val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
       when(col(strataCol) === s, p).otherwise(acc)
     }
-    df.filter(
-      pmod(pmod(col(keyCol) * lit(2654435761L), lit(4294967296L)), lit(100)) < pct)
+    df.filter(pmod(hashKey(keyCol), lit(100)) < pct)
   }
 
   /** PII-ish redaction: emails, long digit runs (phone/account-ish),

@@ -487,8 +487,10 @@ class OperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     val points = Seq((1L, 5.0), (2L, 10.0), (3L, 99.5), (4L, -3.0), (5L, 250.0))
       .toDF("pid", "v")
+    // "e" is inverted (lo > hi): matches nothing, and must not
+    // explode a descending bucket sequence
     val ranges = Seq(("a", 0.0, 10.0), ("b", 9.5, 100.0), ("c", -10.0, -1.0),
-      ("d", 300.0, 400.0)).toDF("rid", "lo", "hi")
+      ("d", 300.0, 400.0), ("e", 50.0, 40.0)).toDF("rid", "lo", "hi")
     val got = operators.Analytics.rangeJoin(points, "v", ranges, "lo", "hi", 7.0)
       .select("pid", "rid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val naive = points.join(ranges, col("v") >= col("lo") && col("v") <= col("hi"))
