@@ -200,7 +200,10 @@ object ConfigFile {
       LibraryConfig(
         rawPath = cfg.input_path,
         delimiter = cfg.delimiter,
-        rawColumns = cfg.raw_columns,
+        // a JSON rendition omitting raw_columns decodes as null;
+        // empty means "derive from the feed header" (rawCsv), same
+        // as the workbook path
+        rawColumns = Option(cfg.raw_columns).getOrElse(Seq.empty),
         skipHeader = cfg.skip_header,
         skipFooter = cfg.skip_footer,
         ignoreLines = cfg.ignore_lines.getOrElse(Nil).toSet,
