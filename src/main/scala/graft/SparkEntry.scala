@@ -395,7 +395,28 @@ object SparkEntry {
     // (already oracle-matched) n-gram Jaccard pair graph; the oracle
     // replays reachability with a recursive CTE
     "q_dedup_groups" -> ((s, dir) =>
-      Dedup.components(Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.8)))
+      Dedup.components(Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.8))),
+    // D9c: Gopher-style repetition/boilerplate metrics + keep verdict
+    "q_quality_repetition" -> ((s, dir) =>
+      TextOps.repetition(Tables.documents(s, dir))),
+    // D10b: corpus vocabulary top-k (explode → partial agg → bounded
+    // heap TakeOrdered; deterministic tie-break)
+    "q_vocab_topk" -> ((s, dir) =>
+      TextOps.vocab(Tables.documents(s, dir), 50)),
+    // D16: test-set decontamination — 5-gram overlap of the training
+    // split against a deterministic benchmark split of the corpus
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isBench = pmod(col("doc_id"), lit(97)) === 3
+      TextOps.decontaminate(docs.filter(!isBench), docs.filter(isBench), 5)
+    }),
+    // D9d: percentile corpus filter — keep docs at/above the global
+    // median word count (exact percentile; approx at 100 TB)
+    "q_quality_filter" -> ((s, dir) =>
+      TextOps.qualityFilter(Tables.documents(s, dir), 0.5)),
+    // A11: semi-structured JSON profiling over the props payload
+    "q_json_extract" -> ((s, dir) =>
+      Analytics.jsonProfile(Tables.events(s, dir), "k"))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -907,6 +928,63 @@ object SparkEntry {
         |  CAST(cnt*10 + id AS BIGINT) AS cnt10, region,
         |  CASE WHEN tbl = 'TBL_A_5M'
         |       THEN CAST(cnt*10 + id AS DOUBLE) / id END AS cnt_per_id
-        |FROM raw""".stripMargin
+        |FROM raw""".stripMargin,
+    // same single-division ratios over the same word/bigram arrays;
+    // DuckDB list slicing w[i:i+1] is inclusive (2 elements)
+    "q_quality_repetition" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id, text, len(w) AS n_words,
+        |   1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_ratio,
+        |   CASE WHEN len(w) >= 2
+        |        THEN list_transform(generate_series(1, len(w) - 1),
+        |               i -> w[i] || ' ' || w[i+1])
+        |        ELSE [] END AS g
+        |  FROM t)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words, dup_word_ratio,
+        | CASE WHEN len(g) > 0
+        |      THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+        |      ELSE 0.0 END AS dup_bigram_ratio,
+        | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |   / n_words AS symbol_ratio,
+        | CAST(dup_word_ratio <= 0.6
+        |  AND (CASE WHEN len(g) > 0
+        |       THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+        |       ELSE 0.0 END) <= 0.4
+        |  AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |       / n_words <= 0.1 AS INT) AS keep
+        |FROM m""".stripMargin,
+    "q_vocab_topk" ->
+      """SELECT word, count(*) AS n_occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY n_occurrences DESC, word LIMIT 50""".stripMargin,
+    // same per-doc-distinct 5-gram sets; w[i:i+4] is 5 words inclusive
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |   unnest(list_distinct(list_transform(generate_series(1, len(w) - 4),
+        |     i -> array_to_string(w[i:i+4], ' ')))) AS gram
+        |  FROM t WHERE len(w) >= 5),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 3),
+        |corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 3)
+        |SELECT corp.doc_id, count(*) AS n_hits
+        |FROM corp JOIN bench USING (gram)
+        |GROUP BY 1""".stripMargin,
+    // quantile_cont == Spark's exact linear-interpolation percentile
+    "q_quality_filter" ->
+      """WITH q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words
+        |  FROM documents),
+        |t AS (SELECT quantile_cont(n_words, 0.5) AS thr FROM q)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words
+        |FROM q, t WHERE n_words >= thr""".stripMargin,
+    // ->> extracts the field as text; absent fields are NULL on both
+    // sides, and avg is one double division of the same integers
+    "q_json_extract" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(props->>'k' AS INT) AS v FROM events)
+        |SELECT event_type, count(*) AS n_events, count(v) AS n_with_field,
+        | CAST(SUM(v) AS BIGINT) AS sum_v, min(v) AS min_v, max(v) AS max_v,
+        | CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / count(v) AS avg_v
+        |FROM e GROUP BY 1""".stripMargin
   )
 }

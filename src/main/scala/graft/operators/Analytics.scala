@@ -56,6 +56,30 @@ object Analytics {
       .drop("_bucket")
   }
 
+  /** Semi-structured profiling: pull one integer field out of the
+    * JSON `props` payload and aggregate it per event type — the
+    * schema-on-read path for a feed whose properties column is opaque
+    * JSON (the reference's raw feeds carry free-form per-row tags the
+    * same way). `get_json_object` evaluates inside the scan stage, so
+    * this is one scan + one partial-agg shuffle of tiny grouped rows;
+    * fields absent from a payload aggregate as NULL (counted
+    * separately), never as errors.
+    */
+  def jsonProfile(events: DataFrame, field: String): DataFrame = {
+    val v = get_json_object(col("props"), "$." + field).cast("int")
+    events
+      .select(col("event_type"), v.as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("v")).as("n_with_field"),
+        sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .withColumn("avg_v",
+        col("sum_v").cast("double") / col("n_with_field"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same user exceeds `gapSeconds`.
     * Two window passes over the same (user, time) ordering — Catalyst

@@ -206,4 +206,107 @@ object TextOps {
         split(col("text"), " "),
         lit(0L),
         (acc, w) => acc * lit(1000003L) + xxhash64(w)).as("fingerprint"))
+
+  /** Word n-gram strings of a document's word array: positions
+    * 1..len-n+1, each joined with single spaces; empty when the
+    * document is shorter than n. The `when` guard matters: Spark's
+    * `sequence(1, 0)` counts DOWN (yielding [1,0]) instead of
+    * returning empty, which would fabricate grams for short docs.
+    */
+  private def wordGrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Repetition / boilerplate quality metrics (the Gopher-rule
+    * family): duplicate-word fraction, duplicate-bigram fraction, and
+    * symbol-to-word ratio, plus the keep verdict a filtering pass
+    * would apply. Pure per-row projection — no shuffle, scales
+    * linearly, and the `text` read pushes down to parquet. Ratios are
+    * single divisions (IEEE-identical across engines).
+    */
+  def repetition(docs: DataFrame,
+                 maxDupWordRatio: Double = 0.6,
+                 maxDupBigramRatio: Double = 0.4,
+                 maxSymbolRatio: Double = 0.1): DataFrame = {
+    val metrics = bind(split(col("text"), " ")) { w =>
+      val nWords = size(w)
+      val dupWord = lit(1.0) - size(array_distinct(w)).cast("double") / nWords
+      val dupBigram = bind(wordGrams(w, 2)) { g =>
+        when(size(g) > 0,
+          lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+          .otherwise(lit(0.0))
+      }
+      struct(nWords.as("n_words"), dupWord.as("dup_word_ratio"),
+        dupBigram.as("dup_bigram_ratio"))
+    }
+    docs.select(col("doc_id"), metrics.as("m"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).as("n_symbols"))
+      .select(
+        col("doc_id"),
+        col("m.n_words").as("n_words"),
+        col("m.dup_word_ratio").as("dup_word_ratio"),
+        col("m.dup_bigram_ratio").as("dup_bigram_ratio"),
+        (col("n_symbols").cast("double") / col("m.n_words")).as("symbol_ratio"))
+      .withColumn("keep",
+        (col("dup_word_ratio") <= maxDupWordRatio &&
+          col("dup_bigram_ratio") <= maxDupBigramRatio &&
+          col("symbol_ratio") <= maxSymbolRatio).cast("int"))
+  }
+
+  /** Corpus vocabulary: the k most frequent whitespace tokens with a
+    * deterministic (count desc, word asc) tie-break. The plan is
+    * explode → partial-agg count (map-side combine shrinks the
+    * shuffle to the per-partition vocabulary) → TakeOrderedAndProject
+    * (per-partition bounded heaps, k rows to the driver) — never a
+    * full sort of the vocabulary.
+    */
+  def vocab(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("word").asc)
+      .limit(k)
+
+  /** Test-set decontamination: count, per corpus document, how many
+    * distinct word n-grams it shares with a benchmark corpus — the
+    * screen a training pipeline runs so eval data never leaks into
+    * training data. Only contaminated documents return (n_hits >= 1);
+    * anti-join the result against the corpus to drop them.
+    *
+    * Scale: each side's grams are deduped per document BEFORE the
+    * join (array_distinct in-map, no extra shuffle), and the
+    * benchmark side — eval sets are small by nature — broadcasts, so
+    * the corpus never shuffles. For a benchmark too big to broadcast,
+    * hash grams to longs ([[graft.functions.TextHashFunctions]]) and
+    * shuffle-join on the 8-byte key instead of the string.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(bind(split(col("text"), " "))(w => array_distinct(wordGrams(w, n))))
+        .as("gram"))
+    grams(corpus)
+      .join(broadcast(grams(benchmark).select("gram").distinct()), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Percentile corpus filter: keep documents whose word count clears
+    * the corpus-wide `quantile` (exact linear-interpolation
+    * percentile, the same form DuckDB's quantile_cont computes). The
+    * one-row threshold broadcasts back over a second scan — two scans
+    * total; at 100 TB swap the exact percentile for approx_percentile
+    * and the second scan stays identical.
+    */
+  def qualityFilter(docs: DataFrame, quantile: Double): DataFrame = {
+    val counted = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_words"))
+    val threshold = counted.agg(
+      percentile(col("n_words"), lit(quantile)).as("thr"))
+    counted.crossJoin(broadcast(threshold))
+      .filter(col("n_words") >= col("thr"))
+      .select(col("doc_id"), col("n_words"))
+  }
 }

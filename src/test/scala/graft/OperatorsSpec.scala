@@ -358,6 +358,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == "mail <EMAIL> ip <IP> tel <NUM> ok", out)
   }
 
+  test("repetition metrics flag boilerplate and pass clean text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"), // 75% dup words, 2/3 dup bigrams
+      (2L, "all four words differ"), // clean
+      (3L, "solo")                   // no bigrams → ratio 0
+    ).toDF("doc_id", "text")
+    val m = text.TextOps.repetition(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getDouble(2) == 0.75 && m(1L).getInt(5) == 0)
+    assert(math.abs(m(1L).getDouble(3) - (1.0 - 1.0 / 3)) < 1e-15)
+    assert(m(2L).getDouble(2) == 0.0 && m(2L).getInt(5) == 1)
+    assert(m(3L).getDouble(3) == 0.0)
+  }
+
+  test("vocab top-k orders by count then word") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a b c a b"), (2L, "c a")).toDF("doc_id", "text")
+    val top = text.TextOps.vocab(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("a", 3L), ("b", 3L), ("c", 2L))) // tie a<b
+  }
+
+  test("decontamination counts distinct shared n-grams per doc") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "so the quick brown fox jumps right here"), // 1 shared 5-gram
+      (2L, "completely unrelated text with no overlap at all"),
+      (3L, "x the quick brown fox jumps over y")        // 2 shared 5-grams
+    ).toDF("doc_id", "text")
+    val hits = text.TextOps.decontaminate(corpus, bench, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 3L -> 2L), hits.toString)
+  }
+
+  test("percentile filter keeps docs at or above the global median") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    // word counts 1..4 → median 2.5 → keep 3 and 4
+    val kept = text.TextOps.qualityFilter(docs, 0.5).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+  }
+
+  test("json profile aggregates the extracted field, nulls counted apart") {
+    import spark.implicits._
+    val ev = Seq(
+      ("click", """{"k": 10}"""), ("click", """{"k": 4}"""),
+      ("click", """{"other": 1}"""), ("view", """{"k": 7}"""))
+      .toDF("event_type", "props")
+    val out = operators.Analytics.jsonProfile(ev, "k").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("click").getLong(1) == 3 && out("click").getLong(2) == 2)
+    assert(out("click").getLong(3) == 14 && out("click").getDouble(6) == 7.0)
+    assert(out("view").getInt(4) == 7 && out("view").getInt(5) == 7)
+  }
+
   test("components labels every node with the min reachable id, across chains") {
     import spark.implicits._
     // two components: a 5-chain (min propagates 4 hops) + a 2-clique

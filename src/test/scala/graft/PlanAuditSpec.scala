@@ -109,6 +109,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"RDD hop in multimodal plan:\n$p")
   }
 
+  test("repetition metrics are a pure projection: zero exchanges") {
+    val p = plan("q_quality_repetition")
+    assert(!p.contains("Exchange"), s"per-row metrics must not shuffle:\n$p")
+  }
+
+  test("vocab top-k is partial-agg + bounded heaps, never a full sort") {
+    val p = plan("q_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition heap top-k:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "one shuffle: the word-count aggregation")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "map-side combine must shrink the explode before the shuffle")
+  }
+
+  test("decontamination broadcasts the benchmark gram set") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus grams must not shuffle for the join:\n$p")
+  }
+
+  test("json profiling evaluates extraction inside the scan stage") {
+    val p = plan("q_json_extract")
+    assert(p.contains("get_json_object"), "extraction must be in the plan")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1 &&
+      "HashAggregate".r.findAllIn(p).length >= 2,
+      s"one partial-agg shuffle of grouped rows only:\n$p")
+  }
+
+  test("percentile filter broadcasts the one-row threshold") {
+    val p = plan("q_quality_filter")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"threshold must broadcast back over the scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("raw line slicing never exchanges the feed body") {
     val dir = java.nio.file.Files.createTempDirectory("sliceaudit")
     java.nio.file.Files.writeString(dir.resolve("a.csv"),
