@@ -416,7 +416,50 @@ object SparkEntry {
       TextOps.qualityFilter(Tables.documents(s, dir), 0.5)),
     // A11: semi-structured JSON profiling over the props payload
     "q_json_extract" -> ((s, dir) =>
-      Analytics.jsonProfile(Tables.events(s, dir), "k"))
+      Analytics.jsonProfile(Tables.events(s, dir), "k")),
+    // B10: SCD2 dimension intervals from the change-event stream
+    // (ntz casts: the driver compares naive timestamps)
+    "q_scd2" -> ((s, dir) =>
+      graft.operators.Scd.scd2(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id")
+        .withColumn("valid_from", col("valid_from").cast("timestamp_ntz"))
+        .withColumn("valid_to", col("valid_to").cast("timestamp_ntz"))),
+    // D18: BM25 keyword search, top-20 with doc_id tie-break
+    "q_bm25_search" -> ((s, dir) =>
+      graft.text.Search.bm25(Tables.documents(s, dir),
+        Seq("spark", "join", "window"), 20)),
+    // D19: per-label embedding centroids (decimal-exact means)
+    "q_embed_centroids" -> ((s, dir) =>
+      Ann.groupCentroids(Tables.embeddings(s, dir), "label")),
+    // E16: per-source heavy hitters through the Misra-Gries
+    // aggregate; capacity 256 ≥ the corpus vocabulary, so the
+    // sketch is in its exact regime and the plain GROUP BY oracle
+    // applies (the approx regime is spec-pinned)
+    "q_heavy_hitters" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("source"))
+        .agg(graft.functions.FreqFunctions.heavyHitters(col("word"), 256).as("hh"))
+        .select(col("source"), explode(col("hh")).as("h"))
+        .select(col("source"), col("h.item").as("word"),
+          col("h.count").as("n_occurrences"))),
+    // E17: z-order key over (user bucket, hour bucket) — the
+    // clustering key a 100 TB layout would sort files by
+    "q_zorder_key" -> ((s, dir) => {
+      val ev = Tables.eventsRaw(s, dir)
+      val x = pmod(col("user_id"), lit(4096L))
+      val y = pmod(expr("ts div 3600000000000"), lit(4096L))
+      ev.select(col("event_id"), x.as("x"), y.as("y"),
+        graft.operators.Layout.zorderKey(x, y).as("zkey"))
+    }),
+    // E18: bloom-pre-filtered exact semi-join (runtime-filter shape)
+    "q_bloom_semijoin" -> ((s, dir) =>
+      graft.operators.BloomJoin.bloomSemiJoin(
+        Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir).filter(col("o_totalprice") > 150000.0),
+        "o_orderkey", 1L << 20, 0.01)
+        .select(col("l_orderkey"), col("l_linenumber")))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -985,6 +1028,96 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n_events, count(v) AS n_with_field,
         | CAST(SUM(v) AS BIGINT) AS sum_v, min(v) AS min_v, max(v) AS max_v,
         | CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / count(v) AS avg_v
-        |FROM e GROUP BY 1""".stripMargin
+        |FROM e GROUP BY 1""".stripMargin,
+    // lag IS DISTINCT FROM == Spark's isNull || =!= on a non-null attr
+    "q_scd2" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        | FROM events),
+        |v AS (SELECT user_id, event_type, ts,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        | FROM o),
+        |runs AS (SELECT user_id, version, min(event_type) AS event_type,
+        |  min(ts) AS valid_from, count(*) AS n_rows
+        | FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, event_type, valid_from,
+        | lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+        | n_rows,
+        | CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |   IS NULL AS INT) AS is_current
+        |FROM runs""".stripMargin,
+    // every constant is binary-exact (.5, .25, .75, 2.25) and every
+    // expression is written in the same association order as the
+    // Spark side, so doubles — including ln, bit-identical between
+    // DuckDB's libm and the JVM — hash-match exactly
+    "q_bm25_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |  CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf0,
+        |  CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf1,
+        |  CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf2
+        | FROM t),
+        |s AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        | FROM c)
+        |SELECT doc_id,
+        |  ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+        |    * ((tf0 * 2.25) / (tf0 + 1.25 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))
+        |  + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+        |    * ((tf1 * 2.25) / (tf1 + 1.25 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))
+        |  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+        |    * ((tf2 * 2.25) / (tf2 + 1.25 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))
+        |  AS score
+        |FROM c, s
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // the VARCHAR round-trips force shortest-repr semantics: Spark's
+    // double→decimal cast goes through BigDecimal.valueOf (shortest
+    // decimal string), while DuckDB's direct numeric casts multiply
+    // in double and drift a ulp — via strings both engines convert
+    // exactly (components ≥1e-9 need ≤17 fractional digits), and the
+    // decimal sum is order-independent
+    "q_embed_centroids" ->
+      """SELECT label, i - 1 AS pos, count(*) AS n_vectors,
+        | CAST(CAST(sum(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+        |   AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / count(*) AS mean_v
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT source, word, count(*) AS n_occurrences
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |      FROM documents)
+        |WHERE word <> '' GROUP BY 1, 2""".stripMargin,
+    // the same mask-and-shift interleave ladder as Layout.spreadBits
+    "q_zorder_key" ->
+      """WITH base AS (SELECT event_id, user_id % 4096 AS x,
+        |  (epoch_ns(ts) // 3600000000000) % 4096 AS y FROM events),
+        |s1 AS (SELECT event_id, x, y,
+        |  (x | (x << 16)) & 281470681808895 AS ax,
+        |  (y | (y << 16)) & 281470681808895 AS ay FROM base),
+        |s2 AS (SELECT event_id, x, y,
+        |  (ax | (ax << 8)) & 71777214294589695 AS ax,
+        |  (ay | (ay << 8)) & 71777214294589695 AS ay FROM s1),
+        |s3 AS (SELECT event_id, x, y,
+        |  (ax | (ax << 4)) & 1085102592571150095 AS ax,
+        |  (ay | (ay << 4)) & 1085102592571150095 AS ay FROM s2),
+        |s4 AS (SELECT event_id, x, y,
+        |  (ax | (ax << 2)) & 3689348814741910323 AS ax,
+        |  (ay | (ay << 2)) & 3689348814741910323 AS ay FROM s3),
+        |s5 AS (SELECT event_id, x, y,
+        |  (ax | (ax << 1)) & 6148914691236517205 AS ax,
+        |  (ay | (ay << 1)) & 6148914691236517205 AS ay FROM s4)
+        |SELECT event_id, x, y, (ax | (ay << 1)) AS zkey FROM s5""".stripMargin,
+    // the bloom is a pre-filter only: exact verify makes the result
+    // the plain semi-join
+    "q_bloom_semijoin" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)""".stripMargin
   )
 }

@@ -357,6 +357,35 @@ object Ann {
               nprobe: Int, k: Int, refineIters: Int = 0): DataFrame =
     ivfSearch(fitIvf(corpus, nCells, refineIters), corpus, queries, nprobe, k)
 
+  /** Per-group element-wise embedding centroids (mean pooling): one
+    * row per (group, dimension) with the vector count and the mean
+    * component — class prototypes for classification, seeds for
+    * clustering, or per-source corpus drift monitoring.
+    *
+    * Exactness: float components are widened to their exact double
+    * value, then summed as DECIMAL(38,18) — order-independent, so the
+    * mean is deterministic under any partitioning (a plain double sum
+    * would drift with partition order). Spark's double→decimal cast
+    * rounds the double's SHORTEST decimal repr (BigDecimal.valueOf),
+    * so the oracle must convert through VARCHAR to match; with
+    * components ≥ 1e-9 the repr fits 18 fractional digits and the
+    * conversion is exact on both sides. The mean itself is one
+    * decimal→double cast and one division.
+    *
+    * Scale: posexplode fans each vector into `dims` narrow rows, but
+    * partial aggregation collapses them map-side to (groups × dims)
+    * rows per partition — the shuffle carries centroids, not vectors.
+    */
+  def groupCentroids(corpus: DataFrame, groupCol: String): DataFrame =
+    corpus
+      .select(col(groupCol), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(col("v").cast("double").cast("decimal(38,18)")).as("s"))
+      .select(col(groupCol), col("pos"), col("n_vectors"),
+        (col("s").cast("double") / col("n_vectors")).as("mean_v"))
+
   /** Exact embedding near-dup pairs above a cosine threshold
     * (brute-force; the recall baseline for the banded-LSH path in
     * specs — NOT a graded query: the self-join is unbounded).

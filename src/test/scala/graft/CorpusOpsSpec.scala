@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Ann
+import graft.functions.FreqFunctions
+import graft.operators.{BloomJoin, Layout, Scd}
+import graft.text.Search
+
+/** Specs for the round-4 widening: SCD2 intervals, BM25 search,
+  * embedding centroids, heavy hitters, z-order layout, bloom
+  * semi-join.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("scd2 collapses runs into versioned intervals") {
+    val df = Seq(
+      (1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),
+      (1L, "A", 40L, 4L), (2L, "X", 15L, 5L))
+      .toDF("user_id", "attr", "ts", "event_id")
+    val out = Scd.scd2(df, "user_id", "attr", "ts", "event_id")
+      .orderBy("user_id", "version")
+      .select("user_id", "version", "attr", "valid_from", "valid_to",
+        "n_rows", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "A", 10L, 30L, 2L, 0),
+      (1L, 2L, "B", 30L, 40L, 1L, 0),
+      (1L, 3L, "A", 40L, -1L, 1L, 1),
+      (2L, 1L, "X", 15L, -1L, 1L, 1)))
+  }
+
+  test("bm25 ranks multi-hit docs first and drops no-hit docs") {
+    val docs = Seq(
+      (1L, "spark spark join x"), (2L, "spark y z w"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = Search.bm25(docs, Seq("spark", "join"), 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.forall(_.getDouble(1) > 0))
+    assert(out(0).getDouble(1) > out(1).getDouble(1))
+  }
+
+  test("heavy hitters with capacity >= vocabulary is exact") {
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val exact = words.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = words
+      .agg(FreqFunctions.heavyHitters(col("w"), 10000).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+  }
+
+  test("heavy hitters at tiny capacity keeps the >n/k guarantee") {
+    // 60 "hot" + 40 distinct cold items, interleaved, 4 partitions
+    val items = (0 until 100).map(i => if (i % 5 < 3) "hot" else s"c$i")
+    val df = items.toDF("w").repartition(4)
+    val got = df.agg(FreqFunctions.heavyHitters(col("w"), 4).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= 4)
+    // freq(hot)=60 > n/capacity=25 → guaranteed present, never overcounted
+    assert(got.contains("hot"))
+    assert(got("hot") <= 60L && got("hot") >= 60L - 25L)
+    assert(got.forall { case (_, c) => c > 0 })
+  }
+
+  test("group centroids are element-wise means") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f), 1), (2L, Seq(3.0f, 4.0f), 1),
+      (3L, Seq(0.5f, 0.5f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.groupCentroids(emb, "label").orderBy("label", "pos")
+      .select("label", "pos", "n_vectors", "mean_v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1, 0, 2L, 2.0), (1, 1, 2L, 3.0), (2, 0, 1L, 0.5), (2, 1, 1L, 0.5)))
+  }
+
+  test("zorder key interleaves bits") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L)).toDF("a", "b")
+    val z = df.select(Layout.zorderKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    // spread(3)=0b101, spread(5)=0b10001 → 0b101 | 0b100010 = 39
+    assert(z.toSeq == Seq(0L, 1L, 2L, 39L))
+  }
+
+  test("layoutForScan writes disjoint key ranges per file") {
+    val grid = for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+      .withColumn("z", Layout.zorderKey(col("x"), col("y")))
+    val clustered = Layout.layoutForScan(df, col("z"), 8)
+    assert(clustered.queryExecution.toString.toLowerCase
+      .contains("rangepartitioning"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    clustered.write.mode("overwrite").parquet(tmp)
+    val ranges = spark.read.parquet(tmp)
+      .select(input_file_name().as("f"), col("z"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length == 8)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(lo > hi, "file ranges overlap")
+      case _ => ()
+    }
+  }
+
+  test("bloom semi-join equals the exact semi-join") {
+    val li = Tables.lineitem(spark, sf)
+    val ord = Tables.orders(spark, sf).filter(col("o_totalprice") > 150000.0)
+    val got = BloomJoin.bloomSemiJoin(li, "l_orderkey", ord, "o_orderkey", 100000L)
+    val want = li.join(ord.select("o_orderkey").distinct(),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+}
