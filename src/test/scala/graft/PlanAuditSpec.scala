@@ -160,6 +160,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.count() == 47)
   }
 
+  test("bm25 is join-free: literal stats, bounded top-k, no exchange of doc rows") {
+    val p = plan("q_bm25_search")
+    assert(!p.contains("Join"), s"bm25 must not join — stats are literals:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must finish as bounded heaps, not a global sort:\n$p")
+  }
+
+  test("heavy hitters partial-aggregates: capacity counters per group cross one exchange") {
+    val p = plan("q_heavy_hitters")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("embedding centroids partial-aggregate the exploded rows map-side") {
+    val p = plan("q_embed_centroids")
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("scd2 runs windows, run-collapse, and lead on a single exchange") {
+    val p = plan("q_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"scd2 should reuse one user_id exchange end-to-end:\n$p")
+  }
+
+  test("zorder key is a pure projection — no exchange, no join") {
+    val p = plan("q_zorder_key")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
+  test("bloom semi-join probes in the scan stage before the exact join") {
+    val p = plan("q_bloom_semijoin")
+    assert(p.contains("might_contain"), s"bloom probe missing from the plan:\n$p")
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
