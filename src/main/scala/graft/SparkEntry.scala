@@ -459,7 +459,20 @@ object SparkEntry {
         Tables.lineitem(s, dir), "l_orderkey",
         Tables.orders(s, dir).filter(col("o_totalprice") > 150000.0),
         "o_orderkey", 1L << 20, 0.01)
-        .select(col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_linenumber"))),
+    // E19: ordered conversion funnel view → click → purchase over the
+    // first four days (the full month saturates every user at stage 3)
+    "q_funnel" -> ((s, dir) =>
+      Analytics.funnel(
+        Tables.events(s, dir)
+          .filter(col("ts") < to_timestamp(lit("2024-01-05 00:00:00"))),
+        Seq("view", "click", "purchase"))),
+    // E20: cohort retention triangle (first-day cohorts × day offset)
+    "q_cohort_retention" -> ((s, dir) =>
+      Analytics.cohortRetention(Tables.events(s, dir))),
+    // D20: boilerplate 6-gram mining across the corpus
+    "q_boilerplate" -> ((s, dir) =>
+      TextOps.repeatedGrams(Tables.documents(s, dir), 6, 3))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -1118,6 +1131,40 @@ object SparkEntry {
     "q_bloom_semijoin" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_orderkey IN
-        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)""".stripMargin
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)""".stripMargin,
+    // chained whole-partition window minimums = the ordered funnel
+    "q_funnel" ->
+      """WITH e AS (SELECT * FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
+        |s0 AS (SELECT user_id, event_type, ts,
+        |  min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t0 FROM e),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'click'
+        |    AND t0 IS NOT NULL AND ts >= t0 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+        |    AND t1 IS NOT NULL AND ts >= t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |u AS (SELECT user_id,
+        |  max(CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+        |           WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+        | FROM s2 GROUP BY 1)
+        |SELECT stage, count(*) AS n_users FROM u GROUP BY 1""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |  min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+        | FROM events)
+        |SELECT cohort_day, CAST(day - cohort_day AS INT) AS day_offset,
+        | count(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // same per-doc-distinct 6-gram sets as the decontamination oracle
+    "q_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |   unnest(list_distinct(list_transform(generate_series(1, len(w) - 5),
+        |     i -> array_to_string(w[i:i+5], ' ')))) AS gram
+        |  FROM t WHERE len(w) >= 6)
+        |SELECT gram, count(*) AS n_docs FROM g
+        |GROUP BY 1 HAVING count(*) >= 3""".stripMargin
   )
 }

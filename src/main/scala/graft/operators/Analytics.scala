@@ -80,6 +80,57 @@ object Analytics {
         col("sum_v").cast("double") / col("n_with_field"))
   }
 
+  /** Funnel analysis: how many users progressed through `steps` IN
+    * ORDER — step k counts only when it happens at or after the
+    * user's earliest completion of step k-1 (the classic ordered
+    * conversion funnel). Returns one row per funnel depth: `stage` =
+    * number of ordered steps completed (0..|steps|), `n_users`.
+    *
+    * Each stage's earliest-qualifying time is a whole-partition
+    * window min over (user); the k chained window projections all
+    * share the user_id partitioning, so Catalyst plans ONE exchange
+    * for the entire chain, and the final stage count is a tiny agg.
+    * Never a per-step self-join (k joins, k shuffles) and never a
+    * sequence-scan UDF.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col("user_id"))
+    val staged = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
+      val qualifies = col("event_type") === step &&
+        (if (i == 0) lit(true) else col(s"_t${i - 1}").isNotNull &&
+          col("ts") >= col(s"_t${i - 1}"))
+      df.withColumn(s"_t$i", min(when(qualifies, col("ts"))).over(w))
+    }
+    // fold ascending so the DEEPEST completed stage ends up as the
+    // outermost when() branch
+    val stage = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"_t$i").isNotNull, i + 1).otherwise(acc)
+    }
+    staged
+      .groupBy(col("user_id"))
+      .agg(max(stage).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Cohort retention: users grouped by their first-activity day
+    * (the cohort), counted distinct per (cohort_day, day_offset) —
+    * the standard retention triangle. The first-day window and the
+    * cohort aggregation are exact integer/date arithmetic, and the
+    * user-level window shares one exchange with nothing else; the
+    * (cohort, offset) aggregation is dimension-sized output no matter
+    * the feed size.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same user exceeds `gapSeconds`.
     * Two window passes over the same (user, time) ordering — Catalyst

@@ -293,6 +293,24 @@ object TextOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Boilerplate n-gram mining: every word n-gram appearing in at
+    * least `minDf` distinct documents — headers, footers, and license
+    * blocks that repeat across a crawl and should be stripped before
+    * training. Grams are deduped per document in-map
+    * (array_distinct), so the shuffle carries each document's
+    * distinct grams once and partial aggregation collapses repeats
+    * map-side; at 100 TB hash grams to longs
+    * ([[graft.functions.TextHashFunctions]]) so the 8-byte key
+    * shuffles instead of the string.
+    */
+  def repeatedGrams(docs: DataFrame, n: Int, minDf: Int): DataFrame =
+    docs.select(
+        explode(bind(split(col("text"), " "))(w => array_distinct(wordGrams(w, n))))
+          .as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDf)
+
   /** Percentile corpus filter: keep documents whose word count clears
     * the corpus-wide `quantile` (exact linear-interpolation
     * percentile, the same form DuckDB's quantile_cont computes). The

@@ -114,6 +114,49 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel counts ordered progressions only") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      (2L, "click", ts(5)), (2L, "view", ts(10)), (2L, "click", ts(20)),
+      (3L, "purchase", ts(5)), (3L, "view", ts(10)),
+      (4L, "error", ts(10)))
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.operators.Analytics
+      .funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // u1 completes all 3; u2's click re-qualifies after its view; u3's
+    // purchase precedes its view and must not count; u4 never enters
+    assert(out == Map(3 -> 1L, 2 -> 1L, 1 -> 1L, 0 -> 1L))
+  }
+
+  test("cohort retention counts distinct users per (cohort, offset)") {
+    import java.sql.Timestamp
+    def day(d: Int) = new Timestamp(d * 86400L * 1000)
+    val ev = Seq(
+      (1L, day(0)), (1L, day(2)), (1L, day(2)),
+      (2L, day(0)), (3L, day(1)))
+      .toDF("user_id", "ts")
+    val out = graft.operators.Analytics.cohortRetention(ev)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("1970-01-01", 0) -> 2L, ("1970-01-01", 2) -> 1L,
+      ("1970-01-02", 0) -> 1L))
+  }
+
+  test("repeated grams finds cross-document boilerplate, deduped per doc") {
+    val docs = Seq(
+      (1L, "start a b c d e f end"),
+      (2L, "other a b c d e f tail a b c d e f"), // gram twice in one doc → df 1
+      (3L, "nothing shared here at all today ok"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.repeatedGrams(docs, 6, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a b c d e f" -> 2L))
+  }
+
   test("bloom semi-join equals the exact semi-join") {
     val li = Tables.lineitem(spark, sf)
     val ord = Tables.orders(spark, sf).filter(col("o_totalprice") > 150000.0)
