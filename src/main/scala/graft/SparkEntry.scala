@@ -472,7 +472,40 @@ object SparkEntry {
       Analytics.cohortRetention(Tables.events(s, dir))),
     // D20: boilerplate 6-gram mining across the corpus
     "q_boilerplate" -> ((s, dir) =>
-      TextOps.repeatedGrams(Tables.documents(s, dir), 6, 3))
+      TextOps.repeatedGrams(Tables.documents(s, dir), 6, 3)),
+    // B11: volume-anomaly days (count vs per-type daily median, ±25%)
+    "q_anomaly_days" -> ((s, dir) =>
+      Analytics.anomalousDays(Tables.events(s, dir), 5, 4)),
+    // C9: row-level upsert — corrections replace their keys
+    "q_upsert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val base = ev.select("event_id", "user_id", "event_type", "value")
+      val incoming = ev
+        .filter(col("ts") >= to_timestamp(lit("2024-01-20 00:00:00")))
+        .withColumn("value", col("value") * 2)
+        .select("event_id", "user_id", "event_type", "value")
+      Maintenance.upsert(base, incoming, Seq("event_id"))
+    }),
+    // E21: multi-join revenue rollup — the classic fact×dims shape:
+    // fact-fact shuffle join on the order key, dimensions broadcast
+    "q_revenue_by_nation" -> ((s, dir) => {
+      def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      val rev = dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"))
+        // keep the product's native scale-4 decimal: rescaling to 2dp
+        // would tie-break .xx5 half-up here but half-even in DuckDB
+        .agg(
+          // one exact decimal(38,4) → double conversion at the end
+          // (scale-4 integers < 2^53: correctly rounded both engines)
+          sum(rev).cast("decimal(38,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    })
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -1165,6 +1198,36 @@ object SparkEntry {
         |     i -> array_to_string(w[i:i+5], ' ')))) AS gram
         |  FROM t WHERE len(w) >= 6)
         |SELECT gram, count(*) AS n_docs FROM g
-        |GROUP BY 1 HAVING count(*) >= 3""".stripMargin
+        |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+    // cross-multiplied comparison: integer counts × half-integer
+    // medians, no division anywhere
+    "q_anomaly_days" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n_events FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, quantile_cont(n_events, 0.5) AS median_n
+        | FROM d GROUP BY 1)
+        |SELECT event_type, day, n_events, median_n
+        |FROM d JOIN m USING (event_type)
+        |WHERE n_events * 4 > median_n * 5 OR n_events * 5 < median_n * 4""".stripMargin,
+    "q_upsert" ->
+      """WITH inc AS (SELECT event_id, user_id, event_type, value * 2 AS value
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
+        |SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_id NOT IN (SELECT event_id FROM inc)
+        |UNION ALL SELECT event_id, user_id, event_type, value FROM inc""".stripMargin,
+    // money stays DECIMAL end-to-end at the product's scale 4; the
+    // inputs are 2dp-valued so every cast is exact and there is no
+    // tie-breaking rescale anywhere
+    "q_revenue_by_nation" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |   AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin
   )
 }

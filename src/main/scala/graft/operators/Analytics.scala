@@ -80,6 +80,33 @@ object Analytics {
         col("sum_v").cast("double") / col("n_with_field"))
   }
 
+  /** Volume-anomaly detection on the event feed: flag (event_type,
+    * day) cells whose event count deviates from that type's daily
+    * median by more than `num`/`den` (e.g. 5/4 = ±25%) — the
+    * monitoring pass a PM warehouse runs to catch feed outages and
+    * error storms. The median is robust to the outliers it hunts
+    * (a mean-based z-score moves with them), and the comparison is
+    * written cross-multiplied (`n*den > med*num`) so it stays in
+    * exact integer×(integer-or-half) arithmetic — no division, no
+    * float drift, engine-replayable.
+    *
+    * Scale: daily counts partial-aggregate map-side to types×days
+    * rows; the per-type median runs over that tiny table and
+    * broadcasts back. The feed is scanned once.
+    */
+  def anomalousDays(events: DataFrame, num: Int = 5, den: Int = 4): DataFrame = {
+    require(num > den && den > 0, "num/den must exceed 1")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily.groupBy(col("event_type"))
+      .agg(percentile(col("n_events"), lit(0.5)).as("median_n"))
+    daily.join(broadcast(med), "event_type")
+      .filter(col("n_events") * den > col("median_n") * num ||
+        col("n_events") * num < col("median_n") * den)
+      .select(col("event_type"), col("day"), col("n_events"), col("median_n"))
+  }
+
   /** Funnel analysis: how many users progressed through `steps` IN
     * ORDER — step k counts only when it happens at or after the
     * user's earliest completion of step k-1 (the classic ordered

@@ -43,6 +43,20 @@ object Maintenance {
       .unionByName(incoming)
   }
 
+  /** Row-level MERGE/upsert: every `keyCols` row present in
+    * `incoming` replaces its `base` row; unmatched base rows survive.
+    * The complement of [[deleteReload]] — that one replaces whole
+    * datetime buckets (the reference's unit), this one replaces
+    * individual keys when a feed re-delivers corrections. One
+    * anti-join on the key (AQE picks broadcast when the delta is
+    * small — the common shape — and a shuffle join when it is not)
+    * plus a union; never a full-table window.
+    */
+  def upsert(base: DataFrame, incoming: DataFrame, keyCols: Seq[String]): DataFrame =
+    base
+      .join(incoming.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+      .unionByName(incoming)
+
   /** Physical idempotent reload: write `incoming` into a
     * `partitionCol`-partitioned parquet table with dynamic partition
     * overwrite — only the partitions present in `incoming` are

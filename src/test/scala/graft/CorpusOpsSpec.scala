@@ -157,6 +157,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Map("a b c d e f" -> 2L))
   }
 
+  test("upsert replaces matched keys and keeps the rest") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val inc = Seq((2L, "B"), (3L, "C")).toDF("k", "v")
+    val out = graft.operators.Maintenance.upsert(base, inc, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "C"))
+  }
+
+  test("anomalous days flags deviation from the per-type daily median") {
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400L * 1000)
+    // type X: counts 10,10,10,20 per day → median 10, day 3 is +100%
+    val rows = (0 until 3).flatMap(d => Seq.fill(10)(("X", ts(d)))) ++
+      Seq.fill(20)(("X", ts(3))) ++
+      (0 until 4).flatMap(d => Seq.fill(10)(("Y", ts(d))))
+    val ev = rows.toDF("event_type", "ts")
+    val out = graft.operators.Analytics.anomalousDays(ev, 5, 4)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    assert(out.toSeq == Seq(("X", "1970-01-04", 20L)))
+  }
+
   test("bloom semi-join equals the exact semi-join") {
     val li = Tables.lineitem(spark, sf)
     val ord = Tables.orders(spark, sf).filter(col("o_totalprice") > 150000.0)
