@@ -486,6 +486,18 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type", "value")
       Maintenance.upsert(base, incoming, Seq("event_id"))
     }),
+    // D21: the full curation flow — language gate, quality gate,
+    // exact dedup, redaction — as one plan
+    "q_curate" -> ((s, dir) =>
+      graft.text.Curate.curate(Tables.documents(s, dir),
+        Seq("en", "es", "de"), 25, 0.6)),
+    // E5b: salted equi-join — identical rows to the plain join, with
+    // the large side spread over 8 sub-keys per part key
+    "q_skew_join" -> ((s, dir) =>
+      graft.operators.Skew.saltedJoin(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_partkey"),
+        Tables.part(s, dir).select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey", 8)),
     // E21: multi-join revenue rollup — the classic fact×dims shape:
     // fact-fact shuffle join on the order key, dimensions broadcast
     "q_revenue_by_nation" -> ((s, dir) => {
@@ -1215,6 +1227,28 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_id NOT IN (SELECT event_id FROM inc)
         |UNION ALL SELECT event_id, user_id, event_type, value FROM inc""".stripMargin,
+    // the same stage chain as Curate.curate, CTE by CTE
+    "q_curate" ->
+      """WITH m AS (SELECT doc_id, lang, source, text,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS dup_word_ratio
+        | FROM documents WHERE lang IN ('en', 'es', 'de')),
+        |q AS (SELECT * FROM m
+        | WHERE n_words >= 25 AND dup_word_ratio <= 0.6),
+        |d AS (SELECT *, min(doc_id) OVER (PARTITION BY text) AS keep_id FROM q)
+        |SELECT doc_id, lang, source, n_words, dup_word_ratio,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(text,
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+        |   '\+?\d[\d() -]{6,}\d', '<NUM>', 'g') AS text
+        |FROM d WHERE doc_id = keep_id""".stripMargin,
+    // the salt is internal: the result IS the plain equi-join
+    "q_skew_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
     // money stays DECIMAL end-to-end at the product's scale 4; the
     // inputs are 2dp-valued so every cast is exact and there is no
     // tie-breaking rescale anywhere

@@ -27,6 +27,32 @@ object Skew {
   private[graft] def saltExpr(saltBuckets: Int) =
     pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
 
+  /** Salted equi-join: the hot-key cure for a shuffle join AQE
+    * cannot fix. AQE splits a skewed SORT-MERGE partition only when
+    * the build side can be replayed; with one pathological key
+    * (a null-ish default id, a bot user) the probe rows still meet
+    * on one task. Salting rotates the large side's rows across
+    * `saltBuckets` sub-keys (per-row, so even a single constant key
+    * spreads) and replicates the small side once per salt — the join
+    * becomes `saltBuckets` independent partitions per key at the
+    * cost of a `saltBuckets`× small-side duplication, which is the
+    * right trade exactly when `small` is dimension-sized but too
+    * hot-keyed or too large to broadcast outright.
+    *
+    * The salt never reaches the output, so results equal the plain
+    * equi-join row-for-row.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    large
+      .withColumn("_salt", saltExpr(saltBuckets))
+      .join(replicated, Seq(key, "_salt"))
+      .drop("_salt")
+  }
+
   /** count + decimal-exact sum of `valueCol` per `key`, salted. */
   def saltedAggregate(df: DataFrame, key: String, valueCol: String,
                       saltBuckets: Int): DataFrame =

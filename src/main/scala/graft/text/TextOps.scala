@@ -73,7 +73,7 @@ object TextOps {
     * expensive subexpression (like a split) into a HOF lambda, where
     * it re-evaluates per element.
     */
-  private def bind(value: Column)(body: Column => Column): Column =
+  private[text] def bind(value: Column)(body: Column => Column): Column =
     element_at(transform(array(value), body), 1)
 
   /** Context-window chunking: split each document into word windows
@@ -185,14 +185,16 @@ object TextOps {
     * portable (and oracle-checkable).
     */
   def redact(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
+    docs.select(col("doc_id"), redactText(col("text")).as("text"))
+
+  /** The redaction chain as a column expression, for composition. */
+  def redactText(text: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"),
-            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-          "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"),
-        "\\+?\\d[\\d() -]{6,}\\d", "<NUM>").as("text"))
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"),
+      "\\+?\\d[\\d() -]{6,}\\d", "<NUM>")
 
   /** Deterministic document fingerprint: a rolling polynomial hash
     * over per-word xxhash64 values (wrap-around arithmetic). Two

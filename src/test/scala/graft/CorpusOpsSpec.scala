@@ -178,6 +178,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("X", "1970-01-04", 20L)))
   }
 
+  test("curate gates language, quality, dedups, and redacts in one plan") {
+    val longText = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, longText + " contact me@example.com ok", "en", "s1"),
+      (2L, longText + " contact me@example.com ok", "en", "s2"), // exact dup of 1
+      (3L, "too short", "en", "s1"),                             // fails minWords
+      (4L, (Seq.fill(30)("same")).mkString(" "), "en", "s1"),    // dup-word ratio 0.97
+      (5L, longText, "zh", "s1"))                                // wrong lang
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.text.Curate.curate(docs, Seq("en", "es"), 25, 0.6)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out(0).getAs[String]("text").contains("<EMAIL>"))
+  }
+
+  test("salted join equals the plain equi-join, even on one constant hot key") {
+    val hot = Seq.fill(500)((42L, "x")).toDF("k", "payload").repartition(4)
+    val dim = Seq((42L, "d42"), (7L, "d7")).toDF("k", "d")
+    val got = graft.operators.Skew.saltedJoin(hot, dim, "k", 8)
+    val want = hot.join(dim, "k")
+    assert(got.count() == 500)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("bloom semi-join equals the exact semi-join") {
     val li = Tables.lineitem(spark, sf)
     val ord = Tables.orders(spark, sf).filter(col("o_totalprice") > 150000.0)
