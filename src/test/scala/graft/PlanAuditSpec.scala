@@ -197,6 +197,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("funnel chains every stage onto one user_id exchange") {
+    val p = plan("q_funnel")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"funnel stages must share the user_id exchange:\n$p")
+    assert(!p.contains("Join"), s"funnel must not self-join per step:\n$p")
+  }
+
+  test("curate runs the whole flow on one dedup exchange, filters before it") {
+    val p = plan("q_curate")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"curate should shuffle once (the dedup window):\n$p")
+    assert(!p.contains("Join"), s"curation must not join back to the corpus:\n$p")
+  }
+
+  test("revenue rollup: fact-fact shuffle join, nation broadcast, partial agg") {
+    val p = plan("q_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
