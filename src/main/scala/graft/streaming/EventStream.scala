@@ -79,6 +79,42 @@ object EventStream {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Streaming heavy hitters: the Misra-Gries summary
+    * ([[graft.functions.FreqBuffer]]) as keyed streaming state — the
+    * continuous "top tokens / sources / user agents" monitor. Each
+    * micro-batch folds its items into the group's O(capacity) buffer
+    * and emits the refreshed summary, so state NEVER grows with the
+    * stream, only with capacity × groups; the batch aggregate's
+    * guarantees (exact under capacity, >n/capacity items always
+    * present) carry over because the state IS the same summary.
+    */
+  def streamingHeavyHitters(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                            groupCol: String, itemCol: String,
+                            capacity: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr(groupCol, itemCol)
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val buf = new graft.functions.FreqBuffer(capacity)
+          state.getOption.foreach(_.foreach { case (k, c) =>
+            buf.counts.update(k, c)
+          })
+          rows.foreach(r => buf.add(r._2))
+          state.update(buf.counts.toMap)
+          buf.counts.toSeq.sortBy { case (k, c) => (-c, k) }
+            .map { case (k, c) => (g, k, c) }.iterator
+      }
+      .toDF(groupCol, "item", "n_occurrences")
+  }
+
   /** Continuous rollup maintenance — the streaming form of the
     * reference's connect-daemon + DBLoader + aggregation-scheduler
     * loop (chill.py:159-192). Each micro-batch writes its 5-minute

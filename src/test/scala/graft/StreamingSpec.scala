@@ -89,6 +89,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromStream.exceptAll(fromBatch).isEmpty && fromBatch.exceptAll(fromStream).isEmpty)
   }
 
+  test("streaming heavy hitters converge to the exact batch counts") {
+    val stream = streaming.EventStream.readEventStream(spark, streamDir)
+    // event_type universe is tiny → capacity 64 keeps the summary in
+    // its exact regime; the last update per (group, item) must equal
+    // the plain batch counts
+    val q = streaming.EventStream
+      .streamingHeavyHitters(stream.selectExpr("CAST(user_id % 4 AS STRING) AS g",
+        "event_type"), "g", "event_type", 64)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_hh").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_hh")
+        .groupBy("g", "item").agg(max("n_occurrences").as("n"))
+      val expected = Tables.events(spark, sf)
+        .selectExpr("CAST(user_id % 4 AS STRING) AS g", "event_type AS item")
+        .groupBy("g", "item").agg(count(lit(1)).as("n"))
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate event_ids") {
     val dir = streamDir
     val stream = streaming.EventStream.readEventStream(spark, dir)
