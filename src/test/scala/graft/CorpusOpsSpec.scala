@@ -202,6 +202,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("round-4 operators tolerate empty inputs") {
+    val emptyDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Search.bm25(emptyDocs, Seq("x"), 5).count() == 0)
+    assert(graft.text.Curate.curate(emptyDocs, Seq("en"), 10, 0.5).count() == 0)
+    assert(graft.text.TextOps.repeatedGrams(emptyDocs, 3, 2).count() == 0)
+    assert(emptyDocs
+      .groupBy("source")
+      .agg(FreqFunctions.heavyHitters(col("text"), 4).as("hh"))
+      .count() == 0)
+    val emptyEvents = Seq.empty[(Long, String, java.sql.Timestamp, Long)]
+      .toDF("user_id", "event_type", "ts", "event_id")
+    assert(Scd.scd2(emptyEvents, "user_id", "event_type", "ts", "event_id").count() == 0)
+    assert(graft.operators.Analytics.funnel(emptyEvents, Seq("a", "b")).count() == 0)
+    assert(graft.operators.Analytics.cohortRetention(emptyEvents).count() == 0)
+    assert(graft.operators.Analytics.anomalousDays(emptyEvents).count() == 0)
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Ann.groupCentroids(emptyEmb, "label").count() == 0)
+  }
+
   test("bloom semi-join equals the exact semi-join") {
     val li = Tables.lineitem(spark, sf)
     val ord = Tables.orders(spark, sf).filter(col("o_totalprice") > 150000.0)

@@ -86,4 +86,49 @@ class KernelPropertySpec extends AnyFunSuite {
       got == expect
     })
   }
+
+  test("FreqBuffer: never overcounts, MG error bound, heavy items always present") {
+    val itemGen = Gen.frequency(
+      5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+      2 -> Gen.choose(0, 30).map(i => s"c$i"))
+    holds(Prop.forAll(Gen.listOf(itemGen), Gen.choose(1, 8)) { (xs, cap) =>
+      val buf = new FreqBuffer(cap)
+      xs.foreach(buf.add)
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = xs.size.toLong
+      val bound = n / cap
+      buf.counts.forall { case (k, c) =>
+        c > 0 && c <= truth(k) && truth(k) - c <= bound
+      } &&
+        truth.forall { case (k, f) => f <= bound || buf.counts.contains(k) } &&
+        buf.counts.size <= cap
+    })
+  }
+
+  test("FreqBuffer merge keeps the summed-stream guarantees in any split") {
+    val itemGen = Gen.frequency(
+      4 -> Gen.const("hot"), 2 -> Gen.choose(0, 20).map(i => s"c$i"))
+    holds(Prop.forAll(Gen.listOf(itemGen), Gen.listOf(itemGen), Gen.choose(1, 6)) {
+      (xs, ys, cap) =>
+        val a = new FreqBuffer(cap); xs.foreach(a.add)
+        val b = new FreqBuffer(cap); ys.foreach(b.add)
+        a.merge(b)
+        val all = xs ++ ys
+        val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val bound = all.size.toLong / cap
+        a.counts.size <= cap &&
+          a.counts.forall { case (k, c) => c <= truth(k) } &&
+          truth.forall { case (k, f) => f <= 2 * bound || a.counts.contains(k) }
+    })
+  }
+
+  test("HeavyHitters aggregate survives serialize/deserialize round-trips") {
+    val agg = HeavyHitters(Literal("x"), 4)
+    holds(Prop.forAll(Gen.listOf(Gen.choose(0, 10).map(i => s"i$i"))) { xs =>
+      val buf = new FreqBuffer(4)
+      xs.foreach(buf.add)
+      val rt = agg.deserialize(agg.serialize(buf))
+      rt.counts == buf.counts
+    })
+  }
 }
