@@ -223,6 +223,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Ann.groupCentroids(emptyEmb, "label").count() == 0)
   }
 
+  test("typed datasets round-trip the driver tables") {
+    val docs = Typed.documents(spark, sf)
+    assert(docs.count() == Tables.documents(spark, sf).count())
+    // typed access compiles and behaves; column filter still pushes down
+    assert(docs.filter(_.lang == "en").count() ==
+      Tables.documents(spark, sf).filter(col("lang") === "en").count())
+    assert(Typed.events(spark, sf).head().event_id >= 0)
+    assert(Typed.embeddings(spark, sf).head().embedding.length == 64)
+  }
+
   test("bloom semi-join equals the exact semi-join") {
     val li = Tables.lineitem(spark, sf)
     val ord = Tables.orders(spark, sf).filter(col("o_totalprice") > 150000.0)
