@@ -150,6 +150,52 @@ object EventStream {
         .withColumn("bucket_start", col("bucket_start").cast("long"))
         .drop("_batch_id"))
 
+  /** Fold the accumulated per-batch deltas down to one row per
+    * (bucket, type): each bucket's deltas merge (decimal re-agg,
+    * exact) into a single delta tagged with the reserved batch id
+    * `CompactedBatchId`, written via dynamic partition overwrite —
+    * so compaction replaces exactly the partitions it read, an
+    * in-flight micro-batch writing a NEW (bucket, batch) partition
+    * is never touched, and a crashed compaction replay is idempotent.
+    * Readers need no coordination: [[readRollup]] re-aggregates, so
+    * it returns identical results before, during, and after.
+    *
+    * Run it on whatever cadence bounds delta-count × read-amplification
+    * (e.g. hourly for a 5-minute rollup).
+    */
+  val CompactedBatchId: Long = -1L
+
+  def compactRollup(spark: SparkSession, warehousePath: String): Unit = {
+    val deltas = spark.read.parquet(warehousePath)
+      .withColumn("bucket_start", col("bucket_start").cast("long"))
+    // partition-metadata-sized collect: exactly the (bucket, batch)
+    // pairs this compaction consumed — the SAME set the warehouse's
+    // partition count is being bounded down from, and the only dirs
+    // it is allowed to delete (a micro-batch landing after this read
+    // is left alone, with its counts picked up by the next run)
+    val consumed = deltas
+      // partition-dir values are type-inferred on read (ints for
+      // small batch ids) — pin both to long
+      .select(col("bucket_start"), col("_batch_id").cast("long")).distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 != CompactedBatchId)
+    val compacted = graft.operators.Rollups.mergeFiveMinute(
+        deltas.drop("_batch_id"))
+      .withColumn("_batch_id", lit(CompactedBatchId))
+    // pin the merged rows before overwriting the dir they were read from
+    compacted.cache().count()
+    try graft.operators.Maintenance.overwritePartitions(
+      compacted, warehousePath, Seq("bucket_start", "_batch_id"))
+    finally compacted.unpersist()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    consumed.foreach { case (bucket, batch) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$warehousePath/bucket_start=$bucket/_batch_id=$batch"), true)
+    }
+  }
+
   /** Open the events parquet directory as a stream (for specs/demo). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -89,6 +89,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromStream.exceptAll(fromBatch).isEmpty && fromBatch.exceptAll(fromStream).isEmpty)
   }
 
+  test("delta compaction folds batches, preserves reads, and is re-runnable") {
+    val dir = java.nio.file.Files.createTempDirectory("events_compact").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val wh = java.nio.file.Files.createTempDirectory("wh_compact").toString + "/rollup"
+    val stream = Tables.normalizeEventTs(
+      spark.readStream.schema(Tables.eventsRaw(spark, sf).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+    val q = streaming.EventStream.rollupMaintenance(stream, wh).start()
+    try q.processAllAvailable() finally q.stop()
+    val before = streaming.EventStream.readRollup(spark, wh)
+    val beforeRows = before.collect().toSet
+    streaming.EventStream.compactRollup(spark, wh)
+    val batchIds = spark.read.parquet(wh)
+      .select(col("_batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batchIds == Set(streaming.EventStream.CompactedBatchId),
+      s"stale delta partitions survived compaction: $batchIds")
+    assert(streaming.EventStream.readRollup(spark, wh).collect().toSet == beforeRows)
+    // replay-safe: compacting a compacted warehouse changes nothing
+    streaming.EventStream.compactRollup(spark, wh)
+    assert(streaming.EventStream.readRollup(spark, wh).collect().toSet == beforeRows)
+  }
+
   test("streaming heavy hitters converge to the exact batch counts") {
     val stream = streaming.EventStream.readEventStream(spark, streamDir)
     // event_type universe is tiny → capacity 64 keeps the summary in
