@@ -486,6 +486,16 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type", "value")
       Maintenance.upsert(base, incoming, Seq("event_id"))
     }),
+    // D22: incremental near-dup screening — the odd-id half arrives
+    // as a delivery batch and probes the even-id corpus's band index;
+    // band recall is 1.0 at θ=0.8 (spec-pinned), so the exact
+    // cross-split Jaccard oracle applies
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isNew = pmod(col("doc_id"), lit(2)) === 1
+      Dedup.incrementalMinhashDups(
+        docs.filter(!isNew), docs.filter(isNew), 3, 0.8, 128, 32)
+    }),
     // D21: the full curation flow — language gate, quality gate,
     // exact dedup, redaction — as one plan
     "q_curate" -> ((s, dir) =>
@@ -1227,6 +1237,21 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_id NOT IN (SELECT event_id FROM inc)
         |UNION ALL SELECT event_id, user_id, event_type, value FROM inc""".stripMargin,
+    // cross-split variant of the shared shingle oracle family
+    "q_dedup_incremental" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w,
+        |         unnest(generate_series(1, greatest(len(w)-2, 1))) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |   AND a.doc_id % 2 = 1 AND b.doc_id % 2 <> 1
+        |  GROUP BY 1, 2)
+        |SELECT doc_new, doc_old,
+        | CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+        |FROM pairs JOIN sz x ON x.doc_id = doc_new JOIN sz y ON y.doc_id = doc_old
+        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""".stripMargin,
     // the same stage chain as Curate.curate, CTE by CTE
     "q_curate" ->
       """WITH m AS (SELECT doc_id, lang, source, text,

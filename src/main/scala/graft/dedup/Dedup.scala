@@ -292,6 +292,64 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Incremental exact screening: the `incoming` rows whose text is
+    * NOT already in `corpus` — the admission filter a production
+    * pipeline runs per delivery batch. One anti-join on the 8-byte
+    * text hash; in production the corpus side is the persisted
+    * `exact()` index (bucketed on the hash), so a delivery costs a
+    * delta-sized probe, never a corpus rescan.
+    */
+  def incrementalExactNew(corpus: DataFrame, incoming: DataFrame): DataFrame =
+    incoming
+      .withColumn("_h", xxhash64(col("text")))
+      .join(corpus.select(xxhash64(col("text")).as("_h")).distinct(),
+        Seq("_h"), "left_anti")
+      .drop("_h")
+
+  /** Incremental near-dup screening: (incoming, existing) pairs whose
+    * exact n-gram Jaccard clears `threshold`, candidates mined by
+    * probing the corpus's MinHash band index with the SAME banding —
+    * so a delivery batch is screened with work proportional to the
+    * delta and its collisions, never corpus². Hot band buckets on the
+    * index side are capped exactly like the self-join path. In
+    * production the banded corpus (and its shingle sets) are the
+    * persisted index, bucketed on their keys; here both sides derive
+    * from the inputs so the operator stays a pure function.
+    */
+  def incrementalMinhashDups(corpus: DataFrame, incoming: DataFrame,
+                             n: Int, threshold: Double, numHashes: Int,
+                             bands: Int, maxBucket: Int = 1000): DataFrame = {
+    def banded(df: DataFrame, side: String) = df.select(
+      col("doc_id").as(s"doc_$side"),
+      posexplode(graft.functions.TextHashFunctions.minhashBands(
+        col("text"), n, numHashes, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    def shingles(df: DataFrame, side: String) = df.select(
+      col("doc_id").as(s"doc_$side"),
+      graft.functions.TextHashFunctions.shingleHashes(col("text"), n)
+        .as(s"shs_$side"))
+    // drop over-hot index buckets (stopword bands): the hot set is
+    // tiny by construction → broadcast anti-join, no index reshuffle
+    val bandedCorpus = banded(corpus, "old")
+    val hot = bandedCorpus.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select(col("band"), col("band_hash"))
+    val index = bandedCorpus.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+    val candidates = banded(incoming, "new")
+      .join(index, Seq("band", "band_hash"))
+      .select(col("doc_new"), col("doc_old"))
+      .distinct()
+    candidates
+      .join(shingles(incoming, "new"), "doc_new")
+      .join(shingles(corpus, "old"), "doc_old")
+      .withColumn("inter", size(array_intersect(col("shs_new"), col("shs_old"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shs_new")) + size(col("shs_old")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_new"), col("doc_old"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (native expression —
     * graft.functions.SimHash64: one imperative pass per row).
     */

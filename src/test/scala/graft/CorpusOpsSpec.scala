@@ -223,6 +223,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Ann.groupCentroids(emptyEmb, "label").count() == 0)
   }
 
+  test("incremental dedup screens a delivery batch against the corpus") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((1L, base), (2L, "totally different words here entirely"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                                    // exact dup of 1
+      (11L, base.replace("kappa", "lambda")),         // near dup of 1
+      (12L, "fresh new content nothing shared at all"))
+      .toDF("doc_id", "text")
+    val fresh = graft.dedup.Dedup.incrementalExactNew(corpus, incoming)
+      .collect().map(_.getLong(0)).toSet
+    assert(fresh == Set(10L, 11L, 12L) - 10L) // only the exact dup screens out
+    val near = graft.dedup.Dedup
+      .incrementalMinhashDups(corpus, incoming, 3, 0.5, 128, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((10L, 1L)), "exact dup must collide")
+    assert(near.contains((11L, 1L)), "near dup must collide")
+    assert(!near.exists(_._1 == 12L), "fresh doc must not collide")
+  }
+
   test("typed datasets round-trip the driver tables") {
     val docs = Typed.documents(spark, sf)
     assert(docs.count() == Tables.documents(spark, sf).count())
