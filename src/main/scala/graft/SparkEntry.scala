@@ -473,6 +473,10 @@ object SparkEntry {
     // D20: boilerplate 6-gram mining across the corpus
     "q_boilerplate" -> ((s, dir) =>
       TextOps.repeatedGrams(Tables.documents(s, dir), 6, 3)),
+    // D23: corpus profile — all CUBE(lang, source) grouping sets in
+    // one aggregation pass
+    "q_corpus_profile" -> ((s, dir) =>
+      Analytics.corpusProfile(Tables.documents(s, dir))),
     // B11: volume-anomaly days (count vs per-type daily median, ±25%)
     "q_anomaly_days" -> ((s, dir) =>
       Analytics.anomalousDays(Tables.events(s, dir), 5, 4)),
@@ -1221,6 +1225,10 @@ object SparkEntry {
         |  FROM t WHERE len(w) >= 6)
         |SELECT gram, count(*) AS n_docs FROM g
         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+    "q_corpus_profile" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
     // cross-multiplied comparison: integer counts × half-integer
     // medians, no division anywhere
     "q_anomaly_days" ->

@@ -80,6 +80,20 @@ object Analytics {
         col("sum_v").cast("double") / col("n_with_field"))
   }
 
+  /** Corpus profile over all grouping combinations at once: CUBE
+    * (lang, source) yields per-lang, per-source, per-(lang, source),
+    * and grand-total rows in ONE aggregation pass — the overview
+    * table a dataset card or ingestion dashboard wants. Spark expands
+    * the cube inside the aggregate (partial agg per grouping set);
+    * no repeated scans, no union of four queries.
+    */
+  def corpusProfile(docs: DataFrame): DataFrame =
+    docs
+      .cube(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+
   /** Volume-anomaly detection on the event feed: flag (event_type,
     * day) cells whose event count deviates from that type's daily
     * median by more than `num`/`den` (e.g. 5/4 = ±25%) — the

@@ -603,4 +603,28 @@ class OperatorsSpec extends AnyFunSuite {
     val r = SparkEntry.queries("q_recon_referential")(spark, sf).collect().head
     assert(r.getAs[Long]("n_facts") == r.getAs[Long]("n_matched") + r.getAs[Long]("n_orphans"))
   }
+
+  test("corpus profile: cube cells agree with direct rollups, one aggregate plan") {
+    val docs = Tables.documents(spark, sf)
+    val prof = operators.Analytics.corpusProfile(docs)
+    // grand total row = whole-corpus aggregate
+    val total = prof.filter(col("lang").isNull && col("source").isNull).collect()
+    assert(total.length == 1)
+    assert(total.head.getAs[Long]("n_docs") == docs.count())
+    // fully-specified cells = plain groupBy
+    val cells = prof.filter(col("lang").isNotNull && col("source").isNotNull)
+    val direct = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    assert(cells.exceptAll(direct).isEmpty && direct.exceptAll(cells).isEmpty,
+      "cube (lang, source) cells diverge from the direct groupBy")
+    // per-lang marginal sums across sources
+    val perLang = prof.filter(col("lang").isNotNull && col("source").isNull)
+      .select("lang", "n_docs")
+    val marginal = direct.groupBy("lang").agg(sum("n_docs").as("n_docs"))
+    assert(perLang.exceptAll(marginal).isEmpty, "per-lang marginals diverge")
+    // one Expand + one aggregate chain: no union of scans
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"cube should plan an Expand:\n$plan")
+    assert(!plan.contains("Union"), s"cube must not union multiple scans:\n$plan")
+  }
 }
