@@ -477,6 +477,15 @@ object SparkEntry {
     // one aggregation pass
     "q_corpus_profile" -> ((s, dir) =>
       Analytics.corpusProfile(Tables.documents(s, dir))),
+    // B12: daily trend — 7-day moving sum/avg + day-over-day delta
+    "q_daily_trend" -> ((s, dir) =>
+      Analytics.dailyTrend(Tables.events(s, dir), 7)),
+    // E23: Markov transition matrix of consecutive event types
+    "q_event_transitions" -> ((s, dir) =>
+      Analytics.transitionMatrix(Tables.events(s, dir))),
+    // D25: cross-source 8-gram overlap (contamination matrix)
+    "q_source_overlap" -> ((s, dir) =>
+      TextOps.sourceGramOverlap(Tables.documents(s, dir), 8)),
     // B11: volume-anomaly days (count vs per-type daily median, ±25%)
     "q_anomaly_days" -> ((s, dir) =>
       Analytics.anomalousDays(Tables.events(s, dir), 5, 4)),
@@ -1229,6 +1238,36 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+    // integer moving sums (DuckDB window SUM cast to BIGINT per the
+    // parity rules); the average is the one division, of exact ints
+    "q_daily_trend" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n_events FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n_events,
+        | CAST(SUM(n_events) OVER w AS BIGINT) AS sum_w,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+        | CAST(SUM(n_events) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_w,
+        | n_events - LAG(n_events, 1) OVER
+        |   (PARTITION BY event_type ORDER BY day) AS delta
+        |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+        | ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // event_id breaks ts ties, so the lag sequence is deterministic
+    "q_event_transitions" ->
+      """WITH s AS (SELECT event_type, LAG(event_type, 1) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, count(*) AS n_transitions
+        |FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "q_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |   unnest(list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |     i -> array_to_string(w[i:i+7], ' ')))) AS gram
+        |  FROM t WHERE len(w) >= 8)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | count(*) AS n_shared_grams
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     // cross-multiplied comparison: integer counts × half-integer
     // medians, no division anywhere
     "q_anomaly_days" ->

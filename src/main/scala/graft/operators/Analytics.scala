@@ -172,6 +172,53 @@ object Analytics {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** Daily traffic trend per event type: event counts with a
+    * trailing `windowDays`-row moving sum/average and the
+    * day-over-day delta — the smoothing a PM dashboard lays over the
+    * daily rollup to separate drift from noise. The moving average is
+    * an exact integer sum divided once (IEEE-identical across
+    * engines); the delta stays in integers.
+    *
+    * Scale: the feed partial-aggregates map-side down to types×days
+    * rows before any window runs, so the ordered windows (moving
+    * frame + lag share one (event_type, day) sort) operate on a
+    * dimension-sized table no matter the feed size — the window never
+    * touches raw rows.
+    */
+  def dailyTrend(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "window must cover at least the current day")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val ordered = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val frame = ordered.rowsBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("sum_w", sum(col("n_events")).over(frame))
+      .withColumn("n_w", count(lit(1)).over(frame))
+      .withColumn("avg_w", col("sum_w").cast("double") / col("n_w"))
+      .withColumn("delta", col("n_events") - lag(col("n_events"), 1).over(ordered))
+  }
+
+  /** Event-type transition matrix: counts of consecutive
+    * (previous → current) event-type pairs within each user's
+    * timeline — the Markov view of user behaviour (what follows
+    * what). Ordering ties on `ts` break by the unique `event_id`, so
+    * the lag sequence is deterministic and engine-replayable.
+    *
+    * Scale: one exchange on user_id for the lag window (linear per
+    * partition), then the pair counts partial-aggregate map-side to
+    * a |types|² output. Never a self-join of the feed on adjacency.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same user exceeds `gapSeconds`.
     * Two window passes over the same (user, time) ordering — Catalyst

@@ -313,6 +313,33 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDf)
 
+  /** Cross-source n-gram overlap matrix: for every pair of corpus
+    * sources, how many distinct word n-grams they share — the
+    * contamination / provenance-overlap report run before mixing
+    * crawl snapshots into one training corpus (a high overlap means
+    * one source republishes another). Grams dedupe per document
+    * in-map, collapse to per-source distinct sets in one partial-agg
+    * pass, and the pair count comes from a single self-join on the
+    * gram; `source_a < source_b` keeps each unordered pair once.
+    *
+    * Scale: the join key is the gram (hash to an 8-byte long at
+    * 100 TB, like [[repeatedGrams]]); a gram present in k sources
+    * expands to k²/2 pairs, bounded by the number of sources — a hot
+    * boilerplate gram cannot explode the join the way a hot document
+    * would. Output is sources², a dimension-sized matrix.
+    */
+  def sourceGramOverlap(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs.select(col("source"),
+        explode(bind(split(col("text"), " "))(w => array_distinct(wordGrams(w, n))))
+          .as("gram"))
+      .distinct()
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Percentile corpus filter: keep documents whose word count clears
     * the corpus-wide `quantile` (exact linear-interpolation
     * percentile, the same form DuckDB's quantile_cont computes). The

@@ -604,6 +604,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_facts") == r.getAs[Long]("n_matched") + r.getAs[Long]("n_orphans"))
   }
 
+  test("daily trend: moving sums match brute force, windows run post-aggregation") {
+    val trend = operators.Analytics.dailyTrend(Tables.events(spark, sf), 7)
+    val rows = trend.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n_events"), r.getAs[Long]("sum_w"), r.getAs[Long]("n_w")))
+      .groupBy(_._1)
+    rows.foreach { case (_, tl) =>
+      val sorted = tl.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, _, _, sumW, nW), i) =>
+        val window = sorted.slice(math.max(0, i - 6), i + 1)
+        assert(nW == window.length && sumW == window.map(_._3).sum,
+          s"moving frame at row $i diverges from brute force")
+      }
+    }
+    // the lag/frame windows must consume the aggregated daily table,
+    // not raw events: exactly one window stage above one aggregate
+    val plan = trend.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("transition matrix: each user contributes exactly n_events - 1 transitions") {
+    val ev = Tables.events(spark, sf)
+    val total = operators.Analytics.transitionMatrix(ev)
+      .agg(sum("n_transitions")).collect().head.getLong(0)
+    val users = ev.select("user_id").distinct().count()
+    assert(total == ev.count() - users)
+  }
+
+  test("source overlap: pair counts equal direct per-pair gram intersections") {
+    val docs = Tables.documents(spark, sf)
+    val m = text.TextOps.sourceGramOverlap(docs, 8).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_shared_grams")).toMap
+    assert(m.nonEmpty)
+    assert(m.keys.forall { case (a, b) => a < b }, "each unordered pair exactly once")
+    // spot-check the two most-overlapping pairs against a direct set
+    // intersection computed per source
+    def gramSet(src: String): Set[String] = {
+      val w = docs.filter(col("source") === src)
+        .select(split(col("text"), " ").as("w")).collect().map(_.getSeq[String](0))
+      w.flatMap(ws => ws.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet)
+        .toSet
+    }
+    m.toSeq.sortBy(-_._2).take(2).foreach { case ((a, b), n) =>
+      assert(gramSet(a).intersect(gramSet(b)).size.toLong == n,
+        s"overlap($a, $b) diverges from the direct intersection")
+    }
+  }
+
   test("corpus profile: cube cells agree with direct rollups, one aggregate plan") {
     val docs = Tables.documents(spark, sf)
     val prof = operators.Analytics.corpusProfile(docs)
