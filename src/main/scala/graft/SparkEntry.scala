@@ -267,6 +267,22 @@ object SparkEntry {
       Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
         .select("query_id", "neighbor_id", "rnk", "cos_sim")
     }),
+    // D26: int8 embedding quantization, graded through exact integer
+    // digests of the quantized vectors (sum, sum of squares)
+    "q_embed_quantize" -> ((s, dir) =>
+      Ann.quantizeInt8(Tables.embeddings(s, dir)).select(
+        col("vec_id"), col("max_abs"),
+        size(col("qvec")).as("n_dims"),
+        aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long")).as("sum_q"),
+        aggregate(col("qvec"), lit(0L),
+          (a, x) => a + x.cast("long") * x.cast("long")).as("sum_q2"))),
+    // D26b: brute-force top-k over the quantized corpus — integer dot
+    // products, scales cancel in the cosine ratio; full oracle
+    "q_ann_quantized" -> ((s, dir) => {
+      val q = Ann.quantizeInt8(Tables.embeddings(s, dir))
+      Ann.quantizedTopK(q, q.filter(col("vec_id") < 5), 10)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
+    }),
     // D6b: IVF-cell ANN (rows-only oracle; recall spec vs brute force)
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -852,6 +868,41 @@ object SparkEntry {
         |     / sqrt(list_dot_product(q.qe, q.qe))
         |     / sqrt(list_dot_product(c.emb, c.emb)) AS cos_sim
         |  FROM q JOIN e c ON c.vec_id <> q.query_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
+        |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 10""".stripMargin,
+    // engine-portable round-half-up (floor(x+0.5)) — builtin round()
+    // tie behavior differs across engines; digests stay in exact ints
+    "q_embed_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, max_abs,
+        |   list_transform(embedding, x -> CASE WHEN max_abs = 0 THEN 0
+        |     ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS INT)
+        |     END) AS qvec
+        |  FROM s)
+        |SELECT vec_id, max_abs, len(qvec) AS n_dims,
+        | CAST(list_sum(list_transform(qvec, v -> CAST(v AS BIGINT))) AS BIGINT) AS sum_q,
+        | CAST(list_sum(list_transform(qvec, v -> CAST(v AS BIGINT) * v)) AS BIGINT) AS sum_q2
+        |FROM q""".stripMargin,
+    "q_ann_quantized" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+        |  FROM embeddings),
+        |e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CASE WHEN max_abs = 0 THEN 0
+        |     ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS INT)
+        |     END) AS qv
+        |  FROM s),
+        |d AS (SELECT vec_id, qv::DOUBLE[] AS qd FROM e),
+        |q AS (SELECT vec_id AS query_id, qd AS qe FROM d WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |   list_dot_product(q.qe, c.qd)
+        |     / sqrt(list_dot_product(q.qe, q.qe))
+        |     / sqrt(list_dot_product(c.qd, c.qd)) AS cos_sim
+        |  FROM q JOIN d c ON c.vec_id <> q.query_id),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
         |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 10""".stripMargin,

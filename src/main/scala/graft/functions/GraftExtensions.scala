@@ -30,6 +30,9 @@ object GraftFunctions {
     ("float_vec_dot",
       info("float_vec_dot", "dot product of two float arrays, double accumulation"),
       (es: Seq[Expression]) => FloatVecDot(es(0), es(1))),
+    ("int_vec_dot",
+      info("int_vec_dot", "dot product of two int arrays, long accumulation"),
+      (es: Seq[Expression]) => IntVecDot(es(0), es(1))),
     ("simhash64",
       info("simhash64", "64-bit simhash of whitespace-tokenized text"),
       (es: Seq[Expression]) => SimHash64(es.head)),

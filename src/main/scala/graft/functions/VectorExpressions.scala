@@ -52,6 +52,50 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sequential dot product of two int arrays accumulated in long —
+  * the scoring kernel for int8-quantized embeddings
+  * ([[graft.ann.Ann.quantizeInt8]]): exact integer arithmetic (no
+  * rounding anywhere), whole-stage-codegen'd like [[FloatVecDot]] so
+  * the O(n²) quantized pair scoring stays a tight primitive loop.
+  */
+case class IntVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "int_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane LSH bucket id: `bits` pseudo-hyperplanes whose
   * ±1 coefficients are deterministic xxHash64 signs of (dim, plane);
   * the sign of each sketch dot product packs into a long bucket id.
@@ -104,6 +148,12 @@ object VectorFunctions {
   /** Column API for [[FloatVecDot]]. */
   def floatVecDot(a: Column, b: Column): Column =
     org.apache.spark.sql.graftglue.ColumnGlue.column(FloatVecDot(
+      org.apache.spark.sql.graftglue.ColumnGlue.expr(a),
+      org.apache.spark.sql.graftglue.ColumnGlue.expr(b)))
+
+  /** Column API for [[IntVecDot]]. */
+  def intVecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftglue.ColumnGlue.column(IntVecDot(
       org.apache.spark.sql.graftglue.ColumnGlue.expr(a),
       org.apache.spark.sql.graftglue.ColumnGlue.expr(b)))
 

@@ -248,6 +248,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hit >= 20, s"IVF recall too low: $hit/50") // probing 4/16 cells
   }
 
+  test("int8 quantization: bounded roundtrip error, zero-vector guard") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val joined = ann.Ann.quantizeInt8(emb).join(emb, "vec_id")
+      .select(col("embedding"), col("max_abs"), col("qvec")).collect()
+    joined.foreach { r =>
+      val x = r.getSeq[Float](0); val s = r.getDouble(1); val q = r.getSeq[Int](2)
+      assert(q.length == x.length && q.forall(v => v >= -127 && v <= 127))
+      // symmetric round-half-up: |x - q*s/127| <= s/254 (+ float eps)
+      x.zip(q).foreach { case (xi, qi) =>
+        assert(math.abs(xi.toDouble - qi * s / 127.0) <= s / 254.0 + 1e-9,
+          s"roundtrip error out of bound at $xi -> $qi (scale $s)")
+      }
+    }
+    val zero = Seq((0L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val zq = ann.Ann.quantizeInt8(zero).collect().head
+    assert(zq.getDouble(1) == 0.0 && zq.getSeq[Int](2) == Seq(0, 0, 0))
+  }
+
+  test("quantized ANN holds high recall vs the float brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = ann.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      .select("query_id", "neighbor_id")
+    val q = ann.Ann.quantizeInt8(emb)
+    val quant = ann.Ann.quantizedTopK(q, q.filter(col("vec_id") < 5), 10)
+      .select("query_id", "neighbor_id")
+    val hit = exact.intersect(quant).count()
+    // int8 error on 64 dims barely perturbs cosine ordering
+    assert(hit >= 45, s"quantized recall too low: $hit/50")
+  }
+
   test("k-means refinement converges to exact cluster means") {
     import spark.implicits._
     // two tight clusters around (10,0) and (0,10); seeds = first two

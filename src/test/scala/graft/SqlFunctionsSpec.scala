@@ -29,6 +29,9 @@ class SqlFunctionsSpec extends AnyFunSuite {
     val seeded = spark.sql("SELECT lsh_bucket(embedding, 64, 8, 7) AS b FROM emb_v")
       .collect().map(_.getLong(0))
     assert(seeded.toSeq != buckets.toSeq && seeded.forall(b => b >= 0 && b < 256))
+    val idot = spark.sql("SELECT int_vec_dot(array(1, -2, 3), array(4, 5, 6)) AS d")
+      .collect().head.getLong(0)
+    assert(idot == 4L - 10L + 18L)
     val bands = spark.sql("SELECT minhash_bands(text, 3, 128, 32) AS b FROM docs_v")
       .collect().map(_.getSeq[Long](0))
     assert(bands.forall(_.length == 32))
