@@ -317,28 +317,32 @@ object TextOps {
     * sources, how many distinct word n-grams they share — the
     * contamination / provenance-overlap report run before mixing
     * crawl snapshots into one training corpus (a high overlap means
-    * one source republishes another). Grams dedupe per document
-    * in-map, collapse to per-source distinct sets in one partial-agg
-    * pass, and the pair count comes from a single self-join on the
-    * gram; `source_a < source_b` keeps each unordered pair once.
+    * one source republishes another).
     *
-    * Scale: the join key is the gram (hash to an 8-byte long at
-    * 100 TB, like [[repeatedGrams]]); a gram present in k sources
-    * expands to k²/2 pairs, bounded by the number of sources — a hot
-    * boilerplate gram cannot explode the join the way a hot document
-    * would. Output is sources², a dimension-sized matrix.
+    * One corpus scan, no join: grams dedupe per document in-map, each
+    * gram's source set builds through `collect_set` (partials bounded
+    * by the source count, combined map-side), and the sorted set
+    * expands to its (a < b) pairs IN-MAP after the one gram shuffle —
+    * a gram shared by k sources costs k²/2 rows bounded by sources²,
+    * never a join fan-out. The self-join alternative scans the corpus
+    * twice and exchanges the full gram table per side. Output is
+    * sources², a dimension-sized matrix; hash grams to 8-byte longs
+    * at 100 TB like [[repeatedGrams]].
     */
-  def sourceGramOverlap(docs: DataFrame, n: Int): DataFrame = {
-    val grams = docs.select(col("source"),
+  def sourceGramOverlap(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("source"),
         explode(bind(split(col("text"), " "))(w => array_distinct(wordGrams(w, n))))
           .as("gram"))
-      .distinct()
-    grams.as("a")
-      .join(grams.as("b"),
-        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy(col("gram"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(bind(col("srcs")) { s =>
+        flatten(transform(s, (a, i) =>
+          transform(slice(s, i + lit(2), size(s)),
+            b => struct(a.as("sa"), b.as("sb")))))
+      }).as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
       .agg(count(lit(1)).as("n_shared_grams"))
-  }
 
   /** Percentile corpus filter: keep documents whose word count clears
     * the corpus-wide `quantile` (exact linear-interpolation

@@ -217,6 +217,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("source overlap scans the corpus once and never joins") {
+    val p = plan("q_source_overlap")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"the gram self-join alternative scans documents twice:\n$p")
+    assert(!p.contains("Join"), s"pair expansion must be in-map, not a join:\n$p")
+  }
+
+  test("quantized ANN keeps the brute-force plan shape: broadcast probes, heap finish") {
+    val p = plan("q_ann_quantized")
+    assert(p.contains("int_vec_dot"), "scoring must use the codegen integer kernel")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"only the per-query top-k heap may shuffle (k rows per query):\n$p")
+    assert(!p.contains("Window"), s"top-k must finish in the bounded heap, not a sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"queries must broadcast:\n$p")
+  }
+
+  test("daily trend windows consume the aggregated table, not the raw feed") {
+    val p = plan("q_daily_trend")
+    // partial+final agg collapses the feed to types×days BEFORE any
+    // window; the trailing-frame/lag windows then sort only that
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"daily counts must partial-aggregate map-side:\n$p")
+    val aggPos = p.indexOf("HashAggregate")
+    val winPos = p.indexOf("Window")
+    assert(winPos >= 0 && aggPos > winPos,
+      s"windows must sit above the aggregate in the plan tree:\n$p")
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
