@@ -52,6 +52,33 @@ object EventStream {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked stream-stream interval join: each trigger event
+    * (e.g. a click) pairs with the same user's follow-up events
+    * (e.g. purchases) that land within `within` after it — streaming
+    * attribution. Both sides carry watermarks and the join condition
+    * bounds the time range, so Spark buffers only `within`-deep state
+    * per side and evicts as the watermark advances — without the
+    * range bound the join state would grow forever. The same code
+    * runs in batch (watermarks no-op), which is how the spec pins it.
+    */
+  def streamIntervalJoin(triggers: DataFrame, followups: DataFrame,
+                         within: String = "10 minutes"): DataFrame = {
+    val l = triggers
+      .withWatermark("ts", within)
+      .select(col("event_id").as("trigger_id"), col("user_id"),
+        col("ts").as("trigger_ts"))
+    val r = followups
+      .withWatermark("ts", within)
+      .select(col("event_id").as("follow_id"), col("user_id").as("f_user"),
+        col("ts").as("follow_ts"))
+    l.join(r,
+        col("user_id") === col("f_user") &&
+          col("follow_ts") >= col("trigger_ts") &&
+          col("follow_ts") <= col("trigger_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("trigger_id"), col("follow_id"),
+        col("trigger_ts"), col("follow_ts"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user running
     * totals maintained across micro-batches (the building block for
     * fraud counters, rate limits, per-entity accumulators). State is

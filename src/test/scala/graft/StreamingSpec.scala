@@ -57,6 +57,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val stream = streaming.EventStream.readEventStream(spark, streamDir)
+    val joined = streaming.EventStream.streamIntervalJoin(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"))
+    assert(joined.isStreaming, "two watermarked branches must stay a streaming plan")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_join").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attrib_join")
+      val ev = Tables.events(spark, sf)
+      val expected = streaming.EventStream.streamIntervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      assert(got.count() > 0)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        "streamed interval join diverges from the batch join")
+    } finally q.stop()
+  }
+
   test("streaming rollup maintenance fills the warehouse like a batch rollup") {
     val wh = java.nio.file.Files.createTempDirectory("rollup_wh").toString + "/t5m"
     val stream = streaming.EventStream.readEventStream(spark, streamDir)
