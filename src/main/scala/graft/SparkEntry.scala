@@ -502,6 +502,19 @@ object SparkEntry {
     // D25: cross-source 8-gram overlap (contamination matrix)
     "q_source_overlap" -> ((s, dir) =>
       TextOps.sourceGramOverlap(Tables.documents(s, dir), 8)),
+    // D27: corpus snapshot diff — added/removed/changed/unchanged
+    // between two dataset versions (delta simulated by doc_id mod)
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val kept = docs.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 101 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")))
+      val added = docs.filter(col("doc_id") % 103 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"))
+      Reconcile.snapshotDiff(docs, kept.unionByName(added), "doc_id", Seq("text"))
+    }),
     // B11: volume-anomaly days (count vs per-type daily median, ±25%)
     "q_anomaly_days" -> ((s, dir) =>
       Analytics.anomalousDays(Tables.events(s, dir), 5, 4)),
@@ -1309,6 +1322,23 @@ object SparkEntry {
         |  FROM events)
         |SELECT prev_type, event_type, count(*) AS n_transitions
         |FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // oracle compares payloads directly; the operator compares
+    // xxhash64 of the payload (the 100 TB shuffle key) — identical
+    // verdicts, same rationale as exact dedup's hash key
+    "q_corpus_diff" ->
+      """WITH cur AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 101 = 0 THEN text || ' [v2]'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'new ' || text FROM documents
+        |  WHERE doc_id % 103 = 0)
+        |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        | CASE WHEN b.doc_id IS NULL THEN 'added'
+        |      WHEN c.doc_id IS NULL THEN 'removed'
+        |      WHEN b.text <> c.text THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |FROM documents b FULL OUTER JOIN cur c ON b.doc_id = c.doc_id""".stripMargin,
     "q_source_overlap" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT DISTINCT source,

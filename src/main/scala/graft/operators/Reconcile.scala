@@ -134,6 +134,29 @@ object Reconcile {
     * HlxTools.py:806-818: columns expected by the spec but absent from
     * the data, and vice versa. Pure metadata — no job runs.
     */
+  /** Snapshot diff between two versions of a dataset: per key, is the
+    * row `added`, `removed`, `changed`, or `unchanged` — corpus
+    * versioning for a training-data pipeline (what moved between two
+    * crawl snapshots) and the generalized form of the reference's
+    * before/after reload comparison. One full-outer join on the key;
+    * each side's payload collapses to an 8-byte xxhash64 BEFORE the
+    * join, so the shuffle carries (key, hash) — never the payload
+    * (at 100 TB the text column is the cost, same trick as exact
+    * dedup's hash key).
+    */
+  def snapshotDiff(base: DataFrame, current: DataFrame, key: String,
+                   payload: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, as: String) =
+      df.select(col(key), xxhash64(payload.map(col): _*).as(as))
+    hashed(base, "h_base")
+      .join(hashed(current, "h_cur"), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("h_base").isNull, "added")
+          .when(col("h_cur").isNull, "removed")
+          .when(col("h_base") =!= col("h_cur"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   def missingColumns(expected: Seq[String], df: DataFrame): (Seq[String], Seq[String]) = {
     val have = df.columns.toSeq
     (expected.diff(have), have.diff(expected))

@@ -683,6 +683,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot diff classifies the simulated delta exactly") {
+    val docs = Tables.documents(spark, sf)
+    val byStatus = SparkEntry.queries("q_corpus_diff")(spark, sf)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val removed = docs.filter(col("doc_id") % 97 === 0).count()
+    val changed = docs.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 101 === 0).count()
+    val added = docs.filter(col("doc_id") % 103 === 0).count()
+    assert(byStatus.getOrElse("removed", 0L) == removed)
+    assert(byStatus.getOrElse("changed", 0L) == changed)
+    assert(byStatus.getOrElse("added", 0L) == added)
+    assert(byStatus.values.sum == docs.count() + added)
+    // the join must carry 8-byte hashes, not the text payload
+    val p = SparkEntry.queries("q_corpus_diff")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("xxhash64".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("corpus profile: cube cells agree with direct rollups, one aggregate plan") {
     val docs = Tables.documents(spark, sf)
     val prof = operators.Analytics.corpusProfile(docs)
