@@ -499,6 +499,9 @@ object SparkEntry {
     // E23: Markov transition matrix of consecutive event types
     "q_event_transitions" -> ((s, dir) =>
       Analytics.transitionMatrix(Tables.events(s, dir))),
+    // E25: rolling active users (DAU / trailing-7-day WAU)
+    "q_active_users" -> ((s, dir) =>
+      Analytics.rollingActiveUsers(Tables.events(s, dir), 7)),
     // D25: cross-source 8-gram overlap (contamination matrix)
     "q_source_overlap" -> ((s, dir) =>
       TextOps.sourceGramOverlap(Tables.documents(s, dir), 8)),
@@ -1315,6 +1318,19 @@ object SparkEntry {
         |   (PARTITION BY event_type ORDER BY day) AS delta
         |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
         | ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // sliding DISTINCT: each deduped user-day fans out to the 7
+    // window-end days it covers, then plain distinct counts per day
+    "q_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |uw AS (SELECT DISTINCT user_id,
+        |   CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |     INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM ud),
+        |wau AS (SELECT day, count(*) AS wau FROM uw GROUP BY 1)
+        |SELECT dau.day AS day, dau, wau,
+        | CAST(dau AS DOUBLE) / wau AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
     // event_id breaks ts ties, so the lag sequence is deterministic
     "q_event_transitions" ->
       """WITH s AS (SELECT event_type, LAG(event_type, 1) OVER

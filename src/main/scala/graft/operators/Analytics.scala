@@ -199,6 +199,36 @@ object Analytics {
       .withColumn("delta", col("n_events") - lag(col("n_events"), 1).over(ordered))
   }
 
+  /** Rolling active users: per day, the distinct users active that
+    * day (DAU) and in the trailing `windowDays` window (WAU), plus
+    * their ratio (stickiness) — the engagement triple every product
+    * dashboard carries. Sliding DISTINCT counts don't compose from
+    * daily partials, so each (user, day) activity row fans out to the
+    * `windowDays` window-END days it keeps the user active for — a
+    * bounded ×W in-map explode on the DEDUPED user-day table (tiny
+    * next to the feed), then a plain distinct count per end day.
+    *
+    * Scale: the feed collapses to distinct (user, day) in one
+    * partial-agg pass; everything after runs on users×days rows.
+    * Never a per-day self-join of the feed, never a window DISTINCT
+    * (which Spark would reject anyway).
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "window must cover at least the day itself")
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+          .as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+  }
+
   /** Event-type transition matrix: counts of consecutive
     * (previous → current) event-type pairs within each user's
     * timeline — the Markov view of user behaviour (what follows

@@ -683,6 +683,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling active users equal brute-force trailing distinct counts") {
+    val ev = Tables.events(spark, sf)
+    val got = operators.Analytics.rollingActiveUsers(ev, 7).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
+    val days = ud.map(_._2).distinct
+    assert(days.nonEmpty && got.size == days.size)
+    days.foreach { d =>
+      val dau = ud.filter(_._2 == d).map(_._1).distinct.length
+      val wau = ud.filter(x => !x._2.isAfter(d) && !x._2.isBefore(d.minusDays(6)))
+        .map(_._1).distinct.length
+      assert(got(d.toString) == (dau.toLong, wau.toLong),
+        s"day $d: got ${got(d.toString)} expected ($dau, $wau)")
+    }
+  }
+
   test("snapshot diff classifies the simulated delta exactly") {
     val docs = Tables.documents(spark, sf)
     val byStatus = SparkEntry.queries("q_corpus_diff")(spark, sf)
