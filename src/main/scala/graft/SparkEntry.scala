@@ -502,6 +502,12 @@ object SparkEntry {
     // E25: rolling active users (DAU / trailing-7-day WAU)
     "q_active_users" -> ((s, dir) =>
       Analytics.rollingActiveUsers(Tables.events(s, dir), 7)),
+    // E26: share-of-total contribution per (day, event type)
+    "q_contribution" -> ((s, dir) =>
+      Analytics.contribution(Tables.events(s, dir))),
+    // E27: Pareto / ABC classification of event types by value
+    "q_pareto" -> ((s, dir) =>
+      Analytics.paretoClasses(Tables.events(s, dir))),
     // D25: cross-source 8-gram overlap (contamination matrix)
     "q_source_overlap" -> ((s, dir) =>
       TextOps.sourceGramOverlap(Tables.documents(s, dir), 8)),
@@ -1318,6 +1324,35 @@ object SparkEntry {
         |   (PARTITION BY event_type ORDER BY day) AS delta
         |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
         | ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // decimal both aggregation layers; doubles only in the final
+    // casts and single division
+    "q_contribution" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        | FROM events GROUP BY 1, 2),
+        |t AS (SELECT day, CAST(SUM(v) AS DECIMAL(18,2)) AS day_total
+        | FROM d GROUP BY 1)
+        |SELECT d.day AS day, event_type, CAST(v AS DOUBLE) AS sum_value,
+        | CAST(v AS DOUBLE) / CAST(day_total AS DOUBLE) AS share
+        |FROM d JOIN t ON d.day = t.day""".stripMargin,
+    // cumulative decimal window in deterministic (value desc, type)
+    // order; the window input is one row per type
+    "q_pareto" ->
+      """WITH d AS (SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        | FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(v) AS DECIMAL(18,2)) AS total FROM d),
+        |c AS (SELECT event_type, v, total,
+        |  CAST(SUM(v) OVER (ORDER BY v DESC, event_type
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS DECIMAL(18,2)) AS cum_v
+        | FROM d, t)
+        |SELECT event_type, CAST(v AS DOUBLE) AS sum_value,
+        | CAST(cum_v AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+        | CASE WHEN CAST(cum_v AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+        |      WHEN CAST(cum_v AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+        |      ELSE 'C' END AS abc_class
+        |FROM c""".stripMargin,
     // sliding DISTINCT: each deduped user-day fans out to the 7
     // window-end days it covers, then plain distinct counts per day
     "q_active_users" ->

@@ -199,6 +199,55 @@ object Analytics {
       .withColumn("delta", col("n_events") - lag(col("n_events"), 1).over(ordered))
   }
 
+  /** Share-of-total contribution: each event type's share of its
+    * day's total value — the ratio-to-report view behind "what drove
+    * today's traffic". Money math stays decimal through both
+    * aggregations (exact, order-independent); the only float ops are
+    * the final casts and one division. The totals side is
+    * days-sized, so it broadcasts and the daily table never
+    * re-shuffles.
+    */
+  def contribution(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("v"))
+    val totals = daily.groupBy(col("day"))
+      .agg(sum(col("v")).cast("decimal(18,2)").as("day_total"))
+    daily.join(broadcast(totals), "day")
+      .select(col("day"), col("event_type"),
+        col("v").cast("double").as("sum_value"),
+        (col("v").cast("double") / col("day_total").cast("double")).as("share"))
+  }
+
+  /** Pareto / ABC classification of event types by total value:
+    * cumulative share in descending-value order, classed A (head,
+    * ≤ `aThr`), B (≤ `bThr`), C (tail) — the 80/20 triage a capacity
+    * planner runs. The unpartitioned ordered window is safe HERE
+    * because it runs on the post-aggregation table (one row per
+    * type, dimension-sized at any feed scale); the cumulative sum
+    * stays decimal-exact with a deterministic (value desc, type)
+    * order.
+    */
+  def paretoClasses(events: DataFrame,
+                    aThr: Double = 0.8, bThr: Double = 0.95): DataFrame = {
+    require(aThr < bThr, "class A must end before class B")
+    val typed = events.groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").as("v"))
+    val total = typed.agg(sum(col("v")).cast("decimal(18,2)").as("total"))
+    val w = Window.orderBy(col("v").desc, col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    typed.crossJoin(broadcast(total))
+      .withColumn("cum_v", sum(col("v")).over(w).cast("decimal(18,2)"))
+      .select(col("event_type"), col("v").cast("double").as("sum_value"),
+        (col("cum_v").cast("double") / col("total").cast("double")).as("cum_share"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= aThr, "A")
+          .when(col("cum_share") <= bThr, "B")
+          .otherwise("C"))
+  }
+
   /** Rolling active users: per day, the distinct users active that
     * day (DAU) and in the trailing `windowDays` window (WAU), plus
     * their ratio (stickiness) — the engagement triple every product

@@ -683,6 +683,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("contribution shares sum to 1 per day; pareto cumulates to exactly 1") {
+    val ev = Tables.events(spark, sf)
+    val byDay = operators.Analytics.contribution(ev).collect()
+      .groupBy(_.getAs[java.sql.Date]("day"))
+    assert(byDay.nonEmpty)
+    byDay.foreach { case (d, rows) =>
+      val s = rows.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"day $d shares sum to $s")
+    }
+    val pareto = operators.Analytics.paretoClasses(ev).collect()
+      .sortBy(_.getAs[Double]("cum_share"))
+    assert(pareto.last.getAs[Double]("cum_share") == 1.0,
+      "decimal cumulative sum must hit the total exactly")
+    // classes partition the ordering: once past a threshold, never back
+    val classes = pareto.map(_.getAs[String]("abc_class")).toSeq
+    assert(classes == classes.sorted, s"classes out of order: $classes")
+  }
+
   test("rolling active users equal brute-force trailing distinct counts") {
     val ev = Tables.events(spark, sf)
     val got = operators.Analytics.rollingActiveUsers(ev, 7).collect()
