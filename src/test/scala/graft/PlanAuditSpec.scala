@@ -217,6 +217,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("contribution broadcasts the day totals back over the daily table") {
+    val p = plan("q_contribution")
+    assert(p.contains("BroadcastHashJoin"), s"totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the daily table must not re-shuffle for the totals join:\n$p")
+  }
+
   test("source overlap scans the corpus once and never joins") {
     val p = plan("q_source_overlap")
     assert("Scan parquet".r.findAllIn(p).length == 1,
