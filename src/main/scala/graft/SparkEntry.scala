@@ -1354,7 +1354,9 @@ object SparkEntry {
         |      ELSE 'C' END AS abc_class
         |FROM c""".stripMargin,
     // sliding DISTINCT: each deduped user-day fans out to the 7
-    // window-end days it covers, then plain distinct counts per day
+    // window-end days it covers, then plain distinct counts per day;
+    // zero-DAU days inside a live window still emit (dau=0), phantom
+    // fan-out days past the observed span are clipped
     "q_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
@@ -1362,10 +1364,12 @@ object SparkEntry {
         |   CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
         |     INTERVAL 1 DAY)) AS DATE) AS day
         |  FROM ud),
-        |wau AS (SELECT day, count(*) AS wau FROM uw GROUP BY 1)
-        |SELECT dau.day AS day, dau, wau,
-        | CAST(dau AS DOUBLE) / wau AS stickiness
-        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
+        |wau AS (SELECT day, count(*) AS wau FROM uw GROUP BY 1),
+        |span AS (SELECT max(day) AS d_max FROM dau)
+        |SELECT wau.day AS day, COALESCE(dau, 0) AS dau, wau,
+        | CAST(COALESCE(dau, 0) AS DOUBLE) / wau AS stickiness
+        |FROM wau LEFT JOIN dau ON wau.day = dau.day, span
+        |WHERE wau.day <= d_max""".stripMargin,
     // event_id breaks ts ties, so the lag sequence is deterministic
     "q_event_transitions" ->
       """WITH s AS (SELECT event_type, LAG(event_type, 1) OVER
@@ -1401,14 +1405,23 @@ object SparkEntry {
         |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
     // cross-multiplied comparison: integer counts × half-integer
-    // medians, no division anywhere
+    // medians, no division anywhere; the (type, day) grid densifies
+    // to the feed's day span so total-outage days (count=0) surface
     "q_anomaly_days" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |  count(*) AS n_events FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |grid AS (SELECT t.event_type,
+        |   CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM d) t, span),
+        |dense AS (SELECT g.event_type, g.day,
+        |   COALESCE(d.n_events, 0) AS n_events
+        |  FROM grid g LEFT JOIN d ON g.event_type = d.event_type
+        |   AND g.day = d.day),
         |m AS (SELECT event_type, quantile_cont(n_events, 0.5) AS median_n
-        | FROM d GROUP BY 1)
+        | FROM dense GROUP BY 1)
         |SELECT event_type, day, n_events, median_n
-        |FROM d JOIN m USING (event_type)
+        |FROM dense JOIN m USING (event_type)
         |WHERE n_events * 4 > median_n * 5 OR n_events * 5 < median_n * 4""".stripMargin,
     "q_upsert" ->
       """WITH inc AS (SELECT event_id, user_id, event_type, value * 2 AS value

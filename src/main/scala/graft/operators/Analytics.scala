@@ -98,24 +98,40 @@ object Analytics {
     * day) cells whose event count deviates from that type's daily
     * median by more than `num`/`den` (e.g. 5/4 = ±25%) — the
     * monitoring pass a PM warehouse runs to catch feed outages and
-    * error storms. The median is robust to the outliers it hunts
-    * (a mean-based z-score moves with them), and the comparison is
-    * written cross-multiplied (`n*den > med*num`) so it stays in
-    * exact integer×(integer-or-half) arithmetic — no division, no
-    * float drift, engine-replayable.
+    * error storms. The (event_type, day) grid is DENSIFIED to the
+    * feed's full day span before the comparison, so a complete
+    * outage day (zero events → no row in the raw daily aggregate)
+    * surfaces as an n_events=0 anomaly instead of being invisible —
+    * the most severe failure is exactly the one a sparse grid hides.
+    * The median is robust to the outliers it hunts (a mean-based
+    * z-score moves with them), and the comparison is written
+    * cross-multiplied (`n*den > med*num`) so it stays in exact
+    * integer×(integer-or-half) arithmetic — no division, no float
+    * drift, engine-replayable.
     *
     * Scale: daily counts partial-aggregate map-side to types×days
-    * rows; the per-type median runs over that tiny table and
-    * broadcasts back. The feed is scanned once.
+    * rows; that tiny table is persisted (bounded by types×days, a
+    * few KB even at 100 TB of feed) so the span/type-list/median
+    * passes never rescan the feed. The grid cross-join is
+    * types × span-days — trivially broadcastable.
     */
   def anomalousDays(events: DataFrame, num: Int = 5, den: Int = 4): DataFrame = {
     require(num > den && den > 0, "num/den must exceed 1")
     val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"))
-    val med = daily.groupBy(col("event_type"))
+      .persist()
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val med = dense.groupBy(col("event_type"))
       .agg(percentile(col("n_events"), lit(0.5)).as("median_n"))
-    daily.join(broadcast(med), "event_type")
+    dense.join(broadcast(med), "event_type")
       .filter(col("n_events") * den > col("median_n") * num ||
         col("n_events") * num < col("median_n") * den)
       .select(col("event_type"), col("day"), col("n_events"), col("median_n"))
@@ -257,25 +273,39 @@ object Analytics {
     * bounded ×W in-map explode on the DEDUPED user-day table (tiny
     * next to the feed), then a plain distinct count per end day.
     *
+    * Days with zero same-day activity but a live trailing window
+    * (users active earlier in the window) still emit a row with
+    * dau=0 / stickiness=0.0 — an engagement dashboard must show the
+    * day activity collapsed, not skip it. The fan-out also extends
+    * `windowDays-1` days past the last observed activity day; those
+    * phantom end-days are clipped to the observed span.
+    *
     * Scale: the feed collapses to distinct (user, day) in one
     * partial-agg pass; everything after runs on users×days rows.
-    * Never a per-day self-join of the feed, never a window DISTINCT
-    * (which Spark would reject anyway).
+    * The day-level dau table is persisted (bounded by #days) so the
+    * span lookup never recomputes it. Never a per-day self-join of
+    * the feed, never a window DISTINCT (which Spark would reject
+    * anyway).
     */
   def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, "window must cover at least the day itself")
     val userDays = events
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .persist()
     val wau = userDays
       .select(col("user_id"),
         explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
           .as("day"))
       .distinct()
       .groupBy(col("day")).agg(count(lit(1)).as("wau"))
-    dau.join(wau, "day")
-      .select(col("day"), col("dau"), col("wau"),
-        (col("dau").cast("double") / col("wau")).as("stickiness"))
+    val span = dau.agg(max(col("day")).as("d_max"))
+    wau.join(dau, Seq("day"), "left")
+      .crossJoin(broadcast(span))
+      .filter(col("day") <= col("d_max"))
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        (coalesce(col("dau"), lit(0L)).cast("double") / col("wau"))
+          .as("stickiness"))
   }
 
   /** Event-type transition matrix: counts of consecutive

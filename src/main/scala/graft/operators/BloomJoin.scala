@@ -28,7 +28,10 @@ object BloomJoin {
 
   /** Exact semi-join of `large` against `small`'s key set with a
     * bloom pre-filter on the large side. Keys must be integral
-    * (hashed as longs on both build and probe sides).
+    * (hashed as longs on both build and probe sides). The small
+    * side's key is renamed before the join so the condition stays
+    * unambiguous when both sides use the same key name (the common
+    * semi-join case).
     */
   def bloomSemiJoin(large: DataFrame, largeKey: String,
                     small: DataFrame, smallKey: String,
@@ -36,8 +39,8 @@ object BloomJoin {
     large
       .filter(mightContain(buildBloom(small, smallKey, expectedItems, fpp),
         col(largeKey)))
-      .join(small.select(col(smallKey)).distinct(),
-        col(largeKey) === col(smallKey), "left_semi")
+      .join(small.select(col(smallKey).as("__bloom_probe_key")).distinct(),
+        col(largeKey) === col("__bloom_probe_key"), "left_semi")
   }
 
   /** One aggregation job → serialized bloom over `key`'s longs. */

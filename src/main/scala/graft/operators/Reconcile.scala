@@ -142,12 +142,17 @@ object Reconcile {
     * each side's payload collapses to an 8-byte xxhash64 BEFORE the
     * join, so the shuffle carries (key, hash) — never the payload
     * (at 100 TB the text column is the cost, same trick as exact
-    * dedup's hash key).
+    * dedup's hash key). Spark's hash functions SKIP null inputs
+    * (hash state unchanged), so a bare xxhash64(cols) would hash
+    * (NULL,"x") and ("x",NULL) identically; each column's null flag
+    * is interleaved into the hash stream to disambiguate position.
     */
   def snapshotDiff(base: DataFrame, current: DataFrame, key: String,
                    payload: Seq[String]): DataFrame = {
     def hashed(df: DataFrame, as: String) =
-      df.select(col(key), xxhash64(payload.map(col): _*).as(as))
+      df.select(col(key),
+        xxhash64(payload.flatMap(c =>
+          Seq(isnull(col(c)).cast("long"), col(c))): _*).as(as))
     hashed(base, "h_base")
       .join(hashed(current, "h_cur"), Seq(key), "full_outer")
       .select(col(key),

@@ -178,6 +178,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("X", "1970-01-04", 20L)))
   }
 
+  test("anomalous days surfaces a total-outage day as n_events=0") {
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400L * 1000)
+    // type X emits 10/day on days 0,1,2,4 and NOTHING on day 3: the
+    // raw daily aggregate has no row for (X, day3), but the densified
+    // grid must flag it as the worst possible anomaly (count=0)
+    val rows = Seq(0, 1, 2, 4).flatMap(d => Seq.fill(10)(("X", ts(d))))
+    val ev = rows.toDF("event_type", "ts")
+    val out = graft.operators.Analytics.anomalousDays(ev, 5, 4)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    assert(out.toSeq == Seq(("X", "1970-01-04", 0L)))
+  }
+
   test("curate gates language, quality, dedups, and redacts in one plan") {
     val longText = (1 to 30).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
@@ -261,5 +274,13 @@ class CorpusOpsSpec extends AnyFunSuite {
       col("l_orderkey") === col("o_orderkey"), "left_semi")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     assert(got.count() > 0)
+  }
+
+  test("bloom semi-join works when both sides share the key name") {
+    val large = (1L to 100L).map(k => (k, s"p$k")).toDF("k", "payload")
+    val small = Seq(3L, 7L, 42L).toDF("k")
+    val got = BloomJoin.bloomSemiJoin(large, "k", small, "k", 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 7L, 42L))
   }
 }

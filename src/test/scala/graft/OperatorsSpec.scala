@@ -708,15 +708,39 @@ class OperatorsSpec extends AnyFunSuite {
         (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
     val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       .collect().map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
-    val days = ud.map(_._2).distinct
-    assert(days.nonEmpty && got.size == days.size)
-    days.foreach { d =>
+    // expected: every day in the observed span with a live trailing
+    // window (wau > 0), including zero-DAU days
+    val dMin = ud.map(_._2).min
+    val dMax = ud.map(_._2).max
+    val spanDays = Iterator.iterate(dMin)(_.plusDays(1))
+      .takeWhile(!_.isAfter(dMax)).toSeq
+    val expected = spanDays.flatMap { d =>
       val dau = ud.filter(_._2 == d).map(_._1).distinct.length
       val wau = ud.filter(x => !x._2.isAfter(d) && !x._2.isBefore(d.minusDays(6)))
         .map(_._1).distinct.length
-      assert(got(d.toString) == (dau.toLong, wau.toLong),
-        s"day $d: got ${got(d.toString)} expected ($dau, $wau)")
-    }
+      if (wau > 0) Some(d.toString -> (dau.toLong, wau.toLong)) else None
+    }.toMap
+    assert(expected.nonEmpty && got == expected)
+  }
+
+  test("rolling active users emits dau=0 rows for zero-activity days in a live window") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400L * 1000)
+    // user 1 active on day 0 and day 4 only: days 1-3 have dau=0 but
+    // wau=1 (day-0 activity keeps the trailing window live), and no
+    // phantom rows appear past day 4 (the observed span end)
+    val ev = Seq((1L, ts(0)), (1L, ts(4))).toDF("user_id", "ts")
+    val got = operators.Analytics.rollingActiveUsers(ev, 7).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+          r.getAs[Double]("stickiness"))).toMap
+    assert(got == Map(
+      "1970-01-01" -> ((1L, 1L, 1.0)),
+      "1970-01-02" -> ((0L, 1L, 0.0)),
+      "1970-01-03" -> ((0L, 1L, 0.0)),
+      "1970-01-04" -> ((0L, 1L, 0.0)),
+      "1970-01-05" -> ((1L, 1L, 1.0))))
   }
 
   test("snapshot diff classifies the simulated delta exactly") {
@@ -735,6 +759,20 @@ class OperatorsSpec extends AnyFunSuite {
     val p = SparkEntry.queries("q_corpus_diff")(spark, sf)
       .queryExecution.executedPlan.toString
     assert("xxhash64".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("snapshot diff distinguishes null-position swaps across payload columns") {
+    import spark.implicits._
+    // Spark hash functions skip nulls, so (NULL,'x') and ('x',NULL)
+    // would hash identically without the interleaved null flags —
+    // this row pair must be reported 'changed', not 'unchanged'
+    val base = Seq((1L, Option.empty[String], Option("x")),
+      (2L, Option("same"), Option("same"))).toDF("k", "a", "b")
+    val cur = Seq((1L, Option("x"), Option.empty[String]),
+      (2L, Option("same"), Option("same"))).toDF("k", "a", "b")
+    val got = operators.Reconcile.snapshotDiff(base, cur, "k", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "unchanged"))
   }
 
   test("corpus profile: cube cells agree with direct rollups, one aggregate plan") {
