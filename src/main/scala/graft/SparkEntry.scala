@@ -595,9 +595,18 @@ object SparkEntry {
     writeRaw("F_20240102.csv", "WEST", Seq("4|A|40", "5|B|50"))
     import s.implicits._
     Seq(("A", "Alpha")).toDF("g_code", "g_name").createOrReplaceTempView("grp_dim")
+    // the workbook fixtures ship on the classpath; materialize them to
+    // temp files so the query runs regardless of the launch directory
+    def fromClasspath(name: String): String = {
+      val in = getClass.getClassLoader
+        .getResourceAsStream(s"graft/fixtures/$name")
+      require(in != null, s"fixture graft/fixtures/$name not on classpath")
+      val f = rawDir.resolve(name)
+      try java.nio.file.Files.copy(in, f) finally in.close()
+      f.toString
+    }
     val parsed = WorkbookConfig.load(
-      "src/main/resources/graft/fixtures/chill_conf.xlsx",
-      "src/main/resources/graft/fixtures/hld.xlsx")
+      fromClasspath("chill_conf.xlsx"), fromClasspath("hld.xlsx"))
     val compiled = ConfigFile.compile(s,
       parsed.cfg.copy(input_path = rawDir.toString + "/*.csv"),
       rawDir.resolve("wh").toString)
