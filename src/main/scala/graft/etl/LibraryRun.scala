@@ -66,13 +66,54 @@ object LibraryRun {
         table -> spark.read.parquet(s"${cfg.warehouseDir}/$table")
       }.toMap
 
-      // 4. reconcile per table: counts + missing keys (compare_data)
+      // 4. reconcile per table — the reference's FULL compare_data
+      // check set (HlxTools.py:785-936): record counts, missing keys
+      // both directions, per-counter value diffs (numeric-else-string,
+      // rounded to 3), fact→dimension referential integrity vs the
+      // config's lookup views, and the missing-column schema compare.
+      // Counter columns come from the route spec (the HLD column list
+      // minus keys — TYPE=KPI post-rule columns are excluded the way
+      // the reference filters TYPE!='KPI').
+      val lookups = cfg.rules.collect { case l: Lookup => l }
       val suites = routed.keys.toSeq.sorted.flatMap { table =>
+        val spec = cfg.routes.find(_.table == table).get
+        val counters = spec.columns
+          .filterNot(c => keyCols.contains(c) || c == cfg.partitionCol)
         val expected = routed(table).withColumn("_key", concat_ws("", keyCols.map(col): _*))
         val actual = loaded(table).withColumn("_key", concat_ws("", keyCols.map(col): _*))
+        val missing = Reconcile.missingKeys(expected, actual, "_key")
+        val diffs =
+          if (counters.isEmpty) None
+          else Some(Reconcile.counterDiffs(expected, actual, "_key", counters))
+        val (missingInData, extraInData) = Reconcile.missingColumns(
+          spec.columns ++ spec.postRules.map(_.name), loaded(table))
+        // referential: every lookup rule whose fact keys survived into
+        // this table checks its keys against the dimension view
+        val refSuites = lookups
+          .filter(_.keys.forall { case (f, _) => loaded(table).columns.contains(f) })
+          .map { l =>
+            val factKey = l.keys.map(_._1)
+            val dimKey = l.keys.map(_._2)
+            val (fact, fk) =
+              if (factKey.sizeIs == 1) (loaded(table), factKey.head)
+              else (loaded(table).withColumn("_fk",
+                concat_ws("", factKey.map(col): _*)), "_fk")
+            val (dim, dk) =
+              if (dimKey.sizeIs == 1) (l.view, dimKey.head)
+              else (l.view.select(
+                concat_ws("", dimKey.map(col): _*).as("_dk")), "_dk")
+            Report.referentialSuite(
+              Reconcile.referentialSummary(fact, dim, fk, dk), table, l.name)
+          }
         Seq(
           Report.countSuite(Reconcile.countCompare(expected, actual, "_key"), "_key"),
-          Report.missingSuite(Reconcile.missingKeys(expected, actual, "_key"), "_key"))
+          Report.missingSuite(missing, "_key"),
+          Report.summaryRow("missing_records", table, missing),
+          Report.missingColumnsSuite(spark, table, missingInData, extraInData)) ++
+          diffs.toSeq.flatMap(d => Seq(
+            Report.counterDiffSuite(d, "_key"),
+            Report.summaryRow("value_diffs", table, d))) ++
+          refSuites
       }
       val report = Report.merge(suites: _*)
       // toJunitXml collects, so the report materializes from the cache

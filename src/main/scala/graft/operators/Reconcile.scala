@@ -105,6 +105,39 @@ object Reconcile {
     else stacked.filter(abs(col("diff")) > tolerance)
   }
 
+  /** All-counter compare with the reference's exact PER-VALUE
+    * semantics (the try/except in HlxTools.py:907-929): each counter
+    * value pair is compared numerically (round both sides to `scale`
+    * decimals, flag any nonzero difference) when BOTH parse as
+    * doubles, and as strings otherwise — including the one-side-null
+    * case, which the reference's float(None) TypeError also routes to
+    * the (failing) string compare. One join on the key; `stack`
+    * unpivots every counter inside the same stage (N counters cost
+    * one shuffle, not N), with values carried as strings so numeric
+    * and text counters share the stack, exactly like the reference's
+    * untyped CSV/DB frames.
+    */
+  def counterDiffs(left: DataFrame, right: DataFrame, key: String,
+                   counters: Seq[String], scale: Int = 3): DataFrame = {
+    require(counters.nonEmpty, "counterDiffs needs at least one counter")
+    def side(df: DataFrame, sfx: String) = df.select(
+      col(key) +: counters.map(c => col(c).cast("string").as(s"${c}_$sfx")): _*)
+    val stackArgs = counters.map(c => s"'$c', ${c}_l, ${c}_r").mkString(", ")
+    val numL = col("val_left").cast("double")
+    val numR = col("val_right").cast("double")
+    val stringNeq =
+      coalesce(col("val_left") =!= col("val_right"), lit(false)) ||
+        (col("val_left").isNull =!= col("val_right").isNull)
+    side(left, "l").join(side(right, "r"), Seq(key), "inner")
+      .selectExpr(key,
+        s"stack(${counters.size}, $stackArgs) AS (counter, val_left, val_right)")
+      .filter(
+        when(numL.isNotNull && numR.isNotNull,
+          round(numL, scale) - round(numR, scale) =!= 0.0)
+          .otherwise(stringNeq))
+      .select(col(key), col("counter"), col("val_left"), col("val_right"))
+  }
+
   /** String-valued counter diff — the reference's fallback when a
     * counter fails float conversion (HlxTools.py:923-929): exact
     * inequality after the same single join.

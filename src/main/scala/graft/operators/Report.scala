@@ -40,6 +40,44 @@ object Report {
       lit("failed").as("status"),
       concat(lit("left="), col("val_left"), lit(" right="), col("val_right")).as("message"))
 
+  /** Per-counter value-diff suite over [[Reconcile.counterDiffs]]
+    * output — the counter name lands in the test name so a failing
+    * case reads `diff for <key> <counter>` like the reference's
+    * per-counter diff dict (HlxTools.py:918-929).
+    */
+  def counterDiffSuite(counterDiffs: DataFrame, key: String): DataFrame =
+    counterDiffs.select(
+      lit("value_diffs").as("suite"),
+      concat(lit("diff for "), col(key).cast("string"), lit(" "),
+        col("counter")).as("test_name"),
+      lit("failed").as("status"),
+      concat(lit("left="), coalesce(col("val_left"), lit("NULL")),
+        lit(" right="), coalesce(col("val_right"), lit("NULL"))).as("message"))
+
+  /** Referential-integrity suite from a
+    * [[Reconcile.referentialSummary]] one-row summary: passed iff no
+    * fact key is absent from the dimension (the reference's
+    * missing_in_conf check, HlxTools.py:821-856).
+    */
+  def referentialSuite(summary: DataFrame, table: String, ruleName: String): DataFrame =
+    summary.select(
+      lit("referential").as("suite"),
+      lit(s"$table fk $ruleName").as("test_name"),
+      when(col("n_orphans") === 0L, "passed").otherwise("failed").as("status"),
+      concat(lit("facts="), col("n_facts"), lit(" orphans="), col("n_orphans"),
+        lit(" matched="), col("n_matched")).as("message"))
+
+  /** One aggregate pass/fail row over a failures-only suite body, so
+    * a clean table still surfaces the suite in the report (a suite
+    * that only emits failures would vanish when green).
+    */
+  def summaryRow(suiteName: String, table: String, failures: DataFrame): DataFrame =
+    failures.agg(count(lit(1)).as("_n")).select(
+      lit(suiteName).as("suite"),
+      lit(table).as("test_name"),
+      when(col("_n") === 0L, "passed").otherwise("failed").as("status"),
+      concat(lit("failing_cases="), col("_n")).as("message"))
+
   /** DBL loader-error suite (TestReport.py:create_db_errors): the
     * parsed loader logs ([[Maintenance.parseDblErrors]]) as one case
     * per (table, line) — ORA-/record errors fail, load statistics

@@ -23,6 +23,8 @@ class LibraryRunSpec extends AnyFunSuite {
     writeRaw(rawDir, "F_20240101.csv", "2024-01-01", 1 to 20)
     writeRaw(rawDir, "F_20240102.csv", "2024-01-02", 21 to 40)
 
+    import spark.implicits._
+    val dim = (1 to 45).map(i => (i.toString, s"name$i")).toDF("k", "nm")
     val cfg = LibraryConfig(
       rawPath = rawDir.toString + "/*.csv",
       delimiter = "|",
@@ -32,10 +34,12 @@ class LibraryRunSpec extends AnyFunSuite {
         FromFilename("day", "F_(\\d{8})\\.csv", 1),
         Derived("idn", col("id").cast("long")),
         Derived("cntn", col("cnt").cast("long")),
-        Constant("lib", lit("PM_LIB"))),
+        Constant("lib", lit("PM_LIB")),
+        Lookup("id_name", dim, Seq(("id", "k")), "nm", lit("?"))),
       tagRules = Seq(),
       routes = Seq(
-        TableRoute("counters", col("idn") > 0, Seq("day", "id", "cntn", "lib"))),
+        TableRoute("counters", col("idn") > 0,
+          Seq("day", "id", "cntn", "lib", "id_name"))),
       partitionCol = "day",
       warehouseDir = wh)
 
@@ -44,6 +48,12 @@ class LibraryRunSpec extends AnyFunSuite {
     val failed = result.report.filter(col("status") === "failed").count()
     assert(failed == 0, s"clean load must reconcile clean:\n${result.junitXml}")
     assert(result.junitXml.contains("failures=\"0\""))
+    // the reference's compare_data runs FIVE check kinds per table
+    // (HlxTools.py:785-936); all five must be present in the report
+    val kinds = result.report.select("suite").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds == Set("record_counts", "missing_records", "value_diffs",
+      "missing_columns", "referential"), s"suite kinds: $kinds")
 
     // reload only day 2 with changed data: partition overwrite must
     // replace that day and leave day 1 untouched

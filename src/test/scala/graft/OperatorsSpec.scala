@@ -153,6 +153,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(multi.length == 1 && multi.head.getAs[String]("counter") == "a")
   }
 
+  test("counterDiffs applies numeric-else-string per value, nulls flagged one-sided") {
+    import spark.implicits._
+    // mixed columns: num parses as double (numeric compare after
+    // round-3), txt doesn't (string compare), and a one-sided null
+    // routes to the failing compare like the reference's float(None)
+    val l = Seq(
+      (1L, Some("1.0004"), Some("a")),   // round-3: 1.000 vs 1.001 → flagged
+      (2L, Some("2.0"), Some("b")),      // txt differs → flagged
+      (3L, Some("3.0"), None),           // null vs value → flagged
+      (4L, Some("4.5"), Some("d")))      // num differs → flagged
+      .toDF("k", "num", "txt")
+    val r = Seq(
+      (1L, Some("1.0006"), Some("a")),
+      (2L, Some("2.0"), Some("x")),
+      (3L, Some("3.0"), Some("c")),
+      (4L, Some("4.25"), Some("d")))
+      .toDF("k", "num", "txt")
+    val got = operators.Reconcile.counterDiffs(l, r, "k", Seq("num", "txt"))
+      .collect().map(row => (row.getLong(0), row.getString(1))).toSet
+    assert(got == Set((1L, "num"), (2L, "txt"), (3L, "txt"), (4L, "num")))
+    // both-null is NOT a diff
+    val ln = Seq((1L, Option.empty[String])).toDF("k", "v")
+    assert(operators.Reconcile.counterDiffs(ln, ln, "k", Seq("v")).count() == 0)
+  }
+
   test("multimodal resize and frame-sample keep plumbing shape") {
     val media = multimodal.BinaryPipeline.toMedia(Tables.documents(spark, sf).limit(10))
     val resized = multimodal.BinaryPipeline.resize(media, 64)
