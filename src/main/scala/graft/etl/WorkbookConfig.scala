@@ -55,12 +55,12 @@ object WorkbookConfig {
 
   /** Parse the Chill conf workbook + HLD workbook into a ChillConfig. */
   def load(chillPath: String, hldPath: String): Parsed = {
-    val chill = Xlsx.read(chillPath).getOrElse("Chill",
+    val chill = Workbooks.read(chillPath).getOrElse("Chill",
       throw new IllegalArgumentException(s"$chillPath: no 'Chill' sheet")).dropBlankRows
     // HLD sheets keep their raw row positions: parse_table slices
     // `df.iloc[2:,1:]` without dropna (ParseHLD.py:40-49), so a blank
     // spacer row is load-bearing for the data offset
-    val hldSheets = Xlsx.read(hldPath)
+    val hldSheets = Workbooks.read(hldPath)
     def hld(name: String) = hldSheets.getOrElse(name,
       throw new IllegalArgumentException(s"$hldPath: no '$name' sheet"))
 

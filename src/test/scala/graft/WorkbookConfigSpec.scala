@@ -8,13 +8,18 @@ import graft.etl._
 /** Native workbook ingestion: the checked-in .xlsx fixtures (written
   * by tools/make_xlsx_fixture.py with the Python stdlib only — an
   * independent OOXML producer) must compile to the SAME ChillConfig
-  * as the JSON rendition, and drive the full library cycle.
+  * as the JSON rendition, and drive the full library cycle. The
+  * legacy .xls pair (written by tools/make_xls_fixture.py, an
+  * independent BIFF8/CFB producer sharing only the logical content)
+  * must parse cell-identically through [[Xls]].
   */
 class WorkbookConfigSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private val chillXlsx = "src/main/resources/graft/fixtures/chill_conf.xlsx"
   private val hldXlsx = "src/main/resources/graft/fixtures/hld.xlsx"
+  private val chillXls = "src/main/resources/graft/fixtures/chill_conf.xls"
+  private val hldXls = "src/main/resources/graft/fixtures/hld.xls"
 
   private def writeRaw(dir: java.nio.file.Path, name: String, region: String,
                        rows: Seq[(Int, String, Int)]): Unit =
@@ -57,6 +62,26 @@ class WorkbookConfigSpec extends AnyFunSuite {
     zip.close()
     try assert(Xlsx.read(f.toString)("S").cell(1, 1).contains("東京"))
     finally java.nio.file.Files.delete(f)
+  }
+
+  test("legacy .xls BIFF8 fixtures parse cell-identically to the .xlsx pair") {
+    assert(Xls.read(chillXls) == Xlsx.read(chillXlsx))
+    assert(Xls.read(hldXls) == Xlsx.read(hldXlsx))
+    // the hld fixture's SST is split mid-UTF-16-string by a CONTINUE
+    // record; prove the wide string crossed the boundary intact
+    val ent = Xls.read(hldXls)("Entities")
+    assert(ent.cell(3, 2).contains("counter group 東京"))
+    // MULRK run, NUMBER (non-integer) and BOOLERR cells
+    assert(ent.cell(4, 1).contains("10") && ent.cell(4, 3).contains("300"))
+    assert(ent.cell(5, 1).contains("2.5") && ent.cell(5, 2).contains("true"))
+  }
+
+  test(".xls workbook pair drives the identical parse via magic-byte dispatch") {
+    assert(WorkbookConfig.load(chillXls, hldXls) == WorkbookConfig.load(chillXlsx, hldXlsx))
+    val junk = java.nio.file.Files.createTempFile("junk", ".xls")
+    java.nio.file.Files.write(junk, "not a workbook at all".getBytes)
+    try intercept[IllegalArgumentException](Workbooks.read(junk.toString))
+    finally java.nio.file.Files.delete(junk)
   }
 
   test("valid_lines python slices map to skip_header/skip_footer") {

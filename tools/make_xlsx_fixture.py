@@ -11,7 +11,11 @@ Usage: python3 tools/make_xlsx_fixture.py
 Writes src/main/resources/graft/fixtures/chill_conf.xlsx and hld.xlsx.
 """
 import os
+import sys
 import zipfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import fixture_content
 from xml.sax.saxutils import escape
 
 
@@ -122,96 +126,21 @@ class Workbook:
 
 def chill_conf():
     wb = Workbook()
-    # row layout mirrors Partrans.parse_conf_file: scalar (key, value)
-    # rows; a 'view' marker then (name, sql) rows; a 'field' marker
-    # then (name, source, tag, inputs, value, function, view, default,
-    # cs) rows. Functions for filename/tag/lookup fields use the
-    # reference's Python-eval shapes, which WorkbookConfig parses
-    # structurally.
-    rows = [
-        ["library", "PM_LIB_WB"],
-        ["schema", "PM_SCHEMA"],
-        ["format", "csv"],
-        ["delimiter", "|"],
-        ["input_rd", "__RAW_DIR__"],
-        ["input_rd_mask", "*.csv"],
-        ["valid_lines", "[2:-1]"],
-        ["ignore_lines", "JUNK"],
-        ["raw_columns", "id,grp,cnt"],
-        ["partition_col", "day"],
-        [None],
-        ["view"],
-        ["grp_vw", "SELECT g_code, g_name FROM grp_dim"],
-        ["field"],
-        ["OM_GROUP", "column", None, "grp", None, "arg1"],
-        ["lib", "constant", None, None, "PM_LIB", None, None, None, "ALL"],
-        ["day", "filename", None, None, None,
-         r"re.search('F_(\d{8})\.csv',arg1).group(1)", None, None, "ALL"],
-        ["region", "tag", "#REGION", None, None,
-         r"re.search('#REGION=(\w+)',tag).group(1)", None, None, "ALL"],
-        ["idn", "column", None, "id", None, "CAST(arg1 AS BIGINT)", None, None, "ALL"],
-        ["cnt10", "column", None, "cnt, id", None,
-         "CAST(arg1 AS BIGINT) * 10 + CAST(arg2 AS BIGINT)", None, None, "ALL"],
-        ["grp_name", "lookup", None, "grp", None,
-         "view[view['g_code']==arg1]['g_name'].values[0]", "grp_vw", "UNKNOWN", "ALL"],
-    ]
-    wb.add_sheet("Chill", rows)
+    for name, rows in fixture_content.chill_sheets():
+        wb.add_sheet(name, rows)
     # delimiter value as inlineStr: row 3 col 1
     wb.write("src/main/resources/graft/fixtures/chill_conf.xlsx", inline_cell=(0, 3, 1))
 
 
 def hld():
     wb = Workbook()
-    wb.add_sheet("Front Page", [
-        ["Library Name", "PM_LIB_WB"],
-        ["Version", "2.1"],
-        ["Vendor", "ACME"],
-        [None],
-        ["Revision History"],
-        ["1.0", "initial"],
-        ["2.1", "added TBL_B"],
-    ])
-    wb.add_sheet("Library Info", [
-        [None, "Library Name", "PM_LIB_WB"],
-        [None, "Version", "2.1"],
-        [None, "Schema", "PM_SCHEMA"],
-        [None, "Table Retention:"],
-        [None, "5M", 30],
-        [None, "DY", 3650],
-    ])
-    wb.add_sheet("Entities", [
-        [None, "Entity", "Description"],
-        [None],
-        [None],
-        [None, "GRP", "counter group"],
-    ])
-    # parse_table shape: labels in row 0 from column B, two spacer
-    # rows, data from row 3 (df.iloc[2:,1:] after the header row)
-    wb.add_sheet("Tables", [
-        [None, "Counter Group in RD", "Table Name", "Base Granularity"],
-        [None, "(counter group in the raw feed)"],
-        [None],
-        [None, "A", "TBL_A", "5M"],
-        [None, "B", "TBL_B", "5M"],
-    ])
-    cols = ["day", "idn", "grp_name", "cnt10", "lib", "region"]
-    counter_rows = [
-        [None, "Table Name", "Counter/KPI DB Name", "Raw Data Counter Name/OID",
-         "TYPE", "KPI Formula"],
-        [None, "(one row per physical column)"],
-        [None],
-    ]
-    for t in ["TBL_A", "TBL_B"]:
-        for c in cols:
-            counter_rows.append([None, t, c, c, "Counter", None])
-    counter_rows.append([None, "TBL_A", "cnt_per_id", "cnt10, idn", "KPI",
-                         "CAST(arg1 AS DOUBLE) / arg2"])
-    wb.add_sheet("Key_Counters_Kpis", counter_rows)
+    for name, rows in fixture_content.hld_sheets():
+        wb.add_sheet(name, rows)
     wb.write("src/main/resources/graft/fixtures/hld.xlsx")
 
 
 if __name__ == "__main__":
-    os.chdir(os.path.join(os.path.dirname(__file__), ".."))
+    os.chdir(os.path.join(os.path.dirname(__file__) or ".", ".."))
     chill_conf()
     hld()
     print("wrote src/main/resources/graft/fixtures/chill_conf.xlsx and hld.xlsx")
