@@ -367,6 +367,23 @@ object SparkEntry {
           element_at(col("features"), 2).as("f_mean"),
           element_at(col("features"), 3).as("f_max"),
           element_at(col("features"), 4).as("f_min"))),
+    // D12: real image-header decode — synthesize header-valid
+    // PNG/BMP/GIF/JPEG payloads deterministically from doc_id, parse
+    // them back through the native image_meta expression; the oracle
+    // predicts the decoded metadata arithmetically, so any header
+    // offset bug on either side breaks the hash
+    "q_image_meta" -> ((s, dir) => {
+      val media = Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.ImageFunctions.syntheticImage(
+          element_at(lit(Array("png", "bmp", "gif", "jpeg")),
+            (col("doc_id") % 4 + 1).cast("int")),
+          (col("doc_id") % 32 + 1).cast("int"),
+          (col("doc_id") % 24 + 1).cast("int")).as("payload"))
+      BinaryPipeline.imageMeta(media)
+        .select(col("doc_id"), col("image.format").as("format"),
+          col("image.width").as("width"), col("image.height").as("height"),
+          col("image.bit_depth").as("bit_depth"), col("image.channels").as("channels"))
+    }),
     // B7b: DBL error-log parsing — a deterministic synthetic loader
     // log derived from orders feeds the line-level parser; the oracle
     // replays the identical generation + window parse in SQL
@@ -1072,6 +1089,18 @@ object SparkEntry {
         | CAST(list_max(cps) AS DOUBLE) AS f_max,
         | CAST(list_min(cps) AS DOUBLE) AS f_min
         |FROM b""".stripMargin,
+    // replays the synthetic-image derivation arithmetically: the
+    // Spark side encodes real container bytes from these same values
+    // and must decode them back identically
+    "q_image_meta" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+        |   WHEN 2 THEN 'gif' ELSE 'jpeg' END AS format,
+        | CAST(doc_id % 32 + 1 AS INTEGER) AS width,
+        | CAST(doc_id % 24 + 1 AS INTEGER) AS height,
+        | CAST(8 AS INTEGER) AS bit_depth,
+        | CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels
+        |FROM documents""".stripMargin,
     // replays the same deterministic log generation + running
     // last-header window + regex extraction as the Spark side
     "q_dbl_errors" ->

@@ -55,7 +55,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => PairCombos(es.head)),
     ("byte_stats",
       info("byte_stats", "[n_bytes, mean, max, min] feature vector of a binary payload"),
-      (es: Seq[Expression]) => ByteStats(es.head)))
+      (es: Seq[Expression]) => ByteStats(es.head)),
+    ("image_meta",
+      info("image_meta", "struct(format,width,height,bit_depth,channels) parsed from PNG/BMP/GIF/JPEG bytes, null if not an image"),
+      (es: Seq[Expression]) => ImageMeta(es.head)),
+    ("synthetic_image",
+      info("synthetic_image", "deterministic header-valid image payload: synthetic_image(format, width, height)"),
+      (es: Seq[Expression]) => SyntheticImage(es(0), es(1), es(2))))
 
   /** Register all graft functions into an existing session. */
   def register(spark: SparkSession): Unit =

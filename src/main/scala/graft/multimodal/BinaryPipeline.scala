@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * feature-extract runs batch-wise per partition.
   *
   * The Spark-side plumbing (schema, batch shape, partition-parallel
-  * execution, metadata propagation) is real; the codec itself is a
-  * STUB — this container has no image/audio libraries, so
-  * [[fakeDecode]] derives a deterministic feature vector from the
-  * bytes. Swapping in a real decoder means replacing only the
-  * per-batch function, exactly where a Pandas-UDF/`mapInPandas`
-  * decode body would go.
+  * execution, metadata propagation) is real, and so is the *header*
+  * decode: [[imageMeta]] parses PNG/BMP/GIF/JPEG container bytes to
+  * format/dimensions/bit-depth/channels natively
+  * ([[graft.functions.ImageCodec]]). Only decompressing pixel/sample
+  * data remains a STUB — this container has no image/audio
+  * libraries, so [[fakeDecode]] derives a deterministic feature
+  * vector from the bytes. Swapping in a full decoder means replacing
+  * only the per-batch function, exactly where a
+  * Pandas-UDF/`mapInPandas` decode body would go.
   */
 object BinaryPipeline {
 
@@ -67,6 +70,16 @@ object BinaryPipeline {
           (col("frame_idx") * (length(col("payload")) / frames) + 1).cast("int"),
           (length(col("payload")) / frames).cast("int")))
       .select(col("doc_id"), col("frame_idx"), col("frame"), col("meta"))
+
+  /** Real image-header decode over the payload column: a struct of
+    * (format, width, height, bit_depth, channels) parsed from the
+    * container bytes, null for payloads that aren't recognized
+    * images. One codegen'd projection — the 100 TB path is a straight
+    * scan of the payload column with everything else pruned.
+    */
+  def imageMeta(media: DataFrame): DataFrame =
+    media.select(col("doc_id"),
+      graft.functions.ImageFunctions.imageMeta(col("payload")).as("image"))
 
   /** Feature extraction over the payload column — a single projection
     * through the native [[graft.functions.ByteStats]] expression, so
