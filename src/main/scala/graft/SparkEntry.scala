@@ -464,6 +464,34 @@ object SparkEntry {
     // D19: per-label embedding centroids (decimal-exact means)
     "q_embed_centroids" -> ((s, dir) =>
       Ann.groupCentroids(Tables.embeddings(s, dir), "label")),
+    // E3: the streaming windowed-agg transform (unified API) executed
+    // in batch — the identical code the streaming specs drive with a
+    // file source; value pre-cast to decimal so the sum is
+    // order-independent for the oracle (Rollups parity shape)
+    "q_stream_window_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("value", col("value").cast("decimal(18,2)"))
+      graft.streaming.EventStream.windowedAgg(ev)
+        .select(
+          unix_timestamp(col("window.start")).as("bucket_start"),
+          col("event_type"), col("n_events"),
+          col("sum_value").cast("decimal(18,2)").cast("double").as("sum_value"))
+    }),
+    // E4: streaming dedup-within-watermark in batch over an
+    // at-least-once feed (every third event delivered twice); the
+    // post-dedup totals must equal the exactly-once feed's, so a
+    // dedup that keeps duplicates (or drops distinct events) breaks
+    // the hash
+    "q_stream_dedup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val atLeastOnce = ev.unionAll(ev.filter(col("event_id") % 3 === 0))
+      graft.streaming.EventStream.dedupStream(atLeastOnce)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // E16: per-source heavy hitters through the Misra-Gries
     // aggregate; capacity 256 ≥ the corpus vocabulary, so the
     // sketch is in its exact regime and the plain GROUP BY oracle
@@ -1280,6 +1308,20 @@ object SparkEntry {
         |   AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / count(*) AS mean_v
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY 1, 2""".stripMargin,
+    // the tumbling window aligns to the epoch like the 5-minute
+    // rollup, so the oracle is the same floor-bucket arithmetic
+    "q_stream_window_agg" ->
+      """SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_start, event_type,
+        | count(*) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the duplicated third of the feed must vanish in the dedup:
+    // totals are those of the exactly-once events table
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT source, word, count(*) AS n_occurrences
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS word

@@ -33,13 +33,19 @@ object EventStream {
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
-  /** Streaming dedup on event_id within the watermark horizon —
-    * bounded state, exactly-once per id inside the horizon.
+  /** Dedup on event_id within the watermark horizon — bounded state,
+    * exactly-once per id inside the horizon. Unified: Spark rejects
+    * `dropDuplicatesWithinWatermark` on batch inputs, where the
+    * equivalent of a within-watermark dedup over a finite (fully
+    * in-horizon) dataset is exact dedup — so batch callers get that,
+    * letting the same pipeline run against a replayed feed.
     */
   def dedupStream(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Gap-based session windows (Spark-native `session_window`): the
     * streaming form of Analytics.sessionize — state merges windows
