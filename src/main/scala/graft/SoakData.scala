@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-soak data generator: expands the driver's sf0.1 tables to a
+  * larger scale factor so the heavy operator families (dedup,
+  * connected components, ANN, text, event analytics) can be soaked
+  * beyond the graded sf0.1 — the linearity check for the 100 TB
+  * claim.
+  *
+  * Replica 0 passes the original rows through untouched, so the
+  * driver's planted structure (near-dup pairs, label clusters,
+  * session shapes) survives at the bigger scale. Replicas 1..N-1 are
+  * deterministic hash-perturbed variants:
+  *   - documents: ~half the words of each copy are re-drawn from the
+  *     corpus vocabulary, keyed on (doc_id, replica, position). That
+  *     holds the gram-frequency distribution (same hot vocabulary)
+  *     while keeping cross-replica Jaccard far below every dedup
+  *     threshold — duplicate DENSITY stays constant as volume grows,
+  *     so soak ratios measure plan scaling, not an output explosion
+  *     manufactured by the generator.
+  *   - embeddings: each component gets a small deterministic jitter;
+  *     labels keep their cluster structure.
+  *   - events: ids and users shift into fresh ranges, timestamps
+  *     stay — per-day volume grows N×, the realistic direction for a
+  *     busier feed.
+  *
+  * Everything is column-function Spark (xxhash64-keyed choices, no
+  * rand()), so the output is reproducible run-to-run and the
+  * generation itself scales.
+  */
+object SoakData {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, multStr) = args
+    val mult = multStr.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    writeDocuments(spark, srcDir, outDir, mult)
+    writeEmbeddings(spark, srcDir, outDir, mult)
+    writeEvents(spark, srcDir, outDir, mult)
+    spark.stop()
+  }
+
+  private def replicas(df: DataFrame, mult: Int): DataFrame =
+    df.withColumn("r", explode(sequence(lit(0L), lit(mult - 1L))))
+
+  private def writeDocuments(spark: SparkSession, srcDir: String,
+                             outDir: String, mult: Int): Unit = {
+    val docs = Tables.documents(spark, srcDir)
+    // corpus vocabulary (bounded: the driver generator draws from a
+    // few dozen words) becomes an in-plan literal for substitution
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").distinct()
+      .orderBy("w").collect().map(_.getString(0))
+    val vlit = array(vocab.map(lit): _*)
+    val idStep = docs.agg(max("doc_id")).head.getLong(0) + 1
+
+    val out = replicas(docs, mult)
+      .withColumn("text",
+        when(col("r") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), " "), (w, i) =>
+            when(pmod(xxhash64(col("doc_id"), col("r"), i), lit(2)) === 0, w)
+              .otherwise(element_at(vlit,
+                (pmod(xxhash64(lit(7), col("doc_id"), col("r"), i),
+                  lit(vocab.length)) + 1).cast("int")))))))
+      .select(
+        (col("doc_id") + col("r") * idStep).as("doc_id"),
+        col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    out.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  private def writeEmbeddings(spark: SparkSession, srcDir: String,
+                              outDir: String, mult: Int): Unit = {
+    val emb = Tables.embeddings(spark, srcDir)
+    val idStep = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val out = replicas(emb, mult)
+      .withColumn("embedding",
+        when(col("r") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, i) =>
+            (x + (pmod(xxhash64(col("vec_id"), col("r"), i), lit(1001))
+              .cast("double") / 500.0 - 1.0) * lit(0.05)).cast("float"))))
+      .select(
+        (col("vec_id") + col("r") * idStep).as("vec_id"),
+        col("embedding"), col("label"))
+    out.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def writeEvents(spark: SparkSession, srcDir: String,
+                          outDir: String, mult: Int): Unit = {
+    // keep ts as the raw nanos long the driver files carry, so
+    // Tables.eventsRaw reads soak output exactly like driver output
+    val ev = Tables.eventsRaw(spark, srcDir)
+    val Array(maxE, maxU) = ev.agg(max("event_id"), max("user_id"))
+      .head.toSeq.map(_.asInstanceOf[Long] + 1).toArray
+    val out = replicas(ev, mult)
+      .select(
+        (col("event_id") + col("r") * maxE).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("r") * maxU).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    out.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+}

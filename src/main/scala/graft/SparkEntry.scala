@@ -534,6 +534,14 @@ object SparkEntry {
     // D20: boilerplate 6-gram mining across the corpus
     "q_boilerplate" -> ((s, dir) =>
       TextOps.repeatedGrams(Tables.documents(s, dir), 6, 3)),
+    // D28: LM-lite fluency — per-doc hit rate against the corpus's
+    // frequent-bigram head (df >= 50)
+    "q_fluency" -> ((s, dir) =>
+      TextOps.bigramFluency(Tables.documents(s, dir), 50)),
+    // D29: passage-level dedup — 3-word passages occurring > 2 times
+    // corpus-wide are cut and each document rewritten
+    "q_passage_dedup" -> ((s, dir) =>
+      TextOps.passageDedup(Tables.documents(s, dir), 3, 2)),
     // D23: corpus profile — all CUBE(lang, source) grouping sets in
     // one aggregation pass
     "q_corpus_profile" -> ((s, dir) =>
@@ -1387,6 +1395,36 @@ object SparkEntry {
         |  FROM t WHERE len(w) >= 6)
         |SELECT gram, count(*) AS n_docs FROM g
         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+    // bigrams re-derive per side; docs under two words drop out on
+    // both engines (empty gram arrays explode to zero rows)
+    "q_fluency" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |   i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM ws WHERE len(w) >= 2),
+        |hot AS (SELECT bigram FROM (SELECT bigram, count(*) AS df FROM bi
+        |  GROUP BY 1) WHERE df >= 50)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        | count(h.bigram) AS n_common,
+        | CAST(count(h.bigram) AS DOUBLE) / count(*) AS common_ratio
+        |FROM bi b LEFT JOIN hot h ON b.bigram = h.bigram
+        |GROUP BY 1""".stripMargin,
+    // disjoint 3-word passages (ceil(len/3) per doc, short tail
+    // kept); survivors re-join ordered by passage index
+    "q_passage_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id, i AS chunk_idx,
+        |   array_to_string(w[(i*3+1):(i*3+3)], ' ') AS chunk
+        |  FROM (SELECT doc_id, w,
+        |     unnest(generate_series(0, (len(w) - 1) // 3)) AS i FROM ws)),
+        |hot AS (SELECT chunk FROM (SELECT chunk, count(*) AS n_occ FROM ch
+        |  GROUP BY 1) WHERE n_occ > 2)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        | count(h.chunk) AS n_dropped,
+        | coalesce(string_agg(CASE WHEN h.chunk IS NULL THEN c.chunk END, ' '
+        |   ORDER BY c.chunk_idx), '') AS clean_text
+        |FROM ch c LEFT JOIN hot h ON c.chunk = h.chunk
+        |GROUP BY 1""".stripMargin,
     "q_corpus_profile" ->
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars

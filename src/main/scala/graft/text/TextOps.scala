@@ -344,6 +344,45 @@ object TextOps {
       .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
       .agg(count(lit(1)).as("n_shared_grams"))
 
+  /** Corpus-statistics fluency score — the LM-lite quality signal:
+    * how much of a document is made of bigrams the corpus itself uses
+    * often. Machine-generated noise, mangled encodings, and word-
+    * salad spam score low; text drawn from the corpus's own
+    * distribution scores high. This is the degenerate-but-cheap end
+    * of the perplexity-filter family (a real LM filter ranks by
+    * per-token log-loss; the hit-rate against the frequent-bigram set
+    * needs no model and no floating-point transcendentals, so it
+    * grades bit-identically across engines).
+    *
+    * Two corpus scans, BM25-shaped: scan 1 aggregates bigram document
+    * frequencies map-side and keeps only the frequent head
+    * (`commonDf`+), which is Zipf-bounded and broadcasts; scan 2
+    * re-derives each document's bigrams and probes the broadcast set
+    * — no row shuffle ever carries document text. At 100 TB hash
+    * bigrams to 8-byte longs ([[graft.functions.TextHashFunctions]])
+    * and, for an open vocabulary whose head outgrows a broadcast,
+    * swap the probe to a shuffle join on the hash — the two-scan
+    * shape is unchanged. Documents under two words have no bigrams
+    * and drop out (both engines explode empty gram arrays to zero
+    * rows).
+    */
+  def bigramFluency(docs: DataFrame, commonDf: Int): DataFrame = {
+    def bigrams(d: DataFrame) = d.select(col("doc_id"),
+      explode(bind(split(col("text"), " "))(w => wordGrams(w, 2))).as("bigram"))
+    val hot = bigrams(docs)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= commonDf)
+      .select(col("bigram"), lit(1L).as("is_common"))
+    bigrams(docs)
+      .join(broadcast(hot), Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("is_common"), lit(0L))).as("n_common"))
+      .withColumn("common_ratio",
+        col("n_common").cast("double") / col("n_bigrams"))
+  }
+
   /** Percentile corpus filter: keep documents whose word count clears
     * the corpus-wide `quantile` (exact linear-interpolation
     * percentile, the same form DuckDB's quantile_cont computes). The
@@ -359,5 +398,54 @@ object TextOps {
     counted.crossJoin(broadcast(threshold))
       .filter(col("n_words") >= col("thr"))
       .select(col("doc_id"), col("n_words"))
+  }
+
+  /** Passage-level dedup (CCNet-style repeated-passage removal):
+    * documents split into disjoint `chunkWords`-word passages; any
+    * passage occurring more than `maxDf` times corpus-wide (nav
+    * chrome, license blocks, templated headers) is cut from EVERY
+    * document, and the survivors re-join into the cleaned text — a
+    * rewrite, unlike [[repeatedGrams]] which only reports offenders.
+    *
+    * One chunk explode feeds both sides: the duplicated-passage set
+    * is a partial-agg count + filter whose output is bounded by how
+    * much text actually repeats (the Zipf head again), so it
+    * broadcasts, and the per-passage verdict is a broadcast left
+    * join — document text crosses exactly one shuffle (the per-doc
+    * regroup), already chunk-sized. Reassembly is in-map: sort the
+    * collected (idx, chunk) structs, filter the hot ones, join with
+    * spaces. At 100 TB count df on xxhash64(chunk) so the count
+    * shuffle carries 8-byte keys, and spill-bound the regroup by
+    * sharding doc_id — passage order is restored by idx, not input
+    * order.
+    */
+  def passageDedup(docs: DataFrame, chunkWords: Int, maxDf: Int): DataFrame = {
+    val chunks = docs.select(col("doc_id"),
+      posexplode(bind(split(col("text"), " ")) { w =>
+        transform(sequence(lit(0),
+            floor((size(w) - lit(1)) / lit(chunkWords)).cast("int")),
+          i => concat_ws(" ", slice(w, i * chunkWords + 1, lit(chunkWords))))
+      }))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+    val hot = chunks
+      .groupBy(col("chunk")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > maxDf)
+      .select(col("chunk"), lit(1L).as("is_hot"))
+    chunks
+      .join(broadcast(hot), Seq("chunk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_hot"), lit(0L))).as("n_dropped"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(
+                col("chunk_idx"), col("chunk"),
+                coalesce(col("is_hot"), lit(0L)).as("hot")))),
+              s => s.getField("hot") === 0),
+            s => s.getField("chunk")),
+          " ").as("clean_text"))
   }
 }

@@ -157,6 +157,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Map("a b c d e f" -> 2L))
   }
 
+  test("bigram fluency scores the common-bigram hit rate") {
+    val docs = Seq(
+      (1L, "the cat sat"), // bigrams: "the cat", "cat sat"
+      (2L, "the cat ran"), // "the cat", "cat ran"
+      (3L, "zq xj"), //        "zq xj" — never repeats
+      (4L, "solo")) //          no bigrams → dropped
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.bigramFluency(docs, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // only "the cat" reaches df 2; docs 1 and 2 each hit it once
+    assert(out == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((1L, 0L))))
+  }
+
+  test("passage dedup cuts corpus-hot passages and rewrites in order") {
+    val boiler = "x y z"
+    val docs = Seq(
+      (1L, s"$boiler a b c"),
+      (2L, s"d e f $boiler"),
+      (3L, s"g h i $boiler"),
+      (4L, boiler)) // doc that is ONLY boilerplate → empty rewrite
+      .toDF("doc_id", "text")
+    // "x y z" occurs 4 > 3 times; all other 3-word passages are unique
+    val out = graft.text.TextOps.passageDedup(docs, 3, 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, "a b c")),
+      2L -> ((2L, 1L, "d e f")),
+      3L -> ((2L, 1L, "g h i")),
+      4L -> ((1L, 1L, ""))))
+  }
+
   test("upsert replaces matched keys and keeps the rest") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val inc = Seq((2L, "B"), (3L, "C")).toDF("k", "v")
