@@ -259,7 +259,7 @@ object SparkEntry {
       val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val corpus = base.unionByName(base.select(
         (col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      Ann.bandedLshPairs(corpus, 64, 8, 8, 0.8)
+      Ann.bandedLshPairsAuto(corpus, 64, 8, 0.8)
     }),
     // D6: brute-force cosine top-k
     "q_ann_topk" -> ((s, dir) => {
@@ -491,6 +491,21 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
             .cast("double").as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
+    }),
+    // E7: the native session_window aggregation (unified API) in
+    // batch — gap-merge semantics graded against the classic islands
+    // SQL; session end = last event + gap by session_window's
+    // definition, and an event at exactly gap distance starts a NEW
+    // session (windows [t, t+gap) merge only on strict overlap)
+    "q_session_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("value", col("value").cast("decimal(18,2)"))
+      graft.streaming.EventStream.sessionWindowAgg(ev, "30 minutes")
+        .select(
+          unix_micros(col("session_window.start")).as("session_start"),
+          unix_micros(col("session_window.end")).as("session_end"),
+          col("user_id"), col("n_events"),
+          col("sum_value").cast("decimal(18,2)").cast("double").as("sum_value"))
     }),
     // E16: per-source heavy hitters through the Misra-Gries
     // aggregate; capacity 256 ≥ the corpus vocabulary, so the
@@ -1330,6 +1345,31 @@ object SparkEntry {
         | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    // islands form of session_window: break at diff >= gap (strict
+    //-overlap merge), end = last event + gap; equal timestamps give
+    // diff 0 and always merge, so the lag tie-break is immaterial
+    "q_session_window" ->
+      """WITH t AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_us
+        | FROM events),
+        |f AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM t),
+        |s AS (
+        | SELECT user_id, ts, value,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                 ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM f)
+        |SELECT epoch_us(min(ts)) AS session_start,
+        | epoch_us(max(ts)) + 1800000000 AS session_end,
+        | user_id, count(*) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+        |   AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT source, word, count(*) AS n_occurrences
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS word

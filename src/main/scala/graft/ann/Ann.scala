@@ -174,6 +174,30 @@ object Ann {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Density-adaptive [[bandedLshPairs]]: a FIXED sketch width is
+    * superlinear in corpus density — per-band buckets stay at 2^bits
+    * while occupancy grows with n, so same-bucket candidate pairs
+    * grow ~n² until the cap bites (the 10× soak measured 73× on
+    * exactly this). The scale lever is bits ≈ log2(n /
+    * targetOccupancy): bucket count tracks corpus size, occupancy —
+    * and therefore pairs per row — stays constant, and the whole
+    * plan goes back to ~linear. Wider sketches lower per-band recall
+    * at a fixed threshold (p^bits per band), so at a fixed miss
+    * budget scale bands alongside: bands ≥ ln(miss) / ln(1 -
+    * p^bits). The one `count()` here is a column-pruned count-star
+    * scan; at 100 TB take n from table statistics instead.
+    */
+  def bandedLshPairsAuto(corpus: DataFrame, dims: Int, bands: Int,
+                         threshold: Double, targetOccupancy: Int = 16,
+                         minBits: Int = 8,
+                         maxBucket: Int = 4096): DataFrame = {
+    val n = corpus.count()
+    val bits = math.min(24, math.max(minBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) /
+        math.log(2.0)).toInt))
+    bandedLshPairs(corpus, dims, bits, bands, threshold, maxBucket)
+  }
+
   /** Query-time LSH ANN with multiprobe: the corpus is bucketed by
     * its sign sketch in the scan projection (zero shuffle); each
     * query probes its own bucket plus every bucket within hamming

@@ -240,6 +240,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"queries must broadcast:\n$p")
   }
 
+  test("fluency probes the frequent-bigram head as a broadcast, never a shuffle join") {
+    val p = plan("q_fluency")
+    assert(p.contains("BroadcastHashJoin"), s"hot set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"document bigrams must never shuffle into a join:\n$p")
+  }
+
+  test("passage dedup broadcasts the hot-passage verdict and regroups once") {
+    val p = plan("q_passage_dedup")
+    assert(p.contains("BroadcastHashJoin"), s"hot passages must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"chunks must not shuffle into a join:\n$p")
+    assert(!p.contains("Window"), s"reassembly must be in-map, not a window sort:\n$p")
+  }
+
+  test("session windows aggregate on one user exchange") {
+    val p = plan("q_session_window")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"session merge should reuse the single user_id exchange:\n$p")
+  }
+
   test("daily trend windows consume the aggregated table, not the raw feed") {
     val p = plan("q_daily_trend")
     // partial+final agg collapses the feed to types×days BEFORE any
