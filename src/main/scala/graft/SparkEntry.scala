@@ -164,6 +164,19 @@ object SparkEntry {
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           count(lit(1)).as("n_events"))),
+    // E6b: the sketch cascade — 5-minute buckets carry HLL registers
+    // for distinct users, daily rolls up by register-max without
+    // re-scanning raw (rows-only: the estimate is deterministic but
+    // DuckDB cannot replicate the sketch; accuracy and
+    // cascade==direct identity are spec-pinned)
+    "q_sketch_cascade" -> ((s, dir) => {
+      val fine = Rollups.sketchPerType(Tables.events(s, dir), 300, 12)
+      Rollups.coarsenSketch(fine, 86400)
+        .select(col("bucket_start"), col("event_type"),
+          graft.functions.HllFunctions.hllEstimate(col("users_hll"))
+            .cast("long").as("est_users"),
+          col("n_events"))
+    }),
     // C4: referential integrity summary
     "q_recon_referential" -> ((s, dir) =>
       Reconcile.referentialSummary(Tables.orders(s, dir), Tables.customer(s, dir),

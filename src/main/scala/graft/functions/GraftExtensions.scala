@@ -61,7 +61,17 @@ object GraftFunctions {
       (es: Seq[Expression]) => ImageMeta(es.head)),
     ("synthetic_image",
       info("synthetic_image", "deterministic header-valid image payload: synthetic_image(format, width, height)"),
-      (es: Seq[Expression]) => SyntheticImage(es(0), es(1), es(2))))
+      (es: Seq[Expression]) => SyntheticImage(es(0), es(1), es(2))),
+    ("hll_sketch",
+      info("hll_sketch", "mergeable HLL distinct-count registers: hll_sketch(value, p)"),
+      (es: Seq[Expression]) => HllSketch(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()),
+    ("hll_merge",
+      info("hll_merge", "register-max merge of hll_sketch binaries"),
+      (es: Seq[Expression]) => HllMerge(es.head).toAggregateExpression()),
+    ("hll_estimate",
+      info("hll_estimate", "cardinality estimate of an hll_sketch binary"),
+      (es: Seq[Expression]) => HllEstimate(es.head)))
 
   /** Register all graft functions into an existing session. */
   def register(spark: SparkSession): Unit =

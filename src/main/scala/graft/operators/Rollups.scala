@@ -92,6 +92,35 @@ object Rollups {
       "DY" -> coarsen(base, 86400))
   }
 
+  /** Fine-grained rollup carrying a mergeable distinct-user SKETCH
+    * next to the summable counters. Distinct counts are the one
+    * aggregate a plain cascade cannot re-sum (daily distinct ≠ sum of
+    * hourly distincts); the HLL registers make them cascade like sums
+    * do — [[coarsenSketch]] rolls any stored granularity up by
+    * register-max without ever re-scanning the raw feed. O(2^p)
+    * state per bucket, partials combine map-side, deterministic
+    * bytes (fixed hash + max-merge), so replays and merge order
+    * never change the stored sketch.
+    */
+  def sketchPerType(events: DataFrame, seconds: Int, p: Int): DataFrame =
+    events
+      .groupBy(bucket("ts", seconds).as("bucket_start"), col("event_type"))
+      .agg(
+        graft.functions.HllFunctions.hllSketch(col("user_id"), p).as("users_hll"),
+        count(lit(1)).as("n_events"))
+
+  /** Cascade step for [[sketchPerType]] output: coarsen buckets,
+    * register-max the sketches, re-sum the counters.
+    */
+  def coarsenSketch(finer: DataFrame, seconds: Int): DataFrame =
+    finer
+      .groupBy(
+        (floor(col("bucket_start") / seconds) * seconds).cast("long").as("bucket_start"),
+        col("event_type"))
+      .agg(
+        graft.functions.HllFunctions.hllMerge(col("users_hll")).as("users_hll"),
+        sum(col("n_events")).as("n_events"))
+
   /** Calendar-aligned rollup at `unit` granularity ("week" = ISO
     * Monday start, "month") per event_type — the coarse end of the
     * reference's 5M..MO/YR suffix chain.

@@ -157,6 +157,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Map("a b c d e f" -> 2L))
   }
 
+  test("hll cascade: merged per-part sketches equal the direct sketch") {
+    import graft.functions.HllFunctions._
+    val vals = (0L until 5000L).map(v => (v % 7, v)).toDF("part", "v")
+    val direct = vals.agg(hllSketch(col("v"), 12).as("s"))
+      .select(hllEstimate(col("s"))).head.getDouble(0)
+    val cascaded = vals.groupBy(col("part")).agg(hllSketch(col("v"), 12).as("s"))
+      .agg(hllMerge(col("s")).as("m"))
+      .select(hllEstimate(col("m"))).head.getDouble(0)
+    // register-max is exact under any partition of the input: the
+    // cascade must reproduce the direct sketch to the bit
+    assert(cascaded == direct)
+  }
+
+  test("hll estimate lands within the p=12 error envelope") {
+    import graft.functions.HllFunctions._
+    val est = (0L until 10000L).toDF("v")
+      .agg(hllSketch(col("v"), 12).as("s"))
+      .select(hllEstimate(col("s"))).head.getDouble(0)
+    // std error 1.04/sqrt(4096) ≈ 1.6%; assert 5% (3 sigma)
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.05, s"estimate $est")
+    // tiny cardinality rides the linear-counting correction
+    val small = (0L until 100L).toDF("v")
+      .agg(hllSketch(col("v"), 12).as("s"))
+      .select(hllEstimate(col("s"))).head.getDouble(0)
+    assert(math.abs(small - 100.0) <= 3.0, s"small-range estimate $small")
+  }
+
+  test("hll functions work through the SQL registry") {
+    graft.functions.GraftFunctions.register(spark)
+    (0L until 1000L).map(v => (v % 4, v)).toDF("part", "v")
+      .createOrReplaceTempView("hll_in")
+    val est = spark.sql(
+      """SELECT hll_estimate(hll_merge(s)) FROM
+        | (SELECT part, hll_sketch(v, 12) AS s FROM hll_in GROUP BY part)""".stripMargin)
+      .head.getDouble(0)
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.05)
+  }
+
   test("bigram fluency scores the common-bigram hit rate") {
     val docs = Seq(
       (1L, "the cat sat"), // bigrams: "the cat", "cat sat"
