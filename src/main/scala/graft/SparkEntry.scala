@@ -559,6 +559,11 @@ object SparkEntry {
     // E20: cohort retention triangle (first-day cohorts × day offset)
     "q_cohort_retention" -> ((s, dir) =>
       Analytics.cohortRetention(Tables.events(s, dir))),
+    // D30: sorted-neighborhood near-dup pairs — order-based blocking
+    // (signature sort + 3-neighbor window), the complement of the
+    // hash/LSH blocking family
+    "q_dedup_sorted" -> ((s, dir) =>
+      Dedup.sortedNeighborPairs(Tables.documents(s, dir), 3, 0.7)),
     // D20: boilerplate 6-gram mining across the corpus
     "q_boilerplate" -> ((s, dir) =>
       TextOps.repeatedGrams(Tables.documents(s, dir), 6, 3)),
@@ -1439,6 +1444,30 @@ object SparkEntry {
         |SELECT cohort_day, CAST(day - cohort_day AS INT) AS day_offset,
         | count(DISTINCT user_id) AS n_users
         |FROM c GROUP BY 1, 2""".stripMargin,
+    // the sorted-neighborhood walk replayed with window functions:
+    // identical signature sort, identical 3-lead window, Jaccard
+    // from the same distinct-word sets
+    "q_dedup_sorted" ->
+      """WITH k AS (SELECT doc_id,
+        |   list_distinct(string_split(text, ' ')) AS wset,
+        |   array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS sig
+        |  FROM documents),
+        |b AS (SELECT doc_id, wset, sig, substr(sig, 1, 4) AS blk FROM k),
+        |l AS (SELECT doc_id AS doc_a, wset,
+        |   lead(doc_id, 1) OVER w AS nid1, lead(wset, 1) OVER w AS nw1,
+        |   lead(doc_id, 2) OVER w AS nid2, lead(wset, 2) OVER w AS nw2,
+        |   lead(doc_id, 3) OVER w AS nid3, lead(wset, 3) OVER w AS nw3
+        |  FROM b WINDOW w AS (PARTITION BY blk ORDER BY sig, doc_id)),
+        |u AS (
+        | SELECT doc_a, wset, nid1 AS doc_b, nw1 AS nw FROM l WHERE nid1 IS NOT NULL
+        | UNION ALL SELECT doc_a, wset, nid2, nw2 FROM l WHERE nid2 IS NOT NULL
+        | UNION ALL SELECT doc_a, wset, nid3, nw3 FROM l WHERE nid3 IS NOT NULL),
+        |j AS (SELECT doc_a, doc_b,
+        |   CAST(len(list_filter(wset, x -> list_contains(nw, x))) AS DOUBLE) /
+        |    (len(wset) + len(nw) - len(list_filter(wset, x -> list_contains(nw, x))))
+        |    AS jaccard
+        |  FROM u)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.7""".stripMargin,
     // same per-doc-distinct 6-gram sets as the decontamination oracle
     "q_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -195,6 +195,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(est - 1000.0) / 1000.0 < 0.05)
   }
 
+  test("sorted-neighborhood pairs finds word-set near-dups without hashing") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"), // 4/6 shared distinct words
+      (3L, "omega psi chi phi upsilon"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.sortedNeighborPairs(docs, 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 2L)))
+  }
+
   test("bigram fluency scores the common-bigram hit rate") {
     val docs = Seq(
       (1L, "the cat sat"), // bigrams: "the cat", "cat sat"
