@@ -520,6 +520,19 @@ object SparkEntry {
           col("user_id"), col("n_events"),
           col("sum_value").cast("decimal(18,2)").cast("double").as("sum_value"))
     }),
+    // E24: the watermarked stream-stream interval join in batch —
+    // click → purchase attribution within 10 minutes, graded against
+    // the plain range-join SQL (identical code runs streaming, where
+    // the same bounds keep state within-deep per side)
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventStream.streamIntervalJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .select(col("user_id"), col("trigger_id"), col("follow_id"),
+          col("trigger_ts").cast("timestamp_ntz").as("trigger_ts"),
+          col("follow_ts").cast("timestamp_ntz").as("follow_ts"))
+    }),
     // E16: per-source heavy hitters through the Misra-Gries
     // aggregate; capacity 256 ≥ the corpus vocabulary, so the
     // sketch is in its exact regime and the plain GROUP BY oracle
@@ -559,6 +572,11 @@ object SparkEntry {
     // E20: cohort retention triangle (first-day cohorts × day offset)
     "q_cohort_retention" -> ((s, dir) =>
       Analytics.cohortRetention(Tables.events(s, dir))),
+    // D31: rarity-weighted near-dup — weighted Jaccard with
+    // ⌊N/df⌋ word weights; df-capped postings (the cap is the scale
+    // design and part of the similarity's definition)
+    "q_dedup_weighted" -> ((s, dir) =>
+      Dedup.rarityWeightedPairs(Tables.documents(s, dir), 0.3, 100)),
     // D30: sorted-neighborhood near-dup pairs — order-based blocking
     // (signature sort + 3-neighbor window), the complement of the
     // hash/LSH blocking family
@@ -1388,6 +1406,15 @@ object SparkEntry {
         | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
         |   AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_interval_join" ->
+      """SELECT t.user_id, t.event_id AS trigger_id, f.event_id AS follow_id,
+        | CAST(t.ts AS TIMESTAMP) AS trigger_ts, CAST(f.ts AS TIMESTAMP) AS follow_ts
+        |FROM events t JOIN events f
+        | ON f.user_id = t.user_id
+        | AND t.event_type = 'click' AND f.event_type = 'purchase'
+        | AND epoch_us(CAST(f.ts AS TIMESTAMP)) >= epoch_us(CAST(t.ts AS TIMESTAMP))
+        | AND epoch_us(CAST(f.ts AS TIMESTAMP))
+        |     <= epoch_us(CAST(t.ts AS TIMESTAMP)) + 600000000""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT source, word, count(*) AS n_occurrences
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS word
@@ -1444,6 +1471,25 @@ object SparkEntry {
         |SELECT cohort_day, CAST(day - cohort_day AS INT) AS day_offset,
         | count(DISTINCT user_id) AS n_users
         |FROM c GROUP BY 1, 2""".stripMargin,
+    // the same ⌊N/df⌋ weights, the same df-capped posting expansion
+    // (capped terms still count toward totals), one final division
+    "q_dedup_weighted" ->
+      """WITH t AS (SELECT doc_id,
+        |   unnest(list_distinct(string_split(text, ' '))) AS term FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT term, count(*) AS df,
+        |   greatest(n_docs // count(*), 1) AS weight
+        |  FROM t, n GROUP BY term, n_docs),
+        |tw AS (SELECT doc_id, t.term, df, weight FROM t JOIN w ON t.term = w.term),
+        |tot AS (SELECT doc_id, sum(weight) AS w_total FROM tw GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.weight) AS w_shared
+        |  FROM tw a JOIN tw b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  WHERE a.df <= 100 AND b.df <= 100
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | CAST(w_shared AS DOUBLE) / (x.w_total + y.w_total - w_shared) AS sim
+        |FROM p JOIN tot x ON x.doc_id = doc_a JOIN tot y ON y.doc_id = doc_b
+        |WHERE CAST(w_shared AS DOUBLE) / (x.w_total + y.w_total - w_shared) >= 0.3""".stripMargin,
     // the sorted-neighborhood walk replayed with window functions:
     // identical signature sort, identical 3-lead window, Jaccard
     // from the same distinct-word sets

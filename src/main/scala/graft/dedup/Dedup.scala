@@ -433,4 +433,56 @@ object Dedup {
     */
   private def bindArr(value: Column)(body: Column => Column): Column =
     element_at(transform(array(value), body), 1)
+
+  /** Rarity-weighted near-dup pairs: weighted Jaccard where each
+    * distinct word carries weight max(⌊N/df⌋, 1) — sharing "the"
+    * proves nothing, sharing a word that appears in three documents
+    * proves a lot. The classic fix for plain set-Jaccard's blindness
+    * to WHICH tokens overlap.
+    *
+    * The df cap IS the scale design: terms with df > `dfCap` are
+    * excluded from the posting expansion (their weight is ≤ N/dfCap
+    * ≈ 1, so they carry negligible evidence) but still count toward
+    * each document's total weight — posting buckets are ≤ dfCap rows
+    * BY CONSTRUCTION, no quadratic hot-term blowup exists to cap
+    * after the fact, and the resulting similarity is an exact value
+    * of this definition (not an approximation of uncapped Jaccard),
+    * which is what lets the oracle replicate it bit-for-bit. The
+    * vocabulary-sized weight table broadcasts (swap for a hash
+    * shuffle-join at open vocabulary); candidate pairs fetch the two
+    * total weights by id join, the same fetch shape as
+    * [[graft.ann.Ann.bandedLshPairs]].
+    */
+  def rarityWeightedPairs(docs: DataFrame, threshold: Double,
+                          dfCap: Int): DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val weights = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("weight",
+        greatest(floor(lit(n) / col("df")).cast("long"), lit(1L)))
+    val termsW = terms.join(broadcast(weights), "term")
+    val totals = termsW.groupBy(col("doc_id")).agg(sum(col("weight")).as("w_total"))
+    val postings = termsW.filter(col("df") <= dfCap)
+      .groupBy(col("term"))
+      .agg(first(col("weight")).as("weight"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    // pin the explode width like packedPostingPairs: the posting
+    // shuffle's byte size understates the pair fan-out after it
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val shared = postings.repartition(width, col("term"))
+      .select(col("weight"),
+        explode(graft.functions.TextHashFunctions.pairCombos(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(sum(col("weight")).as("w_shared"))
+    shared
+      .join(totals.select(col("doc_id").as("doc_a"), col("w_total").as("wt_a")), "doc_a")
+      .join(totals.select(col("doc_id").as("doc_b"), col("w_total").as("wt_b")), "doc_b")
+      .withColumn("sim", col("w_shared").cast("double") /
+        (col("wt_a") + col("wt_b") - col("w_shared")))
+      .filter(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("sim"))
+  }
 }

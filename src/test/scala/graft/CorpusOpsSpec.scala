@@ -206,6 +206,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.toSet == Set((1L, 2L)))
   }
 
+  test("rarity-weighted pairs rank rare-word overlap above common-word overlap") {
+    // docs 1,2 share a RARE word; docs 3,4 share only the ubiquitous
+    // filler that every doc carries — plain Jaccard scores the two
+    // pairs equally, the weighting must not
+    val docs = Seq(
+      (1L, "filler quetzal"), (2L, "filler quetzal"),
+      (3L, "filler aardvark"), (4L, "filler zebra"),
+      (5L, "filler qq"), (6L, "filler zz"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.rarityWeightedPairs(docs, 0.0, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // shared rare word (weight 3) + shared filler (weight 1): sim = 4/4
+    assert(out((1L, 2L)) == 1.0)
+    // only filler (weight 1) shared; each total = 1 + 6 (unique word)
+    assert(out((3L, 4L)) == 1.0 / 13.0)
+    assert(out((1L, 2L)) > out((3L, 4L)))
+  }
+
   test("bigram fluency scores the common-bigram hit rate") {
     val docs = Seq(
       (1L, "the cat sat"), // bigrams: "the cat", "cat sat"
