@@ -208,6 +208,20 @@ object SparkEntry {
           Seq("err_id", "err_value"), "err_id")
         .withColumn("ts", col("ts").cast("timestamp_ntz"))
     }),
+    // E9b: forward as-of with a 1-hour horizon — each purchase
+    // attributed to the user's NEXT error event, matches beyond the
+    // horizon nulled
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("err_id"),
+          col("value").as("err_value"))
+      graft.operators.AsOf.asofJoinForward(purchases, errors, "user_id", "ts",
+          Seq("err_id", "err_value"), "err_id", Some(3600L))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }),
     // E2: sessionization
     "q_sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 1800L)
@@ -926,6 +940,24 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts, p.value,
         |  e.err_id AS asof_err_id, e.err_value AS asof_err_value
         |FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts""".stripMargin,
+    // DuckDB's native forward ASOF (p.ts <= e.ts) + the same 1-hour
+    // horizon applied as a post-pick null-out
+    "q_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |e0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS err_id,
+        |        value AS err_value FROM events WHERE event_type = 'error'),
+        |e AS (SELECT user_id, ts, err_id, err_value FROM (
+        |  SELECT e0.*, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                                  ORDER BY err_id DESC) AS rn FROM e0)
+        |  WHERE rn = 1),
+        |j AS (SELECT p.event_id, p.user_id, p.ts, p.value,
+        |        e.ts AS ets, e.err_id, e.err_value
+        |      FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts <= e.ts)
+        |SELECT event_id, user_id, ts, value,
+        | CASE WHEN ets <= ts + INTERVAL 3600 SECOND THEN err_id END AS asof_err_id,
+        | CASE WHEN ets <= ts + INTERVAL 3600 SECOND THEN err_value END AS asof_err_value
+        |FROM j""".stripMargin,
     "q_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -58,4 +58,59 @@ object AsOf {
       df.withColumn(s"asof_$c", col("_picked").getField(c))
     }.select((left.columns.toIndexedSeq ++ pickCols.map(c => s"asof_$c")).map(col): _*)
   }
+
+  /** Forward as-of join: each left row picks the EARLIEST right row
+    * with `right.ts >= left.ts` for the same key — "what happened
+    * next" attribution, the mirror of [[asofJoin]]'s "most recent
+    * prior". Same one-shuffle union+window plan, with
+    * `first(ignoreNulls)` over the unbounded-FOLLOWING frame (left
+    * rows sort before right rows at equal timestamps so ">=" stays
+    * inclusive).
+    *
+    * `toleranceSeconds` bounds the look-ahead: a match further than
+    * the horizon nulls out instead of attributing across an
+    * arbitrary gap (the matched right timestamp rides inside the
+    * picked struct, so the horizon check needs no extra join).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      tsCol: String, pickCols: Seq[String], tieCol: String,
+                      toleranceSeconds: Option[Long] = None): DataFrame = {
+    val rightDedup = right
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(key), col(tsCol)).orderBy(col(tieCol).desc)))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+
+    val rCols = tsCol +: pickCols
+    val r = rightDedup.select(
+      col(key), col(tsCol), lit(1).as("_tag"),
+      struct(rCols.map(col): _*).as("_r"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        left.schema.fields).sql).as("_l"))
+    val l = left.select(
+      col(key), col(tsCol), lit(0).as("_tag"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        rightDedup.select(rCols.map(col): _*).schema.fields).sql).as("_r"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_l"))
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("_tag"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val filled = r.unionByName(l)
+      .withColumn("_picked", first(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 0)
+    val bounded = toleranceSeconds match {
+      case Some(tol) => filled.withColumn("_picked",
+        when(col("_picked").getField(tsCol) <=
+          col(tsCol) + expr(s"INTERVAL $tol seconds"), col("_picked")))
+      case None => filled
+    }
+
+    val base = left.columns.foldLeft(bounded) { (df, c) =>
+      df.withColumn(c, col("_l").getField(c))
+    }
+    pickCols.foldLeft(base) { (df, c) =>
+      df.withColumn(s"asof_$c", col("_picked").getField(c))
+    }.select((left.columns.toIndexedSeq ++ pickCols.map(c => s"asof_$c")).map(col): _*)
+  }
 }

@@ -393,6 +393,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("p3").isEmpty)        // no prior right row
   }
 
+  test("forward asof picks the earliest following row, horizon nulls far matches") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "p1"), (1L, 250L, "p2"), (2L, 500L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq(
+      (1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 300L, 30.0), (2L, 60L, 60.0))
+      .toDF("k", "t", "v")
+    // t is epoch-seconds here, so a 100-second tolerance needs a
+    // timestamp column: cast both sides
+    val lt = left.withColumn("t", timestamp_seconds(col("t")))
+    val rt = right.withColumn("t", timestamp_seconds(col("t")))
+    val out = operators.AsOf.asofJoinForward(lt, rt, "k", "t", Seq("v"), "v",
+        Some(100L))
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[Any]("asof_v"))).toMap
+    assert(out("p1").contains(10.0)) // equal ts counts as >=
+    assert(out("p2").contains(30.0)) // earliest following, 50s ahead
+    assert(out("p3").isEmpty)        // only a PRIOR right row exists
+    val unbounded = operators.AsOf.asofJoinForward(lt, rt, "k", "t", Seq("v"), "v")
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[Any]("asof_v"))).toMap
+    assert(unbounded == out) // every match here is inside the horizon
+  }
+
   test("chunking covers every word with the configured overlap") {
     import spark.implicits._
     val doc = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
