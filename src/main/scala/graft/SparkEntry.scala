@@ -222,6 +222,10 @@ object SparkEntry {
           Seq("err_id", "err_value"), "err_id", Some(3600L))
         .withColumn("ts", col("ts").cast("timestamp_ntz"))
     }),
+    // E28: per-(type, day) inter-arrival cadence stats — the feed
+    // stall/burst monitor
+    "q_interarrival" -> ((s, dir) =>
+      Analytics.interArrivalStats(Tables.events(s, dir))),
     // E2: sessionization
     "q_sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 1800L)
@@ -586,6 +590,16 @@ object SparkEntry {
     // E20: cohort retention triangle (first-day cohorts × day offset)
     "q_cohort_retention" -> ((s, dir) =>
       Analytics.cohortRetention(Tables.events(s, dir))),
+    // D32: canonicalization dedup — an uppercased+punctuated copy of
+    // every document is planted; canonical grouping must collapse
+    // each variant pair to one survivor where byte-exact dedup sees
+    // two distinct texts
+    "q_dedup_canonical" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      val noisy = base.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text"))
+      TextOps.canonicalDedup(base.unionByName(noisy))
+    }),
     // D31: rarity-weighted near-dup — weighted Jaccard with
     // ⌊N/df⌋ word weights; df-capped postings (the cap is the scale
     // design and part of the similarity's definition)
@@ -958,6 +972,20 @@ object SparkEntry {
         | CASE WHEN ets <= ts + INTERVAL 3600 SECOND THEN err_id END AS asof_err_id,
         | CASE WHEN ets <= ts + INTERVAL 3600 SECOND THEN err_value END AS asof_err_value
         |FROM j""".stripMargin,
+    // same per-(type, day) lag walk; quantile_cont == Spark's exact
+    // interpolated percentile (the B9 parity)
+    "q_interarrival" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+        |g AS (SELECT event_type, day,
+        |   us - lag(us) OVER (PARTITION BY event_type, day
+        |                      ORDER BY us, event_id) AS gap_us
+        |  FROM e)
+        |SELECT event_type, day, count(*) AS n_gaps,
+        | min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+        | quantile_cont(gap_us, 0.5) AS median_gap_us,
+        | quantile_cont(gap_us, 0.95) AS p95_gap_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
@@ -1503,6 +1531,18 @@ object SparkEntry {
         |SELECT cohort_day, CAST(day - cohort_day AS INT) AS day_offset,
         | count(DISTINCT user_id) AS n_users
         |FROM c GROUP BY 1, 2""".stripMargin,
+    // same canonical form (lower, non-alnum → space, collapse, trim)
+    // over the same planted-variant union
+    "q_dedup_canonical" ->
+      """WITH u AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id + 1000000, upper(text) || ' !!' FROM documents),
+        |c AS (SELECT doc_id,
+        |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |        ' +', ' ', 'g')) AS canon_text
+        |  FROM u)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_variants, canon_text
+        |FROM c GROUP BY canon_text""".stripMargin,
     // the same ⌊N/df⌋ weights, the same df-capped posting expansion
     // (capped terms still count toward totals), one final division
     "q_dedup_weighted" ->

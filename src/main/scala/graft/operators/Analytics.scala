@@ -350,4 +350,35 @@ object Analytics {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
   }
+
+  /** Inter-arrival cadence stats per (event_type, day): the gaps
+    * between consecutive events of a type within a day — min / max /
+    * median / p95 in microseconds — the feed-cadence monitor behind
+    * "is this source stalling or bursting" (the continuous-time
+    * sibling of [[anomalousDays]]' volume check).
+    *
+    * The lag window partitions by (type, day), so no window ever
+    * spans more than one day of one type — bounded, parallel, no
+    * whole-feed sort (day-boundary gaps are deliberately not
+    * measured). Exact interpolated percentiles match DuckDB's
+    * quantile_cont bit-for-bit (the B9 parity); at 100 TB swap
+    * `percentile` for `approx_percentile` and the plan shape is
+    * unchanged.
+    */
+  def interArrivalStats(events: DataFrame): DataFrame = {
+    val keyed = events.select(col("event_type"), to_date(col("ts")).as("day"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    keyed
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        percentile(col("gap_us"), lit(0.5)).as("median_gap_us"),
+        percentile(col("gap_us"), lit(0.95)).as("p95_gap_us"))
+  }
 }

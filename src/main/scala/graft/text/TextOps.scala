@@ -400,6 +400,30 @@ object TextOps {
       .select(col("doc_id"), col("n_words"))
   }
 
+  /** Text canonicalization: lowercase, non-alphanumerics to spaces,
+    * whitespace collapsed, ends trimmed — the normalization pass that
+    * runs BEFORE hashing so that trivially-reformatted copies (case,
+    * punctuation, spacing) collapse to one canonical form. Pure
+    * codegen projection (engine-portable regex classes only).
+    */
+  def canonicalize(docs: DataFrame): DataFrame =
+    docs.withColumn("canon_text",
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+
+  /** Canonical exact dedup: one survivor (min doc_id) per canonical
+    * form, with the variant count — catches the case/punctuation
+    * variants plain exact dedup misses while staying a single
+    * map-side-combined groupBy. At 100 TB group on
+    * xxhash64(canon_text) so the shuffle key is 8 bytes, exactly as
+    * [[graft.dedup.Dedup.exact]] does.
+    */
+  def canonicalDedup(docs: DataFrame): DataFrame =
+    canonicalize(docs)
+      .groupBy(col("canon_text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+      .select(col("doc_id"), col("n_variants"), col("canon_text"))
+
   /** Passage-level dedup (CCNet-style repeated-passage removal):
     * documents split into disjoint `chunkWords`-word passages; any
     * passage occurring more than `maxDf` times corpus-wide (nav

@@ -224,6 +224,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out((1L, 2L)) > out((3L, 4L)))
   }
 
+  test("canonical dedup collapses case/punct/whitespace variants") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "goodbye world"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.canonicalDedup(docs)
+      .collect().map(r => r.getString(2) -> ((r.getLong(0), r.getLong(1)))).toMap
+    assert(out == Map(
+      "hello world" -> ((1L, 3L)),
+      "goodbye world" -> ((4L, 1L))))
+  }
+
   test("bigram fluency scores the common-bigram hit rate") {
     val docs = Seq(
       (1L, "the cat sat"), // bigrams: "the cat", "cat sat"
