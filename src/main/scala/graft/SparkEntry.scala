@@ -590,6 +590,9 @@ object SparkEntry {
     // E20: cohort retention triangle (first-day cohorts × day offset)
     "q_cohort_retention" -> ((s, dir) =>
       Analytics.cohortRetention(Tables.events(s, dir))),
+    // D33: lexical diversity — type-token ratio + Gini-Simpson
+    "q_lexical_diversity" -> ((s, dir) =>
+      TextOps.lexicalDiversity(Tables.documents(s, dir))),
     // D32: canonicalization dedup — an uppercased+punctuated copy of
     // every document is planted; canonical grouping must collapse
     // each variant pair to one survivor where byte-exact dedup sees
@@ -1531,6 +1534,21 @@ object SparkEntry {
         |SELECT cohort_day, CAST(day - cohort_day AS INT) AS day_offset,
         | count(DISTINCT user_id) AS n_users
         |FROM c GROUP BY 1, 2""".stripMargin,
+    // rational diversity: integer counts, one division each — no
+    // transcendentals (Shannon entropy would round differently)
+    "q_lexical_diversity" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_types, CAST(sum(n*(n-1)) AS BIGINT) AS rep
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        | CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+        | CASE WHEN n_tokens > 1
+        |      THEN 1.0 - CAST(rep AS DOUBLE) / (n_tokens * (n_tokens - 1)) END
+        |   AS simpson
+        |FROM d""".stripMargin,
     // same canonical form (lower, non-alnum → space, collapse, trim)
     // over the same planted-variant union
     "q_dedup_canonical" ->

@@ -424,6 +424,35 @@ object TextOps {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
       .select(col("doc_id"), col("n_variants"), col("canon_text"))
 
+  /** Lexical diversity per document: type-token ratio and the
+    * Gini-Simpson index — the quality family's "is this text varied
+    * or degenerate repetition" signal, complementing the Gopher
+    * duplicate-fraction rules with a proper diversity statistic.
+    * Both are RATIONAL (integer counts, one final division), so they
+    * grade bit-identically across engines — deliberately chosen over
+    * Shannon entropy, whose per-term transcendental log rounds
+    * differently between math libraries.
+    *
+    * One scan → per-(doc, word) partial-agg count → per-doc
+    * collapse; everything map-side combines and output is one row
+    * per document. Singleton docs have no pair to sample, so
+    * `simpson` is null there by definition.
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("n") * (col("n") - 1)).as("rep"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        when(col("n_tokens") > 1,
+          lit(1.0) - col("rep").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1))).as("simpson"))
+
   /** Passage-level dedup (CCNet-style repeated-passage removal):
     * documents split into disjoint `chunkWords`-word passages; any
     * passage occurring more than `maxDf` times corpus-wide (nav
