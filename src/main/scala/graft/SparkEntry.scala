@@ -226,6 +226,13 @@ object SparkEntry {
     // stall/burst monitor
     "q_interarrival" -> ((s, dir) =>
       Analytics.interArrivalStats(Tables.events(s, dir))),
+    // E12: the mapGroupsWithState keyed-state transform executed in
+    // batch — graded on its integer surface (per-user event counts;
+    // the double sum accumulates in iteration order and is not
+    // hash-safe, so it stays spec-pinned)
+    "q_user_totals" -> ((s, dir) =>
+      graft.streaming.EventStream.runningUserTotals(Tables.events(s, dir))
+        .select(col("user_id"), col("n_events"))),
     // E29: fixed-width value histogram per event type (50 buckets of
     // 10 over [0, 500); edge-clamped)
     "q_histogram" -> ((s, dir) =>
@@ -984,6 +991,8 @@ object SparkEntry {
         | CASE WHEN ets <= ts + INTERVAL 3600 SECOND THEN err_id END AS asof_err_id,
         | CASE WHEN ets <= ts + INTERVAL 3600 SECOND THEN err_value END AS asof_err_value
         |FROM j""".stripMargin,
+    "q_user_totals" ->
+      "SELECT user_id, count(*) AS n_events FROM events GROUP BY 1",
     // identical IEEE subtract/divide/floor bucketing, edge-clamped
     "q_histogram" ->
       """SELECT event_type,
