@@ -504,6 +504,19 @@ object SparkEntry {
           "user_id", "event_type", "ts", "event_id")
         .withColumn("valid_from", col("valid_from").cast("timestamp_ntz"))
         .withColumn("valid_to", col("valid_to").cast("timestamp_ntz"))),
+    // B10b: point-in-time SCD2 lookup — each purchase annotated with
+    // the user's signup/error state version valid at purchase time
+    "q_point_in_time" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = graft.operators.Scd.scd2(
+        ev.filter(col("event_type").isin("signup", "error")),
+        "user_id", "event_type", "ts", "event_id")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      graft.operators.Scd.pointInTimeJoin(facts, dim, "user_id", "ts",
+          Seq("event_type", "version"))
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }),
     // D18: BM25 keyword search, top-20 with doc_id tie-break
     "q_bm25_search" -> ((s, dir) =>
       graft.text.Search.bm25(Tables.documents(s, dir),
@@ -1406,6 +1419,32 @@ object SparkEntry {
         | CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / count(v) AS avg_v
         |FROM e GROUP BY 1""".stripMargin,
     // lag IS DISTINCT FROM == Spark's isNull || =!= on a non-null attr
+    // SCD2 rebuilt on the state feed, then the plain interval-
+    // containment LEFT JOIN — equivalent to the as-of + valid_to
+    // guard (tiled half-open intervals)
+    "q_point_in_time" ->
+      """WITH src AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |   event_id FROM events WHERE event_type IN ('signup', 'error')),
+        |o AS (SELECT user_id, event_type, ts, event_id,
+        |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        | FROM src),
+        |v AS (SELECT user_id, event_type, ts,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        | FROM o),
+        |runs AS (SELECT user_id, version, min(event_type) AS event_type,
+        |   min(ts) AS valid_from FROM v GROUP BY 1, 2),
+        |d AS (SELECT user_id, version, event_type, valid_from,
+        |   lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |     AS valid_to FROM runs),
+        |f AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts, f.value,
+        | d.event_type AS asof_event_type, d.version AS asof_version
+        |FROM f LEFT JOIN d ON f.user_id = d.user_id
+        | AND f.ts >= d.valid_from
+        | AND (d.valid_to IS NULL OR f.ts < d.valid_to)""".stripMargin,
     "q_scd2" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
         |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

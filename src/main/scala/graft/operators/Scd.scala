@@ -52,4 +52,29 @@ object Scd {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
       .withColumn("is_current", col("valid_to").isNull.cast("int"))
   }
+
+  /** Point-in-time dimension lookup: each fact row picks the SCD2
+    * version whose half-open interval `[valid_from, valid_to)`
+    * contains the fact timestamp — the join every versioned-dimension
+    * warehouse query needs and Spark has no node for.
+    *
+    * Composed as a backward as-of on `valid_from` (one union+window
+    * shuffle, [[AsOf.asofJoin]]) plus an in-row `valid_to` guard for
+    * dimensions with coverage gaps — never an interval-inequality
+    * join, which Spark plans as a nested loop. Empty intervals
+    * (same-timestamp version flips) resolve like the containment
+    * join does: the as-of tie-dedup keeps the highest version at a
+    * shared `valid_from`, which is the only interval that contains
+    * anything.
+    */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, key: String,
+                      tsCol: String, pickCols: Seq[String]): DataFrame = {
+    val renamed = dim.withColumnRenamed("valid_from", tsCol)
+    val joined = AsOf.asofJoin(facts, renamed, key, tsCol,
+      pickCols :+ "valid_to", "version")
+    val valid = col("asof_valid_to").isNull || col(tsCol) < col("asof_valid_to")
+    pickCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", when(valid, col(s"asof_$c")))
+    }.drop("asof_valid_to")
+  }
 }

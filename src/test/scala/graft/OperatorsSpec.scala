@@ -418,6 +418,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(unbounded == out) // every match here is inside the horizon
   }
 
+  test("point-in-time join picks the containing SCD2 interval, guards gaps") {
+    import spark.implicits._
+    // dim with a coverage gap: [10, 20) then nothing until [30, null)
+    val dim = Seq(
+      (1L, 1L, "bronze", 10L, Some(20L)),
+      (1L, 2L, "gold", 30L, None))
+      .toDF("k", "version", "tier", "valid_from", "valid_to")
+    val facts = Seq((101L, 1L, 15L), (102L, 1L, 25L), (103L, 1L, 35L), (104L, 1L, 5L))
+      .toDF("fact_id", "k", "t")
+    val out = operators.Scd.pointInTimeJoin(facts, dim, "k", "t", Seq("tier"))
+    val picks = out.collect().map(r =>
+      r.getAs[Long]("fact_id") -> Option(r.getAs[String]("asof_tier"))).toMap
+    assert(picks(101L).contains("bronze")) // inside [10, 20)
+    assert(picks(102L).isEmpty)            // the gap [20, 30)
+    assert(picks(103L).contains("gold"))   // open current interval
+    assert(picks(104L).isEmpty)            // before the first version
+  }
+
   test("chunking covers every word with the configured overlap") {
     import spark.implicits._
     val doc = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
