@@ -177,6 +177,11 @@ object SparkEntry {
             .cast("long").as("est_users"),
           col("n_events"))
     }),
+    // C10: one-scan table profile (ANALYZE-style column stats) over
+    // the long/string columns of orders
+    "q_table_profile" -> ((s, dir) =>
+      Reconcile.tableProfile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))),
     // C4: referential integrity summary
     "q_recon_referential" -> ((s, dir) =>
       Reconcile.referentialSummary(Tables.orders(s, dir), Tables.customer(s, dir),
@@ -1542,6 +1547,18 @@ object SparkEntry {
         | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
         |   AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // BIGINT/VARCHAR min-max render identically across engines
+    // (doubles would not — kept to the numeric suites)
+    "q_table_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             | count(*) - count($c) AS n_nulls,
+             | count(DISTINCT $c) AS n_distinct,
+             | CAST(min($c) AS VARCHAR) AS min_str,
+             | CAST(max($c) AS VARCHAR) AS max_str
+             |FROM orders""".stripMargin)
+        .mkString("\nUNION ALL\n"),
     "q_interval_join" ->
       """SELECT t.user_id, t.event_id AS trigger_id, f.event_id AS follow_id,
         | CAST(t.ts AS TIMESTAMP) AS trigger_ts, CAST(f.ts AS TIMESTAMP) AS follow_ts

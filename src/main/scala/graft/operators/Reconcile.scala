@@ -195,6 +195,39 @@ object Reconcile {
           .otherwise("unchanged").as("status"))
   }
 
+  /** One-scan table profile (ANALYZE-style data-quality report): for
+    * each listed column, row count, null count, exact distinct count,
+    * and min/max rendered as strings — the first look a data-quality
+    * engineer takes at an unfamiliar or suspect feed, and the stats
+    * the reconcile suites threshold against.
+    *
+    * All columns profile in ONE aggregation pass (Spark expands the
+    * multi-distinct into one Expand + partial aggs — still a single
+    * scan), and the one result row explodes to a column-per-row
+    * report in-map. Profile long/string/date columns — double min/max
+    * render differently across engines, so keep doubles to the
+    * numeric suites. At 100 TB swap exact distinct for
+    * approx_count_distinct, same shape.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_cnt_$c"),
+        countDistinct(col(c)).as(s"_dst_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val total = count(lit(1)).as("_rows")
+    df.agg(total, aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("_rows").as("n_rows"),
+        (col("_rows") - col(s"_cnt_$c")).as("n_nulls"),
+        col(s"_dst_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_str"),
+        col(s"_max_$c").as("max_str"))): _*)).as("p"))
+      .select("p.*")
+  }
+
   def missingColumns(expected: Seq[String], df: DataFrame): (Seq[String], Seq[String]) = {
     val have = df.columns.toSeq
     (expected.diff(have), have.diff(expected))
