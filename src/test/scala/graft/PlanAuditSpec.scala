@@ -260,6 +260,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"session merge should reuse the single user_id exchange:\n$p")
   }
 
+  test("point-in-time lookup runs as the as-of window, never a nested loop") {
+    val p = plan("q_point_in_time")
+    assert(!p.contains("NestedLoop"),
+      s"interval containment must not plan as an inequality join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the as-of composition joins nothing — union + window only:\n$p")
+  }
+
+  test("table profile scans once for all columns") {
+    val p = plan("q_table_profile")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"profiling N columns must not scan N times:\n$p")
+  }
+
+  test("canonical dedup is projection + one aggregate, no join or window") {
+    val p = plan("q_dedup_canonical")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"canonical dedup must stay a grouped projection:\n$p")
+  }
+
   test("daily trend windows consume the aggregated table, not the raw feed") {
     val p = plan("q_daily_trend")
     // partial+final agg collapses the feed to types×days BEFORE any
