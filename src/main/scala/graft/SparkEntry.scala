@@ -665,6 +665,14 @@ object SparkEntry {
     // B12: daily trend — 7-day moving sum/avg + day-over-day delta
     "q_daily_trend" -> ((s, dir) =>
       Analytics.dailyTrend(Tables.events(s, dir), 7)),
+    // B13: calendar densification — every (type, day) cell of the
+    // feed's span as an explicit row, silent days included as zeros
+    "q_densify" -> ((s, dir) =>
+      Analytics.densifyDaily(Tables.events(s, dir))),
+    // B14: trailing 7-CALENDAR-day rolling sum on the sparse daily
+    // table (RANGE frame on the day number, not a ROWS frame)
+    "q_rolling_range" -> ((s, dir) =>
+      Analytics.rollingRangeSum(Tables.events(s, dir), 7)),
     // E23: Markov transition matrix of consecutive event types
     "q_event_transitions" -> ((s, dir) =>
       Analytics.transitionMatrix(Tables.events(s, dir))),
@@ -1750,6 +1758,35 @@ object SparkEntry {
         |   (PARTITION BY event_type ORDER BY day) AS delta
         |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
         | ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // the same dense grid: distinct types x the global day span,
+    // zero-filled; generate_series (not lateral range()) over the
+    // span row, cast back to DATE
+    "q_densify" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n_events FROM events GROUP BY 1, 2),
+        |s AS (SELECT min(day) AS d_min, max(day) AS d_max FROM d),
+        |g AS (SELECT event_type,
+        |   CAST(unnest(generate_series(CAST(d_min AS TIMESTAMP),
+        |     CAST(d_max AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM d), s)
+        |SELECT g.event_type AS event_type, g.day AS day,
+        | COALESCE(n_events, CAST(0 AS BIGINT)) AS n_events
+        |FROM g LEFT JOIN d ON g.event_type = d.event_type
+        |  AND g.day = d.day""".stripMargin,
+    // identical integer RANGE frame on the epoch-day number; window
+    // SUM cast BIGINT (DuckDB widens to HUGEINT), one double division
+    // by the fixed window length
+    "q_rolling_range" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n_events FROM events GROUP BY 1, 2),
+        |n AS (SELECT *, datediff('day', DATE '1970-01-01', day) AS day_num
+        |  FROM d)
+        |SELECT event_type, day, n_events,
+        | CAST(SUM(n_events) OVER w AS BIGINT) AS sum_w,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS days_present,
+        | CAST(SUM(n_events) OVER w AS DOUBLE) / 7.0 AS avg_per_day
+        |FROM n WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+        | RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     // decimal both aggregation layers; doubles only in the final
     // casts and single division
     "q_contribution" ->

@@ -421,4 +421,63 @@ object Analytics {
         percentile(col("gap_us"), lit(0.5)).as("median_gap_us"),
         percentile(col("gap_us"), lit(0.95)).as("p95_gap_us"))
   }
+
+  /** Calendar densification: the per-(type, day) daily counts with
+    * every missing cell filled in as an explicit zero row, across the
+    * feed's global [min day, max day] span. A silent day is the most
+    * severe anomaly a feed can have, and it is exactly the day a
+    * plain groupBy never emits — downstream monitors (medians,
+    * deltas, ROWS-frame windows) only see outages if the grid is
+    * dense.
+    *
+    * One partial-agg pass collapses the feed to the dimension-sized
+    * daily table; the (types x days) grid is built from that table's
+    * own distinct types crossed with a one-row span (both broadcast),
+    * so the raw feed is scanned exactly once at any scale and the
+    * fill join never shuffles the facts.
+    */
+  def densifyDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = daily.agg(min(col("day")).as("d_min"), max(col("day")).as("d_max"))
+    val grid = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d_min"), col("d_max"), expr("interval 1 day")))
+          .as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Trailing calendar-window rolling sum over the SPARSE daily
+    * table: a RANGE frame ordered by the integer day number covers
+    * the last `windowDays` calendar days regardless of which of them
+    * have rows — the correct trailing-week number when days can be
+    * missing, where [[dailyTrend]]'s ROWS frame would silently reach
+    * further back in time. The complement of [[densifyDaily]]: same
+    * semantics, no grid materialized.
+    *
+    * The window input is the dimension-sized (type, day) aggregate,
+    * never the feed; `days_present` exposes how much of the calendar
+    * window had data, and the per-calendar-day average divides by the
+    * fixed window length (one double division, engine-exact).
+    */
+  def rollingRangeSum(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "window must cover at least the current day")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val frame = Window.partitionBy(col("event_type"))
+      .orderBy(col("day_num"))
+      .rangeBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("sum_w", sum(col("n_events")).over(frame))
+      .withColumn("days_present", count(lit(1)).over(frame))
+      .withColumn("avg_per_day",
+        col("sum_w").cast("double") / lit(windowDays.toDouble))
+      .drop("day_num")
+  }
 }

@@ -866,4 +866,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"cube should plan an Expand:\n$plan")
     assert(!plan.contains("Union"), s"cube must not union multiple scans:\n$plan")
   }
+
+  test("densify emits explicit zero rows for silent days") {
+    import spark.implicits._
+    // type a: days 1 and 4 (days 2-3 silent); type b: day 2 only —
+    // the grid spans the GLOBAL [d_min, d_max] = Jan 1..4 for both
+    val ev = Seq(
+      ("a", "2024-01-01 10:00:00"), ("a", "2024-01-04 10:00:00"),
+      ("a", "2024-01-04 11:00:00"), ("b", "2024-01-02 09:00:00"))
+      .toDF("event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = operators.Analytics.densifyDaily(ev)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2))
+      .toMap
+    assert(got.size == 8, s"2 types x 4 days expected, got $got")
+    assert(got(("a", "2024-01-02")) == 0L && got(("a", "2024-01-03")) == 0L)
+    assert(got(("b", "2024-01-01")) == 0L && got(("b", "2024-01-04")) == 0L)
+    assert(got(("a", "2024-01-04")) == 2L && got(("b", "2024-01-02")) == 1L)
+  }
+
+  test("range-frame rolling sum honors calendar gaps where a ROWS frame would not") {
+    import spark.implicits._
+    // days 1, 2, 10: the trailing-7-day window at day 10 must NOT
+    // reach back across the gap to days 1-2
+    val ev = Seq(
+      ("a", "2024-01-01 10:00:00"), ("a", "2024-01-02 10:00:00"),
+      ("a", "2024-01-02 11:00:00"), ("a", "2024-01-10 10:00:00"))
+      .toDF("event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = operators.Analytics.rollingRangeSum(ev, 7)
+      .collect()
+      .map(r => r.getDate(1).toString -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("2024-01-02") == ((3L, 2L)), s"day 2 sees days 1+2: $got")
+    assert(got("2024-01-10") == ((1L, 1L)),
+      s"day 10's calendar window excludes the pre-gap days: $got")
+  }
 }
