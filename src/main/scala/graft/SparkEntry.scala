@@ -177,6 +177,17 @@ object SparkEntry {
             .cast("long").as("est_users"),
           col("n_events"))
     }),
+    // E6c: the histogram-sketch quantile cascade — 5-minute buckets
+    // carry fixed-width value histograms, daily rolls up by count
+    // addition (bit-identical to direct), and p50/p95 estimates read
+    // off the merged counts with engine-exact interpolation (FULL
+    // oracle, unlike the HLL cascade: DuckDB can replay a histogram)
+    "q_hist_quantile" -> ((s, dir) => {
+      val fine = Rollups.histSketchPerType(Tables.events(s, dir), 300, 0.0, 10.0, 50)
+      val daily = Rollups.coarsenHist(fine, 86400)
+      Rollups.histQuantiles(daily, Seq("bucket_start", "event_type"),
+        0.0, 10.0, Seq(0.5, 0.95))
+    }),
     // C10: one-scan table profile (ANALYZE-style column stats) over
     // the long/string columns of orders
     "q_table_profile" -> ((s, dir) =>
@@ -1019,6 +1030,28 @@ object SparkEntry {
         |FROM j""".stripMargin,
     "q_user_totals" ->
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY 1",
+    // the daily histogram rebuilt directly (cascade == direct for
+    // integer counts), then the same rank landing and the same
+    // fixed-order interpolation expression; window SUMs cast BIGINT
+    "q_hist_quantile" ->
+      """WITH h AS (SELECT CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_start,
+        |  event_type,
+        |  greatest(0, least(49, CAST(floor((value - 0.0) / 10.0) AS INT))) AS vbucket,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2, 3),
+        |c AS (SELECT *,
+        |  CAST(SUM(n) OVER (PARTITION BY bucket_start, event_type
+        |    ORDER BY vbucket) AS BIGINT) AS cum,
+        |  CAST(SUM(n) OVER (PARTITION BY bucket_start, event_type) AS BIGINT) AS total
+        | FROM h),
+        |x AS (SELECT c.*, p FROM c, (SELECT unnest([0.5, 0.95]) AS p))
+        |SELECT bucket_start, event_type, p, total,
+        | 0.0 + 10.0 * (CAST(vbucket AS DOUBLE) +
+        |   ((CAST(total AS DOUBLE) - 1.0) * p - CAST(cum - n AS DOUBLE))
+        |     / CAST(n AS DOUBLE)) AS est
+        |FROM x
+        |WHERE CAST(cum - n AS DOUBLE) <= (CAST(total AS DOUBLE) - 1.0) * p
+        |  AND (CAST(total AS DOUBLE) - 1.0) * p < CAST(cum AS DOUBLE)""".stripMargin,
     // identical IEEE subtract/divide/floor bucketing, edge-clamped
     "q_histogram" ->
       """SELECT event_type,

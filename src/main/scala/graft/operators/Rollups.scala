@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-granularity rollup cascade.
@@ -120,6 +121,66 @@ object Rollups {
       .agg(
         graft.functions.HllFunctions.hllMerge(col("users_hll")).as("users_hll"),
         sum(col("n_events")).as("n_events"))
+
+  /** Fixed-width value-histogram sketch per (time bucket, type): the
+    * quantile analog of [[sketchPerType]]'s HLL cascade. A histogram
+    * is the simplest MERGEABLE quantile summary — counts roll up to
+    * coarser granularities by plain addition (exactly, in any order),
+    * so percentile estimates read off ANY granularity without
+    * re-scanning the raw feed, the one thing a stored exact
+    * percentile cannot do (quantiles don't re-aggregate). Estimate
+    * error is bounded by the bucket width; state per (bucket, type)
+    * is at most `nBuckets` rows. Values outside [lo, lo+width*n) are
+    * edge-clamped (the monitor regime: a known value envelope).
+    */
+  def histSketchPerType(events: DataFrame, seconds: Int,
+                        lo: Double, width: Double, nBuckets: Int): DataFrame =
+    events
+      .groupBy(bucket("ts", seconds).as("bucket_start"), col("event_type"),
+        greatest(lit(0), least(lit(nBuckets - 1),
+          floor((col("value") - lo) / width).cast("int"))).as("vbucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Cascade step for [[histSketchPerType]] output: coarsen the time
+    * bucket, add the per-value-bucket counts. Integer addition is
+    * associative, so the cascaded histogram is bit-identical to one
+    * built directly from raw at the coarse granularity.
+    */
+  def coarsenHist(finer: DataFrame, seconds: Int): DataFrame =
+    finer
+      .groupBy(
+        (floor(col("bucket_start") / seconds) * seconds).cast("long").as("bucket_start"),
+        col("event_type"), col("vbucket"))
+      .agg(sum(col("n")).cast("long").as("n"))
+
+  /** Interpolated quantile estimates from a histogram sketch: for
+    * each group and probability p, the continuous rank r = (total-1)p
+    * lands in exactly one value bucket (buckets partition [0, total)
+    * by cumulative count), and the estimate spreads that bucket's
+    * mass uniformly — `lo + width*(b + (r - cum_before)/n_b)`.
+    * Integer counts + a fixed-order IEEE expression make the estimate
+    * bit-reproducible across engines (no library quantile call). The
+    * window input is the dimension-sized histogram (groups x
+    * nBuckets), never the feed.
+    */
+  def histQuantiles(hist: DataFrame, groupCols: Seq[String],
+                    lo: Double, width: Double, probs: Seq[Double]): DataFrame = {
+    val keys = groupCols.map(col)
+    val ordered = Window.partitionBy(keys: _*).orderBy(col("vbucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(keys: _*)
+    val r = (col("total").cast("double") - 1.0) * col("p")
+    hist
+      .withColumn("cum", sum(col("n")).over(ordered))
+      .withColumn("total", sum(col("n")).over(whole))
+      .withColumn("p", explode(array(probs.map(lit): _*)))
+      .filter((col("cum") - col("n")).cast("double") <= r &&
+        r < col("cum").cast("double"))
+      .select(keys ++ Seq(col("p"), col("total"),
+        (lit(lo) + lit(width) * (col("vbucket").cast("double") +
+          (r - (col("cum") - col("n")).cast("double")) / col("n").cast("double")))
+          .as("est")): _*)
+  }
 
   /** Calendar-aligned rollup at `unit` granularity ("week" = ISO
     * Monday start, "month") per event_type — the coarse end of the

@@ -69,6 +69,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cascaded.exceptAll(direct).isEmpty && direct.exceptAll(cascaded).isEmpty)
   }
 
+  test("histogram sketch cascade is bit-identical to the direct daily histogram") {
+    val ev = Tables.events(spark, sf)
+    val cascaded = operators.Rollups.coarsenHist(
+      operators.Rollups.histSketchPerType(ev, 300, 0.0, 10.0, 50), 86400)
+    val direct = operators.Rollups.histSketchPerType(ev, 86400, 0.0, 10.0, 50)
+    assert(cascaded.exceptAll(direct).isEmpty && direct.exceptAll(cascaded).isEmpty,
+      "integer counts must re-aggregate exactly")
+  }
+
+  test("histogram quantile estimate shares a bucket with the true rank-floor value") {
+    val ev = Tables.events(spark, sf)
+    val est = operators.Rollups.histQuantiles(
+      operators.Rollups.histSketchPerType(ev, 86400, 0.0, 10.0, 50),
+      Seq("bucket_start", "event_type"), 0.0, 10.0, Seq(0.5, 0.95)).collect()
+    assert(est.nonEmpty)
+    // the estimate's bucket contains index floor((total-1)p) of the
+    // sorted values, so |est - value@floor(r)| <= one bucket width
+    // (quantile_cont itself interpolates ACROSS ranks and carries no
+    // such bound on sparse groups)
+    val sorted = ev.groupBy(
+        (floor(unix_timestamp(col("ts")) / 86400) * 86400).cast("long").as("bucket_start"),
+        col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("vs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getSeq[Double](2))
+      .toMap
+    est.foreach { r =>
+      val vs = sorted((r.getLong(0), r.getString(1)))
+      val p = r.getAs[Double]("p")
+      val v = vs(math.floor((vs.length - 1) * p).toInt)
+      val e = r.getAs[Double]("est")
+      assert(math.abs(e - v) <= 10.0,
+        s"estimate $e vs rank-floor value $v beyond one bucket width: $r")
+    }
+  }
+
   test("deleteReload replaces whole buckets idempotently") {
     val ev = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))
       .select("event_id", "day", "value")
