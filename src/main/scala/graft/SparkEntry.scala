@@ -284,6 +284,11 @@ object SparkEntry {
     // D2c: asymmetric containment near-dup (short doc inside long doc)
     "q_dedup_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(Tables.documents(s, dir), 3, 0.8)),
+    // D2e: prefix-filtered similarity join (PPJoin family) — only
+    // each set's rarest-ordered prefix feeds the inverted index;
+    // recall 1.0 by construction, so it shares the exact oracle
+    "q_dedup_prefix" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir), 3, 0.8)),
     // D2b: the filtered corpus — near-dups dropped, survivors kept
     "q_dedup_filtered" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -1104,6 +1109,9 @@ object SparkEntry {
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
     "q_dedup_ngram" -> ngramJaccardOracle,
+    // prefix filtering changes the candidate plan, not the result:
+    // the exact-Jaccard pair set is the contract
+    "q_dedup_prefix" -> ngramJaccardOracle,
     "q_dedup_containment" -> (shingleCtes + "\n" +
       """SELECT doc_a, doc_b,
         | CAST(inter AS DOUBLE) / least(x.n, y.n) AS containment

@@ -108,6 +108,62 @@ object Dedup {
         shiftrightunsigned(col("pb"), SizeBits).as("doc_b"), col("containment"))
   }
 
+  /** Prefix-filtered exact similarity join — the PPJoin-family
+    * candidate filter, the third blocking strategy next to hashing
+    * ([[minhashNearDupPairs]]) and ordering (sorted-neighborhood):
+    * with shingle hashes in a canonical global order (ascending hash
+    * value — any fixed total order works; hash order needs no
+    * document-frequency pass), two sets with Jaccard >= t MUST share
+    * one of each other's first `|x| - ceil(t*|x|) + 1` elements, so
+    * only those prefixes feed the inverted index. At t=0.8 that is
+    * ~20% of the posting rows [[ngramJaccardPairs]] expands, with
+    * recall 1.0 by construction rather than probabilistically.
+    *
+    * The prefix length uses floor(t*|x|) (>= the exact-arithmetic
+    * minimum by at most one element) and the size-compatibility
+    * pre-filter carries an epsilon, so float rounding can only ADMIT
+    * an extra candidate, never drop a qualifying pair — the exact
+    * verify then reproduces [[ngramJaccardPairs]]' output verbatim.
+    * Candidates fetch their full shingle sets through two narrow
+    * joins; at 100 TB bucket the corpus by doc_id so those fetches
+    * co-locate (BucketedScaleSpec's pattern).
+    */
+  def prefixJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                         maxBucket: Int = 1000): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sets = docs.select(col("doc_id"),
+      sort_array(graft.functions.TextHashFunctions.shingleHashes(col("text"), n))
+        .as("shs"))
+    val prefLen = greatest(lit(1),
+      size(col("shs")) - floor(size(col("shs")) * lit(threshold)).cast("int") + 1)
+    val pref = sets.select(
+      shiftleft(col("doc_id"), SizeBits)
+        .bitwiseOR(least(size(col("shs")).cast("long"), lit(SizeMask))).as("id_size"),
+      explode(slice(col("shs"), lit(1), prefLen)).as("sh"))
+    val postings = pref.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("id_size"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val sa = col("pa").bitwiseAND(SizeMask).cast("double")
+    val sb = col("pb").bitwiseAND(SizeMask).cast("double")
+    val cands = postingPairs(postings.repartition(width, col("sh")))
+      .select(col("p.a").as("pa"), col("p.b").as("pb")).distinct()
+      // J >= t forces t*max(|A|,|B|) <= min(|A|,|B|); the epsilon
+      // absorbs IEEE rounding of t*max (sizes < 2^20 keep the true
+      // error below it)
+      .filter(least(sa, sb) >= lit(threshold) * greatest(sa, sb) - lit(1e-9))
+      .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
+        shiftrightunsigned(col("pb"), SizeBits).as("doc_b"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Corpus filtering: drop near-duplicate documents, keeping the
     * lowest-doc_id survivor of each detected pair (greedy keep-min —
     * the standard one-pass approximation of connected-component

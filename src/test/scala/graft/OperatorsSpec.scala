@@ -135,6 +135,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaMinhash.exceptAll(viaIndex).isEmpty && viaIndex.exceptAll(viaMinhash).isEmpty)
   }
 
+  test("prefix-filtered join equals the inverted-index Jaccard path") {
+    val docs = Tables.documents(spark, sf)
+    val viaPrefix = dedup.Dedup.prefixJaccardPairs(docs, 3, 0.8)
+    val viaIndex = dedup.Dedup.ngramJaccardPairs(docs, 3, 0.8)
+    assert(viaPrefix.exceptAll(viaIndex).isEmpty && viaIndex.exceptAll(viaPrefix).isEmpty)
+  }
+
+  test("prefix filter keeps borderline-threshold pairs (no float over-pruning)") {
+    import spark.implicits._
+    // 4 distinct 3-shingles each, sharing exactly 3: J = 3/5 = 0.6 —
+    // exactly at the threshold, where a carelessly rounded prefix
+    // length or size filter would drop the pair
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e z")).toDF("doc_id", "text")
+    val got = dedup.Dedup.prefixJaccardPairs(docs, 3, 0.6).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L && got.head.getLong(1) == 2L,
+      s"the J=0.6 pair must survive at t=0.6: ${got.mkString}")
+  }
+
   test("simhash identical docs collide, hamming 0") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w q r t"))
