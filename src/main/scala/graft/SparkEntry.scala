@@ -7,7 +7,7 @@ import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.etl.{ChillPipeline, Constant, Derived, FieldRule, Lookup, TableRoute}
 import graft.multimodal.BinaryPipeline
-import graft.operators.{Analytics, Maintenance, Reconcile, Rollups}
+import graft.operators.{Analytics, Graph, Maintenance, Reconcile, Rollups}
 import graft.text.TextOps
 
 /** Driver contract — one entry per implemented operator from
@@ -692,6 +692,13 @@ object SparkEntry {
     // E23: Markov transition matrix of consecutive event types
     "q_event_transitions" -> ((s, dir) =>
       Analytics.transitionMatrix(Tables.events(s, dir))),
+    // E30: fixed-point PageRank (3 damped rounds) over the
+    // customer—supplier trading graph — BIGINT arithmetic end to
+    // end, so the iteration is bit-reproducible across engines
+    "q_pagerank" -> ((s, dir) =>
+      Graph.pageRank(
+        Graph.tradingEdges(Tables.lineitem(s, dir), Tables.orders(s, dir)),
+        3)),
     // E25: rolling active users (DAU / trailing-7-day WAU)
     "q_active_users" -> ((s, dir) =>
       Analytics.rollingActiveUsers(Tables.events(s, dir), 7)),
@@ -1874,6 +1881,36 @@ object SparkEntry {
         | CAST(COALESCE(dau, 0) AS DOUBLE) / wau AS stickiness
         |FROM wau LEFT JOIN dau ON wau.day = dau.day, span
         |WHERE wau.day <= d_max""".stripMargin,
+    // the same three rounds unrolled; // is DuckDB's integer floor
+    // division == Spark's div on non-negative ranks, and window-free
+    // integer sums cast back from HUGEINT
+    "q_pagerank" ->
+      """WITH p AS (SELECT DISTINCT 'c' || o_custkey AS cust,
+        |   's' || l_suppkey AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT cust AS src, supp AS dst FROM p
+        |      UNION ALL SELECT supp, cust FROM p),
+        |d AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM n),
+        |c1 AS (SELECT e.dst AS node,
+        |    CAST(SUM(r0.rank // d.out_deg) AS BIGINT) AS in_sum
+        |  FROM e JOIN d ON e.src = d.src JOIN r0 ON e.src = r0.node GROUP BY 1),
+        |r1 AS (SELECT n.node,
+        |    150000000000 + (85 * COALESCE(in_sum, 0)) // 100 AS rank
+        |  FROM n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.dst AS node,
+        |    CAST(SUM(r1.rank // d.out_deg) AS BIGINT) AS in_sum
+        |  FROM e JOIN d ON e.src = d.src JOIN r1 ON e.src = r1.node GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |    150000000000 + (85 * COALESCE(in_sum, 0)) // 100 AS rank
+        |  FROM n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (SELECT e.dst AS node,
+        |    CAST(SUM(r2.rank // d.out_deg) AS BIGINT) AS in_sum
+        |  FROM e JOIN d ON e.src = d.src JOIN r2 ON e.src = r2.node GROUP BY 1)
+        |SELECT n.node AS node,
+        | CAST(150000000000 + (85 * COALESCE(in_sum, 0)) // 100 AS BIGINT) AS rank
+        |FROM n LEFT JOIN c3 ON n.node = c3.node""".stripMargin,
     // event_id breaks ts ties, so the lag sequence is deterministic
     "q_event_transitions" ->
       """WITH s AS (SELECT event_type, LAG(event_type, 1) OVER

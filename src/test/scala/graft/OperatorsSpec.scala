@@ -155,6 +155,24 @@ class OperatorsSpec extends AnyFunSuite {
       s"the J=0.6 pair must survive at t=0.6: ${got.mkString}")
   }
 
+  test("fixed-point pagerank: star center dominates, symmetric leaves tie") {
+    import spark.implicits._
+    val star = Seq(("x", "a"), ("x", "b"), ("x", "c"))
+      .toDF("src", "dst")
+    val undirected = star.unionByName(
+      star.select(col("dst").as("src"), col("src").as("dst")))
+    val ranks = operators.Graph.pageRank(undirected, 3, 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks.size == 4)
+    val leaves = Seq("a", "b", "c").map(ranks)
+    assert(leaves.distinct.size == 1, s"symmetric leaves must tie: $ranks")
+    assert(ranks("x") > leaves.head, s"the hub outranks its leaves: $ranks")
+    // every node keeps at least the teleport mass and total mass is
+    // conserved up to the floor-division loss (only downward)
+    assert(ranks.values.forall(_ >= 150000L))
+    assert(ranks.values.map(BigInt(_)).sum <= BigInt(4) * 1000000L)
+  }
+
   test("simhash identical docs collide, hamming 0") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w q r t"))
