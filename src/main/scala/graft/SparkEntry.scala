@@ -335,6 +335,10 @@ object SparkEntry {
       Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
         .select("query_id", "neighbor_id", "rnk", "cos_sim")
     }),
+    // D35: exact kNN graph with mutual-edge flags — the clustering
+    // substrate; scored brute-force here, ivfSearch at scale
+    "q_knn_graph" -> ((s, dir) =>
+      Ann.knnGraph(Tables.embeddings(s, dir), 5)),
     // D26: int8 embedding quantization, graded through exact integer
     // digests of the quantized vectors (sum, sum of squares)
     "q_embed_quantize" -> ((s, dir) =>
@@ -1177,6 +1181,24 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
         |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 10""".stripMargin,
+    // same scoring expression as q_ann_topk over the full corpus,
+    // mutuality via the reversed-edge self-join of the k*n edge table
+    "q_knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_dot_product(q.emb, c.emb)
+        |     / sqrt(list_dot_product(q.emb, q.emb))
+        |     / sqrt(list_dot_product(c.emb, c.emb)) AS cos_sim
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored),
+        |t AS (SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 5)
+        |SELECT t.query_id, t.neighbor_id, t.rnk, t.cos_sim,
+        | COALESCE(m.mutual, FALSE) AS mutual
+        |FROM t LEFT JOIN (SELECT neighbor_id AS query_id,
+        |   query_id AS neighbor_id, TRUE AS mutual FROM t) m
+        |  ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id""".stripMargin,
     // engine-portable round-half-up (floor(x+0.5)) — builtin round()
     // tie behavior differs across engines; digests stay in exact ints
     "q_embed_quantize" ->

@@ -75,6 +75,29 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** k-nearest-neighbor graph over the whole corpus: every vector's
+    * exact top-k cosine neighbors, plus the `mutual` flag (b is in
+    * a's top-k AND a is in b's) that graph-based clustering and
+    * near-dup community detection key on — mutual edges are the
+    * high-precision subset of the kNN edge set.
+    *
+    * The scoring pass is [[bruteForceTopK]] with the corpus on both
+    * sides (queries broadcast; only k rows per vector survive the
+    * heap), so this is the exact baseline: O(n^2) scores but O(n*k)
+    * shuffle. At 100 TB replace the scorer with [[ivfSearch]] over a
+    * [[fitIvf]] model (same output shape) — the mutuality join below
+    * is unchanged and only ever sees the n*k edge table.
+    */
+  def knnGraph(corpus: DataFrame, k: Int): DataFrame = {
+    val edges = bruteForceTopK(corpus, corpus, k)
+    val reversed = edges.select(
+      col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"),
+      lit(true).as("mutual"))
+    edges.join(reversed, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"),
+        coalesce(col("mutual"), lit(false)).as("mutual"))
+  }
+
   /** Random-hyperplane sign sketch: `bits` pseudo-hyperplanes with
     * deterministic ±1 coefficients; native expression
     * (graft.functions.LshBucket) with a precomputed sign matrix.

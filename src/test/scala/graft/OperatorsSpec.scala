@@ -282,6 +282,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(banded.exceptAll(exact).isEmpty, "banded LSH produced false pairs")
   }
 
+  test("knn graph: k edges per vector, mutual flag matches the edge set") {
+    val g = ann.Ann.knnGraph(Tables.embeddings(spark, sf), 3).collect()
+    val perQuery = g.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.values.forall(_ == 3), "every vector has exactly k edges")
+    val edgeSet = g.map(r => (r.getLong(0), r.getLong(1))).toSet
+    g.foreach { r =>
+      val expected = edgeSet.contains((r.getLong(1), r.getLong(0)))
+      assert(r.getBoolean(4) == expected,
+        s"mutual flag diverges from the reversed edge set: $r")
+    }
+    assert(g.exists(_.getBoolean(4)), "some mutual edges exist in a real corpus")
+  }
+
   test("top-k heap treats NaN as largest (matches window desc ordering)") {
     val buf = new functions.TopKBuffer(2)
     buf.add(0.5, 1L); buf.add(Double.NaN, 2L); buf.add(0.9, 3L)
