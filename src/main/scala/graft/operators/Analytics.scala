@@ -431,15 +431,19 @@ object Analytics {
     * dense.
     *
     * One partial-agg pass collapses the feed to the dimension-sized
-    * daily table; the (types x days) grid is built from that table's
-    * own distinct types crossed with a one-row span (both broadcast),
-    * so the raw feed is scanned exactly once at any scale and the
-    * fill join never shuffles the facts.
+    * daily table, which is then MATERIALIZED (localCheckpoint): the
+    * span, the type list, and the fill join are three consumers, and
+    * without materialization each one re-scans the raw feed (Catalyst
+    * prunes each branch to different columns, so no exchange is
+    * reusable — plan-audited). The grid is distinct types x a
+    * broadcast one-row span; the fill join is dimension-sized on both
+    * sides and never shuffles facts.
     */
   def densifyDaily(events: DataFrame): DataFrame = {
     val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint()
     val span = daily.agg(min(col("day")).as("d_min"), max(col("day")).as("d_max"))
     val grid = daily.select(col("event_type")).distinct()
       .crossJoin(broadcast(span))

@@ -280,6 +280,54 @@ class PlanAuditSpec extends AnyFunSuite {
       s"canonical dedup must stay a grouped projection:\n$p")
   }
 
+  test("densify grid broadcasts; the feed is scanned exactly once") {
+    val p = plan("q_densify")
+    // all three consumers (span, types, fill) read the materialized
+    // daily table — zero raw re-scans in the final plan; the one feed
+    // scan happened in the checkpoint job
+    assert(!p.contains("Scan parquet") && p.contains("ExistingRDD"),
+      s"span/types/fill must consume the checkpointed daily table:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"span and grid sides are one-row/dimension-sized — broadcast:\n$p")
+  }
+
+  test("rolling range window consumes the aggregated daily table") {
+    val p = plan("q_rolling_range")
+    assert(p.contains("partial_count"),
+      s"the feed must partial-aggregate before the window:\n$p")
+    assert(!p.contains("Join"), s"a RANGE frame needs no grid join:\n$p")
+  }
+
+  test("histogram quantile cascade aggregates before its window") {
+    val p = plan("q_hist_quantile")
+    assert(p.contains("partial_count"),
+      s"fine histograms partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join"),
+      s"rank landing is a window + filter, never a totals join:\n$p")
+  }
+
+  test("prefix-filter join never plans a cartesian or nested-loop product") {
+    val p = plan("q_dedup_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"candidates must come from prefix postings, not a cross join:\n$p")
+  }
+
+  test("pagerank's final ranks are a checkpointed leaf, not a nested 3-round plan") {
+    val p = plan("q_pagerank")
+    assert(p.contains("Scan ExistingRDD"),
+      s"per-round localCheckpoint should reset ranks to a leaf:\n$p")
+    assert(!p.contains("Join"),
+      s"round plans must not accumulate across iterations:\n$p")
+  }
+
+  test("knn graph: only k rows per vector reach the shuffle (heap finish)") {
+    val p = plan("q_knn_graph")
+    assert(p.contains("top_k") || p.contains("TopK"),
+      s"per-query top-k must be the bounded-heap aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"no global window sort over the n^2 scored set:\n$p")
+  }
+
   test("daily trend windows consume the aggregated table, not the raw feed") {
     val p = plan("q_daily_trend")
     // partial+final agg collapses the feed to types×days BEFORE any
