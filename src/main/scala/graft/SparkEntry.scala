@@ -696,6 +696,26 @@ object SparkEntry {
     // E23: Markov transition matrix of consecutive event types
     "q_event_transitions" -> ((s, dir) =>
       Analytics.transitionMatrix(Tables.events(s, dir))),
+    // B15: per-type OLS volume trend slope — BIGINT moments over
+    // centered integer points, the two double divisions last
+    "q_trend_slope" -> ((s, dir) =>
+      Analytics.trendSlope(Tables.events(s, dir))),
+    // B16: CUSUM change-point day per type (integer statistic scaled
+    // through n; argmax day, earliest on ties)
+    "q_changepoint" -> ((s, dir) =>
+      Analytics.changePoint(Tables.events(s, dir))),
+    // B17: time-weighted average value per (type, day) — lead-gap
+    // holding periods in µs, cents x µs integer sums
+    "q_twap" -> ((s, dir) =>
+      Analytics.twap(Tables.events(s, dir))),
+    // E31: peak concurrent sessions per day — the +1/-1 boundary
+    // sweep with a per-day intra window and a dimension-sized carry
+    "q_concurrency" -> ((s, dir) =>
+      Analytics.sessionConcurrency(
+        Analytics.sessionize(Tables.events(s, dir), 1800L))),
+    // D37: per-source rank-percentile calibration of length scores
+    "q_percent_rank" -> ((s, dir) =>
+      TextOps.percentRankBySource(Tables.documents(s, dir))),
     // E30: fixed-point PageRank (3 damped rounds) over the
     // customer—supplier trading graph — BIGINT arithmetic end to
     // end, so the iteration is bit-reproducible across engines
@@ -1903,6 +1923,98 @@ object SparkEntry {
         | CAST(COALESCE(dau, 0) AS DOUBLE) / wau AS stickiness
         |FROM wau LEFT JOIN dau ON wau.day = dau.day, span
         |WHERE wau.day <= d_max""".stripMargin,
+    // identical BIGINT moments (cents round-half-up, x centered on
+    // the global first day), the same two trailing double divisions
+    "q_trend_slope" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT min(day) AS d0 FROM d),
+        |x AS (SELECT event_type, CAST(datediff('day', d0, day) AS BIGINT) AS x, y
+        |  FROM d, m),
+        |a AS (SELECT event_type, count(*) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy
+        |  FROM x GROUP BY 1)
+        |SELECT event_type, n_days,
+        | CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0 AS slope
+        |FROM a WHERE n_days >= 2""".stripMargin,
+    // the same n-scaled integer CUSUM statistic; earliest day wins
+    // argmax ties in both engines
+    "q_changepoint" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day,
+        |    CAST(ROW_NUMBER() OVER w1 AS BIGINT) AS k,
+        |    CAST(SUM(c) OVER w1 AS BIGINT) AS cum,
+        |    CAST(COUNT(*) OVER w2 AS BIGINT) AS n,
+        |    CAST(SUM(c) OVER w2 AS BIGINT) AS total
+        |  FROM d WINDOW w1 AS (PARTITION BY event_type ORDER BY day),
+        |    w2 AS (PARTITION BY event_type)),
+        |t AS (SELECT event_type, day, n, n * cum - k * total AS stat,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n * cum - k * total) DESC, day) AS rn
+        |  FROM s)
+        |SELECT event_type, day AS cp_day, CAST(stat AS BIGINT) AS cusum_stat,
+        | n AS n_days
+        |FROM t WHERE rn = 1""".stripMargin,
+    // identical lead-gap holding periods (event_id breaks ts ties);
+    // cents x µs sums stay BIGINT, two divisions at the end
+    "q_twap" ->
+      """WITH t AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_c
+        |  FROM events),
+        |g AS (SELECT event_type, day, v_c,
+        |    LEAD(us) OVER (PARTITION BY event_type, day
+        |      ORDER BY us, event_id) - us AS dur_us
+        |  FROM t)
+        |SELECT event_type, day, count(*) AS n_holds,
+        | CAST(CAST(SUM(v_c * dur_us) AS BIGINT) AS DOUBLE)
+        |   / CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE) / 100.0 AS twap
+        |FROM g WHERE dur_us IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // the same sweep over the q_sessionize sessions; peer rows share
+    // one RANGE-frame cumulative in both engines
+    "q_concurrency" ->
+      """WITH t AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |   LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |     (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END AS new_session
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, ts,
+        |   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f),
+        |sess AS (SELECT min(ts) AS session_start, max(ts) AS session_end
+        |  FROM s GROUP BY user_id, session_id),
+        |p AS (SELECT epoch_us(session_start) AS us, CAST(1 AS BIGINT) AS delta
+        |   FROM sess
+        |  UNION ALL
+        |  SELECT epoch_us(session_end) + 1, CAST(-1 AS BIGINT) FROM sess),
+        |q AS (SELECT us, delta, CAST(make_timestamp(us) AS DATE) AS day FROM p),
+        |r AS (SELECT day, us, delta,
+        |    CAST(SUM(delta) OVER (PARTITION BY day ORDER BY us, delta) AS BIGINT) AS run
+        |  FROM q),
+        |c AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS day_total FROM q GROUP BY 1),
+        |cc AS (SELECT day, COALESCE(CAST(SUM(day_total) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |   CAST(0 AS BIGINT)) AS carry FROM c)
+        |SELECT r.day AS day, max(carry + run) AS max_active,
+        | count(*) AS n_points
+        |FROM r JOIN cc ON r.day = cc.day GROUP BY 1""".stripMargin,
+    // (rank-1)/(n-1) over a total order — rational, engine-identical
+    "q_percent_rank" ->
+      """SELECT doc_id, source, n_chars,
+        | PERCENT_RANK() OVER (PARTITION BY source
+        |   ORDER BY n_chars, doc_id) AS pr
+        |FROM documents""".stripMargin,
     // the same three rounds unrolled; // is DuckDB's integer floor
     // division == Spark's div on non-negative ranks, and window-free
     // integer sums cast back from HUGEINT

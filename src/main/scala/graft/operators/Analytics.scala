@@ -422,6 +422,125 @@ object Analytics {
         percentile(col("gap_us"), lit(0.95)).as("p95_gap_us"))
   }
 
+  /** Per-type volume trend slope: ordinary least squares of the daily
+    * value total against the day index — "is this feed growing or
+    * decaying, and how fast". Engine-exact regression: `regr_slope`
+    * is float math and drifts across engines, so the moments are
+    * BIGINT sums of integer points — value in round-half-up cents, x
+    * centered on the global first day (centering keeps n*Sxy inside
+    * 64 bits at any feed scale; uncentered epoch-days overflow) — and
+    * the classic closed form (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) does
+    * its two double casts and divisions LAST. Groups with one day
+    * are dropped (undefined slope, zero denominator).
+    */
+  def trendSlope(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("y"))
+      .localCheckpoint() // span + moments both consume it: one feed scan
+    val firstDay = daily.agg(min(col("day")).as("d0"))
+    daily.crossJoin(broadcast(firstDay))
+      .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n_days") >= 2)
+      .select(col("event_type"), col("n_days"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          100.0).as("slope"))
+  }
+
+  /** CUSUM-style change-point locator per type: the day where the
+    * cumulative daily count deviates most from the uniform ramp —
+    * where a level shift happened. The statistic is kept integer by
+    * scaling through n (n*cum_k - k*total instead of cum_k - k*mean),
+    * so the argmax is bit-deterministic; ties break to the earliest
+    * day. Windows consume the dimension-sized daily table only.
+    */
+  def changePoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val ordered = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val whole = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("k", row_number().over(ordered).cast("long"))
+      .withColumn("cum", sum(col("c")).over(ordered))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("total", sum(col("c")).over(whole))
+      .withColumn("stat", col("n") * col("cum") - col("k") * col("total"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("stat")).desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("stat").as("cusum_stat"), col("n").as("n_days"))
+  }
+
+  /** Time-weighted average value per (type, day): each observation
+    * weighted by how long it was the latest one (lead-gap in µs, last
+    * observation of the day excluded — its holding period is open).
+    * The fair daily average for irregularly-sampled feeds, where the
+    * arithmetic mean over-weights bursts. Integer-exact: cents x µs
+    * products are bounded by max_value * day_length regardless of row
+    * count, the sums are BIGINT, and the two divisions happen once at
+    * the end. The lead window is bounded by one day of one type.
+    */
+  def twap(events: DataFrame): DataFrame = {
+    val keyed = events.select(col("event_type"), to_date(col("ts")).as("day"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      floor(col("value") * 100.0 + 0.5).cast("long").as("v_c"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    keyed
+      .withColumn("dur_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_holds"),
+        sum(col("v_c") * col("dur_us")).as("vw"),
+        sum(col("dur_us")).as("w"))
+      .select(col("event_type"), col("day"), col("n_holds"),
+        (col("vw").cast("double") / col("w").cast("double") / 100.0).as("twap"))
+  }
+
+  /** Concurrent-session sweep: how many sessions were active at once,
+    * maxed per day — the capacity-planning number behind "size for
+    * peak, bill for average". Classic +1/-1 boundary sweep with an
+    * end-exclusive -1 at end+1µs, made scalable by TWO cumulative
+    * levels: the intra-day running sum partitions by day (bounded
+    * windows), and the cross-day carry is a cumulative total over the
+    * dimension-sized per-day table (the Pareto precedent: an
+    * unpartitioned window is safe on dimension-sized input). Peer
+    * rows (same µs, same sign) share one cumulative value under the
+    * default RANGE frame in Spark AND DuckDB, so the per-day max is
+    * engine-deterministic without a full tiebreak.
+    */
+  def sessionConcurrency(sessions: DataFrame): DataFrame = {
+    val pts = sessions
+      .select(unix_micros(col("session_start")).as("us"), lit(1L).as("delta"))
+      .unionByName(sessions
+        .select((unix_micros(col("session_end")) + 1L).as("us"), lit(-1L).as("delta")))
+      .withColumn("day", to_date(timestamp_micros(col("us"))))
+      // the sweep and the carry both consume the boundary points;
+      // materialize so the (windowed) session build runs once
+      .localCheckpoint()
+    val intra = Window.partitionBy(col("day")).orderBy(col("us"), col("delta"))
+    val swept = pts.withColumn("run", sum(col("delta")).over(intra))
+    val carry = pts.groupBy(col("day")).agg(sum(col("delta")).as("day_total"))
+      .withColumn("carry",
+        coalesce(sum(col("day_total")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("day"), col("carry"))
+    swept.join(broadcast(carry), "day")
+      .groupBy(col("day"))
+      .agg(max(col("carry") + col("run")).as("max_active"),
+        count(lit(1)).as("n_points"))
+  }
+
   /** Calendar densification: the per-(type, day) daily counts with
     * every missing cell filled in as an explicit zero row, across the
     * feed's global [min day, max day] span. A silent day is the most

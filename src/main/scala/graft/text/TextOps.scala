@@ -400,6 +400,24 @@ object TextOps {
       .select(col("doc_id"), col("n_words"))
   }
 
+  /** Per-source rank-percentile calibration: each document's length
+    * score mapped to its percentile WITHIN its source — the
+    * cross-source normalization a mixture sampler needs, because "top
+    * 30% of crawl A" and "top 30% of curated B" are comparable where
+    * raw scores are not. percent_rank over a TOTAL order (doc_id
+    * breaks score ties) is the rational (rank-1)/(n-1), identical in
+    * every engine — no float score distribution assumptions. One
+    * shuffle on source; at 100 TB pre-bucket by source and the sort
+    * is partition-local.
+    */
+  def percentRankBySource(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))))
+  }
+
   /** Text canonicalization: lowercase, non-alphanumerics to spaces,
     * whitespace collapsed, ends trimmed — the normalization pass that
     * runs BEFORE hashing so that trivially-reformatted copies (case,

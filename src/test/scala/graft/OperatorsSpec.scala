@@ -155,6 +155,65 @@ class OperatorsSpec extends AnyFunSuite {
       s"the J=0.6 pair must survive at t=0.6: ${got.mkString}")
   }
 
+  test("trend slope recovers an exact linear ramp") {
+    import spark.implicits._
+    // value total: 1.00, 3.50, 6.00 over consecutive days -> slope 2.5/day
+    val ev = Seq(
+      ("a", "2024-01-01 10:00:00", 1.00),
+      ("a", "2024-01-02 10:00:00", 3.50),
+      ("a", "2024-01-03 10:00:00", 6.00))
+      .toDF("event_type", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = operators.Analytics.trendSlope(ev).collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 2.5, got.mkString)
+  }
+
+  test("changepoint lands on the last day before a level shift") {
+    import spark.implicits._
+    // daily counts 5,5,5,20,20: |n*cum - k*total| peaks at k=3
+    val rows = Seq(1 -> 5, 2 -> 5, 3 -> 5, 4 -> 20, 5 -> 20).flatMap {
+      case (d, c) => (1 to c).map(i => ("a", f"2024-01-0$d%d 10:00:${i}%02d"))
+    }
+    val ev = rows.toDF("event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = operators.Analytics.changePoint(ev).collect()
+    assert(got.length == 1 && got.head.getDate(1).toString == "2024-01-03",
+      got.mkString)
+  }
+
+  test("twap weights each value by its holding period") {
+    import spark.implicits._
+    // 100.00 held 10s, then 200.00 held 30s (last obs open, excluded):
+    // twap = (100*10 + 200*30) / 40 = 175
+    val ev = Seq(
+      (1L, "a", "2024-01-01 00:00:00", 100.00),
+      (2L, "a", "2024-01-01 00:00:10", 200.00),
+      (3L, "a", "2024-01-01 00:00:40", 999.99))
+      .toDF("event_id", "event_type", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = operators.Analytics.twap(ev).collect()
+    assert(got.length == 1 && got.head.getAs[Double]("twap") == 175.0,
+      got.mkString)
+  }
+
+  test("session concurrency counts overlaps and carries across midnight") {
+    import spark.implicits._
+    val sessions = Seq(
+      // A spans midnight into day 2; B overlaps A on day 2
+      ("2024-01-01 23:00:00", "2024-01-02 01:00:00"),
+      ("2024-01-02 00:30:00", "2024-01-02 02:00:00"),
+      // C alone later on day 2
+      ("2024-01-02 10:00:00", "2024-01-02 11:00:00"))
+      .toDF("session_start", "session_end")
+      .withColumn("session_start", col("session_start").cast("timestamp"))
+      .withColumn("session_end", col("session_end").cast("timestamp"))
+    val got = operators.Analytics.sessionConcurrency(sessions)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got("2024-01-01") == 1L, s"day 1 has A alone: $got")
+    assert(got("2024-01-02") == 2L,
+      s"day 2 peaks at A+B even though A started on day 1: $got")
+  }
+
   test("fixed-point pagerank: star center dominates, symmetric leaves tie") {
     import spark.implicits._
     val star = Seq(("x", "a"), ("x", "b"), ("x", "c"))
