@@ -328,6 +328,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no global window sort over the n^2 scored set:\n$p")
   }
 
+  test("trend slope: moments aggregate a checkpointed daily table, span broadcasts") {
+    val p = plan("q_trend_slope")
+    assert(!p.contains("Scan parquet") && p.contains("ExistingRDD"),
+      s"daily table must be materialized once, not re-scanned per consumer:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row first-day span must broadcast:\n$p")
+  }
+
+  test("changepoint windows consume the aggregated daily table") {
+    val p = plan("q_changepoint")
+    assert(p.contains("partial_count"),
+      s"the feed partial-aggregates before any window:\n$p")
+    assert(!p.contains("Join"), s"the statistic is window-only, no totals join:\n$p")
+  }
+
+  test("twap's lead window runs on the scan, aggregation partial-combines") {
+    val p = plan("q_twap")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-(type, day) sums must map-side combine after the window:\n$p")
+    assert(!p.contains("Join"), s"holding periods need no join:\n$p")
+  }
+
+  test("concurrency carry broadcasts; the sweep input is checkpointed") {
+    val p = plan("q_concurrency")
+    assert(p.contains("ExistingRDD"),
+      s"the boundary points must materialize once for sweep + carry:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the dimension-sized carry joins back as a broadcast:\n$p")
+  }
+
+  test("percent rank sorts within source partitions only") {
+    val p = plan("q_percent_rank")
+    assert(!p.contains("Exchange SinglePartition") &&
+      p.contains("hashpartitioning(source"),
+      s"the rank window must partition by source, never globally:\n$p")
+  }
+
   test("daily trend windows consume the aggregated table, not the raw feed") {
     val p = plan("q_daily_trend")
     // partial+final agg collapses the feed to types×days BEFORE any
