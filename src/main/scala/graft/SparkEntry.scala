@@ -339,6 +339,11 @@ object SparkEntry {
     // substrate; scored brute-force here, ivfSearch at scale
     "q_knn_graph" -> ((s, dir) =>
       Ann.knnGraph(Tables.embeddings(s, dir), 5)),
+    // D35b: the scale path — IVF cells with a SHUFFLE probe join
+    // (corpus-as-queries must not broadcast); rows-only by design
+    // (approximate recall), pinned by a recall spec vs the exact graph
+    "q_knn_graph_ivf" -> ((s, dir) =>
+      Ann.knnGraphIvf(Tables.embeddings(s, dir), 5, 16, 6, refineIters = 2)),
     // D26: int8 embedding quantization, graded through exact integer
     // digests of the quantized vectors (sum, sum of squares)
     "q_embed_quantize" -> ((s, dir) =>

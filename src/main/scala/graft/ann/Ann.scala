@@ -98,6 +98,49 @@ object Ann {
         coalesce(col("mutual"), lit(false)).as("mutual"))
   }
 
+  /** The 100 TB kNN graph: same output shape as [[knnGraph]], but the
+    * scorer is IVF with the probe side as a SHUFFLE equi-join on the
+    * cell id — [[ivfSearch]] broadcasts its queries, which is right
+    * for a query batch and wrong when the queries ARE the corpus.
+    * Both sides partition by cell_id, so each cell's scoring is local
+    * and the scored row count is sum over probed cells of
+    * |cell| * |probers| instead of n^2. Approximate: a neighbor in an
+    * unprobed cell is missed (recall pinned by spec vs [[knnGraph]]);
+    * the mutuality join is identical — it only ever sees the n*k
+    * edge table.
+    */
+  def knnGraphIvf(corpus: DataFrame, k: Int, nCells: Int, nprobe: Int,
+                  refineIters: Int = 0): DataFrame = {
+    val model = fitIvf(corpus, nCells, refineIters)
+    if (model.isEmpty) {
+      import corpus.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Int, Double, Boolean)]
+        .toDF("query_id", "neighbor_id", "rnk", "cos_sim", "mutual")
+    }
+    val centLit = centroidLiteral(model.centroids)
+    val cells = corpus.select(
+      col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("c_norm"),
+      element_at(rankedCells(centLit, col("embedding")), 1)
+        .getField("cell_id").as("cell_id"))
+    val probes = corpus.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"),
+      explode(transform(slice(rankedCells(centLit, col("embedding")), 1, nprobe),
+        r => r.getField("cell_id"))).as("cell_id"))
+    val scored = cells.join(probes.hint("shuffle_hash"), Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) / col("q_norm") / col("c_norm")).as("cos_sim"))
+    val edges = topKPerQuery(scored, k)
+    val reversed = edges.select(
+      col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"),
+      lit(true).as("mutual"))
+    edges.join(reversed, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"),
+        coalesce(col("mutual"), lit(false)).as("mutual"))
+  }
+
   /** Random-hyperplane sign sketch: `bits` pseudo-hyperplanes with
     * deterministic ±1 coefficients; native expression
     * (graft.functions.LshBucket) with a precomputed sign matrix.

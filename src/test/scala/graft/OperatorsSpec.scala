@@ -354,6 +354,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g.exists(_.getBoolean(4)), "some mutual edges exist in a real corpus")
   }
 
+  test("ivf knn graph holds recall vs the exact graph, plan never broadcasts probes") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = ann.Ann.knnGraph(emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = ann.Ann.knnGraphIvf(emb, 5, 16, 6, refineIters = 2)
+    val approx = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"nprobe=6/16 recall collapsed: $recall")
+    val p = ivf.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"corpus-as-queries must shuffle on cell_id, not broadcast:\n$p")
+  }
+
   test("top-k heap treats NaN as largest (matches window desc ordering)") {
     val buf = new functions.TopKBuffer(2)
     buf.add(0.5, 1L); buf.add(Double.NaN, 2L); buf.add(0.9, 3L)
