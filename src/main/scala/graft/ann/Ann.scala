@@ -88,8 +88,21 @@ object Ann {
     * [[fitIvf]] model (same output shape) — the mutuality join below
     * is unchanged and only ever sees the n*k edge table.
     */
-  def knnGraph(corpus: DataFrame, k: Int): DataFrame = {
-    val edges = bruteForceTopK(corpus, corpus, k)
+  def knnGraph(corpus: DataFrame, k: Int): DataFrame =
+    mutualFlags(bruteForceTopK(corpus, corpus, k))
+
+  /** Left-join an edge table against its own reversal to flag mutual
+    * edges. The self-join would otherwise recompute the entire edge
+    * derivation (the expensive scoring pass) twice — Spark's
+    * ReuseExchange misses it because the two branches project
+    * different columns above the heap aggregate — so the n*k edge
+    * table is localCheckpoint'ed first: scored once, both join inputs
+    * read the materialized blocks. (Cluster-durable variant:
+    * `checkpoint()` to reliable storage; executor loss then replays
+    * from the checkpoint instead of the scorer.)
+    */
+  private def mutualFlags(edgeTable: DataFrame): DataFrame = {
+    val edges = edgeTable.localCheckpoint()
     val reversed = edges.select(
       col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"),
       lit(true).as("mutual"))
@@ -110,13 +123,24 @@ object Ann {
     * edge table.
     */
   def knnGraphIvf(corpus: DataFrame, k: Int, nCells: Int, nprobe: Int,
-                  refineIters: Int = 0): DataFrame = {
+                  refineIters: Int = 0): DataFrame =
+    knnGraphIvfEdges(corpus, k, nCells, nprobe, refineIters)
+      .map(mutualFlags)
+      .getOrElse {
+        import corpus.sparkSession.implicits._
+        Seq.empty[(Long, Long, Int, Double, Boolean)]
+          .toDF("query_id", "neighbor_id", "rnk", "cos_sim", "mutual")
+      }
+
+  /** The pre-mutuality IVF edge table (None on an empty corpus),
+    * exposed so specs can audit the probe-join physical plan before
+    * [[mutualFlags]]'s localCheckpoint truncates the lineage.
+    */
+  private[graft] def knnGraphIvfEdges(
+      corpus: DataFrame, k: Int, nCells: Int, nprobe: Int,
+      refineIters: Int): Option[DataFrame] = {
     val model = fitIvf(corpus, nCells, refineIters)
-    if (model.isEmpty) {
-      import corpus.sparkSession.implicits._
-      return Seq.empty[(Long, Long, Int, Double, Boolean)]
-        .toDF("query_id", "neighbor_id", "rnk", "cos_sim", "mutual")
-    }
+    if (model.isEmpty) return None
     val centLit = centroidLiteral(model.centroids)
     val cells = corpus.select(
       col("vec_id"), col("embedding"),
@@ -132,13 +156,7 @@ object Ann {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("q_emb"), col("embedding")) / col("q_norm") / col("c_norm")).as("cos_sim"))
-    val edges = topKPerQuery(scored, k)
-    val reversed = edges.select(
-      col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"),
-      lit(true).as("mutual"))
-    edges.join(reversed, Seq("query_id", "neighbor_id"), "left")
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("cos_sim"),
-        coalesce(col("mutual"), lit(false)).as("mutual"))
+    Some(topKPerQuery(scored, k))
   }
 
   /** Random-hyperplane sign sketch: `bits` pseudo-hyperplanes with

@@ -362,9 +362,13 @@ class OperatorsSpec extends AnyFunSuite {
     val approx = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.6, s"nprobe=6/16 recall collapsed: $recall")
-    val p = ivf.queryExecution.executedPlan.toString
-    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+    // audit the probe join BEFORE mutualFlags' localCheckpoint hides it
+    val edges = ann.Ann.knnGraphIvfEdges(emb, 5, 16, 6, 2).get
+    val p = edges.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
       s"corpus-as-queries must shuffle on cell_id, not broadcast:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"probe side must never broadcast:\n$p")
   }
 
   test("top-k heap treats NaN as largest (matches window desc ordering)") {
