@@ -728,6 +728,20 @@ object SparkEntry {
       Graph.pageRank(
         Graph.tradingEdges(Tables.lineitem(s, dir), Tables.orders(s, dir)),
         3)),
+    // E32: per-node triangle count + clustering coefficient over the
+    // co-supplier graph (>= 30 common orders) — degree-ordered
+    // compact-forward, O(m^1.5) wedges, one double division
+    "q_triangles" -> ((s, dir) =>
+      Graph.triangleStats(
+        Graph.coSupplierEdges(Tables.lineitem(s, dir), 30L))),
+    // E33: value-distribution drift per event type, first half of the
+    // month vs the rest — exact-integer total-variation distance
+    "q_drift" -> ((s, dir) =>
+      Analytics.histogramDrift(Tables.events(s, dir), 15, 0.0, 0.5, 20)),
+    // D39: pairwise cosine between label-group centroids — the
+    // source-vs-source embedding-distribution proximity matrix
+    "q_source_similarity" -> ((s, dir) =>
+      Ann.centroidSimilarity(Tables.embeddings(s, dir), "label")),
     // E25: rolling active users (DAU / trailing-7-day WAU)
     "q_active_users" -> ((s, dir) =>
       Analytics.rollingActiveUsers(Tables.events(s, dir), 7)),
@@ -2050,6 +2064,64 @@ object SparkEntry {
         |SELECT n.node AS node,
         | CAST(150000000000 + (85 * COALESCE(in_sum, 0)) // 100 AS BIGINT) AS rank
         |FROM n LEFT JOIN c3 ON n.node = c3.node""".stripMargin,
+    // plain 3-way-join triangle enumeration (a<b<c) — the naive form
+    // the compact-forward plan must agree with exactly
+    "q_triangles" ->
+      """WITH supps AS (SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM supps a JOIN supps b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 30),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT s1 AS node FROM pairs UNION ALL SELECT s2 AS node FROM pairs)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.s1 AS u, e1.s2 AS v, e2.s2 AS w
+        |  FROM pairs e1 JOIN pairs e2 ON e1.s2 = e2.s1
+        |  JOIN pairs e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+        |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |  SELECT u AS node FROM tri UNION ALL SELECT v AS node FROM tri
+        |  UNION ALL SELECT w AS node FROM tri) GROUP BY 1)
+        |SELECT d.node, d.deg, COALESCE(tn.triangles, 0) AS triangles,
+        | CASE WHEN d.deg >= 2
+        |  THEN CAST(2 * COALESCE(tn.triangles, 0) AS DOUBLE)
+        |    / (d.deg * (d.deg - 1))
+        |  ELSE 0.0 END AS clustering
+        |FROM deg d LEFT JOIN tn ON d.node = tn.node""".stripMargin,
+    // exact-integer TV distance: |c_a*n_b - c_b*n_a| over the common
+    // denominator, one double division at the end
+    "q_drift" ->
+      """WITH e AS (SELECT event_type,
+        |   day(CAST(ts AS TIMESTAMP)) <= 15 AS in_a,
+        |   GREATEST(0, LEAST(19, CAST(FLOOR((value - 0.0) / 0.5) AS INT))) AS bucket
+        | FROM events),
+        |b AS (SELECT event_type, bucket,
+        |   CAST(count(*) FILTER (WHERE in_a) AS BIGINT) AS c_a,
+        |   CAST(count(*) FILTER (WHERE NOT in_a) AS BIGINT) AS c_b
+        | FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c_a) AS BIGINT) AS n_a,
+        |   CAST(sum(c_b) AS BIGINT) AS n_b FROM b GROUP BY 1)
+        |SELECT b.event_type, t.n_a, t.n_b,
+        | CAST(CAST(sum(abs(c_a * t.n_b - c_b * t.n_a)) AS BIGINT) AS DOUBLE)
+        |   / (2 * t.n_a * t.n_b) AS tv_distance
+        |FROM b JOIN t ON b.event_type = t.event_type
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // centroids exactly as q_embed_centroids, re-assembled into
+    // pos-ordered lists so list_dot_product accumulates in the same
+    // left-to-right order as the engine's sequential loop
+    "q_source_similarity" ->
+      """WITH m AS (
+        |  SELECT label, i - 1 AS pos,
+        |   CAST(CAST(sum(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+        |     AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / count(*) AS mean_v
+        |  FROM embeddings, range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |v AS (SELECT label, list(mean_v ORDER BY pos) AS cvec FROM m GROUP BY 1)
+        |SELECT a.label AS group_a, b.label AS group_b,
+        | list_dot_product(a.cvec, b.cvec)
+        |   / sqrt(list_dot_product(a.cvec, a.cvec))
+        |   / sqrt(list_dot_product(b.cvec, b.cvec)) AS cos_sim
+        |FROM v a JOIN v b ON a.label < b.label""".stripMargin,
     // event_id breaks ts ties, so the lag sequence is deterministic
     "q_event_transitions" ->
       """WITH s AS (SELECT event_type, LAG(event_type, 1) OVER

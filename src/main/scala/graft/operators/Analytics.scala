@@ -367,6 +367,43 @@ object Analytics {
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
 
+  /** Distribution drift per event type between two calendar periods
+    * (days 1..`splitDay` vs the rest of the month): total-variation
+    * distance between the periods' fixed-width value histograms,
+    * TV = Σ|c_a/n_a − c_b/n_b| / 2 — the fraction of probability
+    * mass that moved, 0 = identical, 1 = disjoint. Monitoring
+    * feeds for schema-invisible content drift is the standard use.
+    *
+    * Arithmetic design: each |·| term is the exact integer
+    * |c_a·n_b − c_b·n_a| over the common denominator, so the whole
+    * statistic is ONE integer sum and ONE double division — grades
+    * bit-exact with no transcendentals (KL/PSI need ln, and ln
+    * rounds differently across math libraries). Headroom contract
+    * like pageRank's: n_a·n_b·2 must fit a long — at larger-than-
+    * 3e9-row periods, pre-divide counts or widen to decimal.
+    * Plan: histogram bucketing in the scan projection, one map-side-
+    * combined (type, bucket) aggregation; everything after is
+    * dimension-sized (types × buckets), joined back broadcast.
+    */
+  def histogramDrift(events: DataFrame, splitDay: Int,
+                     lo: Double, width: Double, nBuckets: Int): DataFrame = {
+    val buckets = events.select(col("event_type"),
+        (dayofmonth(col("ts")) <= splitDay).as("in_a"),
+        greatest(lit(0), least(lit(nBuckets - 1),
+          floor((col("value") - lo) / width).cast("int"))).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b"))
+    val totals = buckets.groupBy(col("event_type"))
+      .agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    buckets.join(broadcast(totals), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(abs(col("c_a") * col("n_b") - col("c_b") * col("n_a"))).as("num"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        (col("num").cast("double") / (col("n_a") * col("n_b") * 2L)).as("tv_distance"))
+  }
+
   /** Percentile stratification: each document's word count maps to
     * its corpus decile (0–9) against the nine exact interpolated
     * decile thresholds, then the report collapses to ten rows. The

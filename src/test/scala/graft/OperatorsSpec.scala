@@ -371,6 +371,64 @@ class OperatorsSpec extends AnyFunSuite {
       s"probe side must never broadcast:\n$p")
   }
 
+  test("triangle stats: K4 is all-triangles, a path has none, tie-degrees safe") {
+    import spark.implicits._
+    // K4: every node deg 3, participates in C(3,2)=3 triangles, coeff 1.0
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s1", "s2")
+    val got = operators.Graph.triangleStats(k4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == 4 && got.values.forall(_ == ((3L, 3L, 1.0))), got.toString)
+    // path 1-2-3: middle node deg 2 but zero triangles
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s1", "s2")
+    val p = operators.Graph.triangleStats(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(p == Map(1L -> 0L, 2L -> 0L, 3L -> 0L), p.toString)
+  }
+
+  test("compact-forward triangles equal the naive 3-way join on real edges") {
+    val edges = operators.Graph.coSupplierEdges(Tables.lineitem(spark, sf), 30L)
+      .localCheckpoint()
+    val naive = edges.as("e1")
+      .join(edges.as("e2"), col("e1.s2") === col("e2.s1"))
+      .join(edges.as("e3"),
+        col("e3.s1") === col("e1.s1") && col("e3.s2") === col("e2.s2"))
+      .select(explode(array(col("e1.s1"), col("e1.s2"), col("e2.s2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val fast = operators.Graph.triangleStats(edges).select("node", "triangles")
+      .filter(col("triangles") > 0)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("centroid similarity: identical groups score 1, opposite score -1") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.0f, 1.0f), "a"),
+      (3L, Array(1.0f, 0.0f), "b"), (4L, Array(0.0f, 1.0f), "b"),
+      (5L, Array(-1.0f, 0.0f), "c"), (6L, Array(0.0f, -1.0f), "c"))
+      .toDF("vec_id", "embedding", "label")
+    val got = ann.Ann.centroidSimilarity(emb, "label").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(got(("a", "b")) - 1.0) < 1e-12, got.toString)
+    assert(math.abs(got(("a", "c")) + 1.0) < 1e-12, got.toString)
+  }
+
+  test("histogram drift: identical halves give 0, disjoint halves give 1") {
+    import spark.implicits._
+    def ev(day: Int, v: Double, n: Int) = (1 to n).map(i =>
+      (s"t", java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:$i%02d"), v))
+    // same histogram both halves -> TV 0
+    val same = (ev(3, 1.0, 4) ++ ev(20, 1.0, 8)).toDF("event_type", "ts", "value")
+    val tv0 = operators.Analytics.histogramDrift(same, 15, 0.0, 0.5, 20)
+      .collect().head.getDouble(3)
+    assert(tv0 == 0.0)
+    // disjoint value ranges -> TV 1
+    val moved = (ev(3, 1.0, 4) ++ ev(20, 9.0, 8)).toDF("event_type", "ts", "value")
+    val tv1 = operators.Analytics.histogramDrift(moved, 15, 0.0, 0.5, 20)
+      .collect().head.getDouble(3)
+    assert(tv1 == 1.0)
+  }
+
   test("top-k heap treats NaN as largest (matches window desc ordering)") {
     val buf = new functions.TopKBuffer(2)
     buf.add(0.5, 1L); buf.add(Double.NaN, 2L); buf.add(0.9, 3L)
