@@ -734,6 +734,11 @@ object SparkEntry {
     "q_triangles" -> ((s, dir) =>
       Graph.triangleStats(
         Graph.coSupplierEdges(Tables.lineitem(s, dir), 30L))),
+    // E34: 6-core of the co-supplier graph — 5 synchronous peeling
+    // rounds (fixpoint at 4 on this graph, +1 margin spec-proved)
+    "q_kcore" -> ((s, dir) =>
+      Graph.kCore(
+        Graph.coSupplierEdges(Tables.lineitem(s, dir), 30L), 6, 5)),
     // E33: value-distribution drift per event type, first half of the
     // month vs the rest — exact-integer total-variation distance
     "q_drift" -> ((s, dir) =>
@@ -2096,6 +2101,35 @@ object SparkEntry {
         |    / (d.deg * (d.deg - 1))
         |  ELSE 0.0 END AS clustering
         |FROM deg d LEFT JOIN tn ON d.node = tn.node""".stripMargin,
+    // the same 5 peeling rounds unrolled, like q_pagerank's form
+    "q_kcore" ->
+      """WITH supps AS (SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM supps a JOIN supps b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 30),
+        |e AS (SELECT s1 AS src, s2 AS dst FROM pairs
+        |      UNION ALL SELECT s2, s1 FROM pairs),
+        |a0 AS (SELECT DISTINCT src AS node FROM e),
+        |a1 AS (SELECT src AS node FROM e
+        |  JOIN a0 x ON e.src = x.node JOIN a0 y ON e.dst = y.node
+        |  GROUP BY 1 HAVING count(*) >= 6),
+        |a2 AS (SELECT src AS node FROM e
+        |  JOIN a1 x ON e.src = x.node JOIN a1 y ON e.dst = y.node
+        |  GROUP BY 1 HAVING count(*) >= 6),
+        |a3 AS (SELECT src AS node FROM e
+        |  JOIN a2 x ON e.src = x.node JOIN a2 y ON e.dst = y.node
+        |  GROUP BY 1 HAVING count(*) >= 6),
+        |a4 AS (SELECT src AS node FROM e
+        |  JOIN a3 x ON e.src = x.node JOIN a3 y ON e.dst = y.node
+        |  GROUP BY 1 HAVING count(*) >= 6),
+        |a5 AS (SELECT src AS node FROM e
+        |  JOIN a4 x ON e.src = x.node JOIN a4 y ON e.dst = y.node
+        |  GROUP BY 1 HAVING count(*) >= 6)
+        |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+        |FROM e JOIN a5 x ON e.src = x.node JOIN a5 y ON e.dst = y.node
+        |GROUP BY 1""".stripMargin,
     // exact-integer TV distance: |c_a*n_b - c_b*n_a| over the common
     // denominator, one double division at the end
     "q_drift" ->

