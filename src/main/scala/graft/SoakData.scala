@@ -46,6 +46,7 @@ object SoakData {
     writeDocuments(spark, srcDir, outDir, mult)
     writeEmbeddings(spark, srcDir, outDir, mult)
     writeEvents(spark, srcDir, outDir, mult)
+    writeFacts(spark, srcDir, outDir, mult)
     spark.stop()
   }
 
@@ -95,10 +96,44 @@ object SoakData {
     out.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** Orders + lineitem scaled for the graph-family soak: every key
+    * space (order, customer, supplier, part) shifts into a fresh range
+    * per replica, so the co-supplier / trading graphs become `mult`
+    * disconnected copies of the original — expected work grows exactly
+    * linearly, which is the honest reference line for judging whether
+    * the pageRank/kCore/triangle PLANS scale linearly too.
+    */
+  private def writeFacts(spark: SparkSession, srcDir: String,
+                         outDir: String, mult: Int): Unit = {
+    val li = Tables.lineitem(spark, srcDir)
+    val ord = Tables.orders(spark, srcDir)
+    val Array(maxOrder, maxCust) = ord.agg(max("o_orderkey"), max("o_custkey"))
+      .head.toSeq.map(_.asInstanceOf[Long] + 1).toArray
+    val Array(maxSupp, maxPart) = li.agg(max("l_suppkey"), max("l_partkey"))
+      .head.toSeq.map(_.asInstanceOf[Long] + 1).toArray
+    replicas(ord, mult)
+      .select(
+        (col("o_orderkey") + col("r") * maxOrder).as("o_orderkey"),
+        (col("o_custkey") + col("r") * maxCust).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    replicas(li, mult)
+      .select(
+        (col("l_orderkey") + col("r") * maxOrder).as("l_orderkey"),
+        (col("l_partkey") + col("r") * maxPart).as("l_partkey"),
+        (col("l_suppkey") + col("r") * maxSupp).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+  }
+
   private def writeEvents(spark: SparkSession, srcDir: String,
                           outDir: String, mult: Int): Unit = {
-    // keep ts as the raw nanos long the driver files carry, so
-    // Tables.eventsRaw reads soak output exactly like driver output
+    // keep ts in whatever encoding the driver files carry (raw nanos
+    // long or timestamp), so Tables.eventsRaw reads soak output
+    // exactly like driver output
     val ev = Tables.eventsRaw(spark, srcDir)
     val Array(maxE, maxU) = ev.agg(max("event_id"), max("user_id"))
       .head.toSeq.map(_.asInstanceOf[Long] + 1).toArray

@@ -81,13 +81,14 @@ object SparkEntry {
     // B4: cfg/dimension extraction
     "q_cfg_extract" -> ((s, dir) =>
       Maintenance.cfgExtract(Tables.events(s, dir))),
-    // B5: thinout / retention — the cutoff filters the *raw* nanos
-    // column so it pushes down to the parquet scan (PushedFilters);
-    // on a date-partitioned table this becomes partition pruning
+    // B5: thinout / retention — the cutoff filters the *raw* on-disk
+    // ts column (nanos long or timestamp) so it pushes down to the
+    // parquet scan (PushedFilters); on a date-partitioned table this
+    // becomes partition pruning
     "q_thinout" -> ((s, dir) => {
-      val cutoffNs = java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000000L
-      Tables.normalizeEventTs(
-          Maintenance.thinout(Tables.eventsRaw(s, dir), "ts", lit(cutoffNs)))
+      val raw = Tables.eventsRaw(s, dir)
+      val cutoff = Tables.eventTsLiteral(raw, "2024-01-15T00:00:00Z")
+      Tables.normalizeEventTs(Maintenance.thinout(raw, "ts", cutoff))
         .withColumn("ts", col("ts").cast("timestamp_ntz"))
         .select("event_id", "ts", "user_id", "event_type", "value")
     }),
@@ -431,7 +432,7 @@ object SparkEntry {
     // D15: PII-ish redaction (scrub pass)
     "q_text_redact" -> ((s, dir) =>
       TextOps.redact(Tables.documents(s, dir))),
-    // D11: fingerprint (rows-only oracle)
+    // D11: fingerprint (full oracle: portable mod-p rolling hash)
     "q_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.documents(s, dir))),
     // D12: multimodal plumbing — features projected to scalars so the
@@ -628,7 +629,7 @@ object SparkEntry {
     "q_zorder_key" -> ((s, dir) => {
       val ev = Tables.eventsRaw(s, dir)
       val x = pmod(col("user_id"), lit(4096L))
-      val y = pmod(expr("ts div 3600000000000"), lit(4096L))
+      val y = pmod(Tables.eventHourBucket(ev), lit(4096L))
       ev.select(col("event_id"), x.as("x"), y.as("y"),
         graft.operators.Layout.zorderKey(x, y).as("zkey"))
     }),
@@ -1399,6 +1400,20 @@ object SparkEntry {
         |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
         |FROM t""".stripMargin,
+    // exact replay of the mod-p rolling hash: prepend the fold's init
+    // (DuckDB's list_reduce has no init argument) and apply the same
+    // step functions; all intermediates < 2^39 so no overflow anywhere
+    "q_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(0::BIGINT,
+        |    list_transform(string_split(text, ' '),
+        |      w -> list_reduce(
+        |             list_prepend(0::BIGINT,
+        |               list_transform(list_filter(string_split(w, ''), ch -> ch <> ''),
+        |                 ch -> unicode(ch)::BIGINT)),
+        |             (h, c) -> (h*127 + c) % 2147483647))),
+        |  (acc, x) -> (acc*131 + x + 1) % 2147483647) AS fingerprint
+        |FROM documents""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         | regexp_replace(

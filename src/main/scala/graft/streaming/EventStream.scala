@@ -11,17 +11,11 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // raw nanos (see Tables.events)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Normalize the raw nanos column to a microsecond timestamp. */
-  def normalize(raw: DataFrame): DataFrame =
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Normalize the on-disk `ts` (raw nanos long, TIMESTAMP, or
+    * TIMESTAMP_NTZ) to a session-UTC microsecond timestamp — the same
+    * branch as the batch loader, so batch and stream agree.
+    */
+  def normalize(raw: DataFrame): DataFrame = graft.Tables.normalizeEventTs(raw)
 
   /** Watermarked 5-minute tumbling-window aggregation per event type.
     * At scale: state is bounded by the watermark; partial aggregation
@@ -231,7 +225,10 @@ object EventStream {
 
   /** Open the events parquet directory as a stream (for specs/demo). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    // a streaming source needs an explicit schema — take the raw one
+    // from a batch read of the same files so either ts encoding works
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(spark.readStream.schema(eventSchema).parquet(dir))
+    val rawSchema = spark.read.parquet(dir).schema
+    normalize(spark.readStream.schema(rawSchema).parquet(dir))
   }
 }

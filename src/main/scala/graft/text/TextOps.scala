@@ -197,17 +197,27 @@ object TextOps {
       "\\+?\\d[\\d() -]{6,}\\d", "<NUM>")
 
   /** Deterministic document fingerprint: a rolling polynomial hash
-    * over per-word xxhash64 values (wrap-around arithmetic). Two
+    * mod p = 2^31-1 over per-word rolling character hashes. Two
     * documents with identical token streams get identical
     * fingerprints; order matters (unlike a bag-of-words hash).
+    * Engine-portable by construction — every intermediate stays under
+    * 2^39 so the same fold runs in any 64-bit-integer SQL engine
+    * without wrap-around (the DuckDB oracle replays it exactly).
     */
-  def fingerprint(docs: DataFrame): DataFrame =
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val P = lit(2147483647L) // 2^31 - 1
+    val wordHash = (w: Column) =>
+      aggregate(
+        filter(split(w, ""), ch => ch =!= ""),
+        lit(0L),
+        (h, ch) => (h * lit(127L) + ascii(ch).cast("long")) % P)
     docs.select(
       col("doc_id"),
       aggregate(
         split(col("text"), " "),
         lit(0L),
-        (acc, w) => acc * lit(1000003L) + xxhash64(w)).as("fingerprint"))
+        (acc, w) => (acc * lit(131L) + wordHash(w) + lit(1L)) % P).as("fingerprint"))
+  }
 
   /** Word n-gram strings of a document's word array: positions
     * 1..len-n+1, each joined with single spaces; empty when the

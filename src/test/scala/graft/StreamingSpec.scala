@@ -99,7 +99,7 @@ class StreamingSpec extends AnyFunSuite {
     raw.filter(pmod(col("event_id"), lit(2)) === 1).coalesce(1).write.mode("append").parquet(dir)
     val wh = java.nio.file.Files.createTempDirectory("rollup_wh2").toString + "/t5m"
     val stream = streaming.EventStream.normalize(
-      spark.readStream.schema(streaming.EventStream.eventSchema)
+      spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1").parquet(dir))
     val q = streaming.EventStream.rollupMaintenance(stream, wh).start()
     try q.processAllAvailable() finally q.stop()
