@@ -279,6 +279,14 @@ object SparkEntry {
     // D1: exact dedup
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir)).select("keep_id", "n_copies")),
+    // D1b: policy-based canonical selection — keep the copy from the
+    // most-trusted source (priority = len(source) mod 3, the same
+    // deterministic weights the mixture plan uses), doc_id tie-break
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBest(Tables.documents(s, dir), length(col("source")) % 3)),
+    // D1c: duplication-rate observability per source
+    "q_dup_rate_by_source" -> ((s, dir) =>
+      Dedup.dupRateBySource(Tables.documents(s, dir))),
     // D2: n-gram jaccard near-dup
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.8)),
@@ -552,6 +560,15 @@ object SparkEntry {
     "q_bm25_search" -> ((s, dir) =>
       graft.text.Search.bm25(Tables.documents(s, dir),
         Seq("spark", "join", "window"), 20)),
+    // D18b: inverted-index build — per-term df + capped head postings
+    "q_inverted_index" -> ((s, dir) =>
+      graft.text.Search.invertedIndex(Tables.documents(s, dir), 5)),
+    // D13c: length-bucketed batching stats (padding-efficiency report)
+    "q_length_buckets" -> ((s, dir) =>
+      TextOps.lengthBuckets(Tables.documents(s, dir), 16)),
+    // D14d: token-budget mixture plan (per-source sampling table)
+    "q_mixture_plan" -> ((s, dir) =>
+      TextOps.mixturePlan(Tables.documents(s, dir), 100000L)),
     // D19: per-label embedding centroids (decimal-exact means)
     "q_embed_centroids" -> ((s, dir) =>
       Ann.groupCentroids(Tables.embeddings(s, dir), "label")),
@@ -1172,6 +1189,24 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2""".stripMargin,
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "q_dedup_keep_best" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |    CAST(length(source) % 3 AS BIGINT) AS prio FROM documents),
+        |g AS (SELECT text, CAST(count(*) AS BIGINT) AS n_copies,
+        |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |      FROM d GROUP BY text),
+        |r AS (SELECT doc_id, source, text,
+        |        row_number() OVER (PARTITION BY text
+        |          ORDER BY prio DESC, doc_id ASC) AS rn
+        |      FROM d)
+        |SELECT r.doc_id AS keep_id, r.source AS keep_source,
+        |  g.n_copies, g.n_sources
+        |FROM r JOIN g USING (text) WHERE rn = 1""".stripMargin,
+    "q_dup_rate_by_source" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+        |  1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*) AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
     "q_dedup_ngram" -> ngramJaccardOracle,
     // prefix filtering changes the candidate plan, not the result:
     // the exact-Jaccard pair set is the contract
@@ -1617,6 +1652,43 @@ object SparkEntry {
     // expression is written in the same association order as the
     // Spark side, so doubles — including ln, bit-identical between
     // DuckDB's libm and the JVM — hash-match exactly
+    "q_inverted_index" ->
+      """WITH td AS (
+        |  SELECT DISTINCT term, doc_id FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term, doc_id FROM documents)
+        |  WHERE term <> ''),
+        |r AS (SELECT term, doc_id,
+        |        CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+        |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |      FROM td)
+        |SELECT term, df, doc_id FROM r WHERE rn <= 5""".stripMargin,
+    "q_length_buckets" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |b AS (SELECT ((n_tokens + 15) // 16) * 16 AS padded_len,
+        |        CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |      FROM t GROUP BY 1)
+        |SELECT padded_len, n_docs, sum_tokens,
+        |  n_docs * padded_len AS padded_tokens,
+        |  CAST(sum_tokens AS DOUBLE) / (n_docs * padded_len) AS pad_efficiency
+        |FROM b""".stripMargin,
+    "q_mixture_plan" ->
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens,
+        |    CAST(length(source) % 3 + 1 AS BIGINT) AS weight_raw
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(weight_raw) AS BIGINT) AS total_w FROM s),
+        |p AS (SELECT source, avail_tokens, weight_raw,
+        |        CAST(floor(CAST(weight_raw AS DOUBLE) / total_w * 100000) AS BIGINT)
+        |          AS target_tokens
+        |      FROM s, t)
+        |SELECT source, avail_tokens, weight_raw, target_tokens,
+        |  least(target_tokens, avail_tokens) AS planned_tokens,
+        |  CAST(least(target_tokens, avail_tokens) AS DOUBLE) / avail_tokens
+        |    AS sampling_rate,
+        |  CAST(target_tokens AS DOUBLE) / avail_tokens AS epochs
+        |FROM p""".stripMargin,
     "q_bm25_search" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,

@@ -32,6 +32,44 @@ object Dedup {
         min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Policy-based canonical selection: one survivor per distinct text,
+    * chosen by highest `priority` (source trust, quality score, …)
+    * with lowest doc_id as the deterministic tie-break — the curation
+    * policy "keep the best copy", where [[exact]] hard-codes "keep the
+    * first". Implemented as a pure aggregation, NOT a window: the
+    * argmax rides a struct max (priority, -doc_id, source), so the
+    * shuffle is map-side combined and per-group state is one struct —
+    * a window over text groups would sort every duplicate cluster
+    * instead.
+    */
+  def keepBest(docs: DataFrame, priority: Column): DataFrame =
+    docs
+      .select(xxhash64(col("text")).as("text_hash"), col("doc_id"),
+        col("source"), priority.cast("long").as("prio"))
+      .groupBy(col("text_hash"))
+      .agg(
+        max(struct(col("prio"), (-col("doc_id")).as("neg_id"),
+          col("source"))).as("best"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"))
+      .select((-col("best.neg_id")).as("keep_id"),
+        col("best.source").as("keep_source"),
+        col("n_copies"), col("n_sources"))
+
+  /** Duplication-rate profile per source — the observability row a
+    * curation run reports before deciding where dedup effort goes.
+    * Distinct texts are counted through their 8-byte hash so the
+    * count-distinct shuffle carries hashes, not document bodies.
+    */
+  def dupRateBySource(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(xxhash64(col("text"))).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (lit(1.0) - col("n_unique").cast("double") / col("n_docs"))
+          .as("dup_rate"))
+
   /** N-gram Jaccard near-dup pairs via inverted-index join:
     * explode shingles → self-join on shingle → per-pair intersection
     * count → Jaccard from per-doc set sizes. `maxBucket` drops

