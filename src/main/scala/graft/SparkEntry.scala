@@ -569,6 +569,39 @@ object SparkEntry {
     // D14d: token-budget mixture plan (per-source sampling table)
     "q_mixture_plan" -> ((s, dir) =>
       TextOps.mixturePlan(Tables.documents(s, dir), 100000L)),
+    // D42: SemDeDup semantic dedup — IVF cells bound the pairwise
+    // space; planted duplicate copies (+100000 ids, cos = 1) must all
+    // flag is_dup, natural pairs >= 0.8 flag within their cell only
+    "q_dedup_semantic" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val corpus = base.unionByName(base.select(
+        (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Ann.semanticDedup(corpus, Ann.fitIvf(corpus, 16), 0.8)
+    }),
+    // D45: cell-balanced diversity sampling — 4 vectors per IVF cell
+    // by deterministic hash order (coreset over embedding space)
+    "q_sample_diverse" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.sampleDiverse(emb, Ann.fitIvf(emb, 16), 4)
+    }),
+    // D43: deterministic hash-based train/val/test split (80/10/10)
+    "q_split_assign" -> ((s, dir) =>
+      TextOps.splitAssign(Tables.documents(s, dir), "doc_id", 80, 10)),
+    // D44: epoch-seeded shard shuffle — 2 epochs × 8 shards, window
+    // bounded per (epoch, shard), never a global row_number
+    "q_shuffle_shards" -> ((s, dir) =>
+      TextOps.shuffleShards(Tables.documents(s, dir), "doc_id", 2, 8)),
+    // D46: per-doc trigram novelty (fraction of grams with df = 1)
+    "q_novelty" -> ((s, dir) =>
+      TextOps.novelty(Tables.documents(s, dir), 3)),
+    // E35: per-user behavioral feature vector — ONE map-side-combined
+    // aggregation, decimal-exact value sums
+    "q_user_features" -> ((s, dir) =>
+      Analytics.userFeatures(Tables.events(s, dir))),
+    // E36: recency-weighted engagement score, half-life 7 days —
+    // dyadic integer decay so the sum is bit-exact in any order
+    "q_decay_score" -> ((s, dir) =>
+      Analytics.decayScore(Tables.events(s, dir), 7)),
     // D19: per-label embedding centroids (decimal-exact means)
     "q_embed_centroids" -> ((s, dir) =>
       Ann.groupCentroids(Tables.embeddings(s, dir), "label")),
@@ -1689,6 +1722,101 @@ object SparkEntry {
         |    AS sampling_rate,
         |  CAST(target_tokens AS DOUBLE) / avail_tokens AS epochs
         |FROM p""".stripMargin,
+    // cell assignment replays the IVF oracle (seed centroids =
+    // 16 lowest ids); within-cell pairwise at theta=0.8, dup iff a
+    // lower id in the same cell clears the threshold
+    "q_dedup_semantic" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |e AS (SELECT * FROM base
+        |      UNION ALL SELECT vec_id + 100000, emb FROM base),
+        |c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |cells AS (SELECT vec_id, emb, nrm, cell_id FROM (
+        |  SELECT e.vec_id, e.emb, sqrt(list_dot_product(e.emb, e.emb)) AS nrm, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |     ORDER BY -list_dot_product(e.emb, c.c_emb) ASC, c.cell_id ASC) AS rn
+        |  FROM e, c) WHERE rn = 1),
+        |dups AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
+        |  ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        |  AND list_dot_product(a.emb, b.emb) / a.nrm / b.nrm >= 0.8)
+        |SELECT cells.vec_id, cells.cell_id,
+        | (dups.vec_id IS NOT NULL) AS is_dup
+        |FROM cells LEFT JOIN dups ON cells.vec_id = dups.vec_id""".stripMargin,
+    // same cell assignment; the per-cell pick replays the heap as a
+    // row_number over the shared multiplicative-hash order
+    "q_sample_diverse" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM e WHERE vec_id < 16),
+        |cells AS (SELECT vec_id, cell_id FROM (
+        |  SELECT e.vec_id, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |     ORDER BY -list_dot_product(e.emb, c.c_emb) ASC, c.cell_id ASC) AS rn
+        |  FROM e, c) WHERE rn = 1),
+        |h AS (SELECT cell_id, vec_id,
+        |    (vec_id * 2654435761) % 4294967296 AS hkey FROM cells),
+        |r AS (SELECT cell_id, vec_id,
+        |    row_number() OVER (PARTITION BY cell_id ORDER BY hkey, vec_id) AS rn
+        |  FROM h)
+        |SELECT cell_id, CAST(vec_id AS BIGINT) AS vec_id FROM r WHERE rn <= 4""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id,
+        | (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
+        | CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |      WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q_shuffle_shards" ->
+      """WITH x AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+        |h AS (SELECT CAST(epoch AS INT) AS epoch, doc_id,
+        |   ((doc_id + epoch * 1000003) * 2654435761) % 4294967296 AS hkey FROM x)
+        |SELECT epoch, hkey % 8 AS shard_id,
+        | CAST(row_number() OVER (PARTITION BY epoch, hkey % 8
+        |   ORDER BY hkey, doc_id) AS INT) AS pos_in_shard,
+        | doc_id, hkey
+        |FROM h""".stripMargin,
+    "q_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |   unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |     i -> array_to_string(w[i:i+2], ' ')))) AS gram
+        |  FROM t WHERE len(w) >= 3),
+        |df AS (SELECT gram, count(*) AS gram_df FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN df.gram_df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | CAST(CAST(sum(CASE WHEN df.gram_df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |   / count(*) AS novelty
+        |FROM g JOIN df ON g.gram = df.gram
+        |GROUP BY g.doc_id""".stripMargin,
+    "q_user_features" ->
+      """SELECT user_id, count(*) AS n_events,
+        | count(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+        | min(CAST(ts AS DATE)) AS first_day,
+        | max(CAST(ts AS DATE)) AS last_day,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
+        | CAST(CAST(sum(CASE WHEN event_type = 'purchase'
+        |     THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value,
+        | CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1 AS INT) AS days_span
+        |FROM events GROUP BY 1""".stripMargin,
+    // integer dyadic decay: weight = 1 << (40 - halvings), BIGINT
+    // sums exact in any order; one lossless division at the end
+    "q_decay_score" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT max(day) AS anchor_day FROM daily),
+        |w AS (SELECT user_id, n_events,
+        |   least(CAST(floor(date_diff('day', day, anchor_day) / 7.0) AS BIGINT), 40)
+        |     AS halvings
+        |  FROM daily, a)
+        |SELECT user_id,
+        | CAST(sum(n_events * (1::BIGINT << CAST(40 - halvings AS INT))) AS BIGINT)
+        |   AS score_scaled,
+        | CAST(CAST(sum(n_events * (1::BIGINT << CAST(40 - halvings AS INT))) AS BIGINT)
+        |   AS DOUBLE) / 1099511627776.0 AS decay_score
+        |FROM w GROUP BY 1""".stripMargin,
     "q_bm25_search" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,

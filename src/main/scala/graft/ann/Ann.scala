@@ -619,4 +619,58 @@ object Ann {
         (dot(col("a.embedding"), col("b.embedding")) / col("a.norm") / col("b.norm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): paraphrase-
+    * level duplicates that share no n-grams still land in the same
+    * embedding neighborhood, so cluster first and compare pairwise
+    * ONLY within a cluster. Cell assignment is the IVF projection
+    * (zero shuffle against the literal centroid table); the pairwise
+    * stage is a self equi-join on `cell_id`, so the comparison space
+    * is Σ|cell|² instead of n² — the whole point of the method. A
+    * vector is a duplicate iff some LOWER-id vector in its cell
+    * clears the cosine threshold (deterministic keep-lowest policy,
+    * one survivor per semantic clique). At 100 TB, size `nCells` so
+    * cells average ~1k vectors (the paper runs 50k clusters on
+    * LAION); beyond the 4096-literal bound, fit centroids separately
+    * and broadcast-join the assignment — same shape, one extra
+    * broadcast.
+    */
+  def semanticDedup(corpus: DataFrame, model: IvfModel, theta: Double): DataFrame = {
+    val centLit = centroidLiteral(model.centroids)
+    val cells = corpus.select(
+      col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
+      element_at(rankedCells(centLit, col("embedding")), 1)
+        .getField("cell_id").as("cell_id"))
+    val a = cells.select(col("cell_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("nrm").as("n_a"))
+    val b = cells.select(col("cell_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("nrm").as("n_b"))
+    val dups = a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter((dot(col("emb_a"), col("emb_b")) / col("n_a") / col("n_b")) >= theta)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    cells.select(col("vec_id"), col("cell_id"))
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
+
+  /** Cell-balanced diversity sampling: k vectors per IVF cell by the
+    * shared deterministic hash order — a coreset that covers every
+    * embedding neighborhood instead of oversampling the dense head
+    * (uniform sampling returns mostly boilerplate-adjacent docs).
+    * Assignment is the zero-shuffle IVF projection; the per-cell pick
+    * rides the bounded-heap aggregate, so k rows per cell cross the
+    * single shuffle — never a window sort of the corpus.
+    */
+  def sampleDiverse(corpus: DataFrame, model: IvfModel, k: Int): DataFrame = {
+    val centLit = centroidLiteral(model.centroids)
+    val cells = corpus.select(
+      col("vec_id"),
+      element_at(rankedCells(centLit, col("embedding")), 1)
+        .getField("cell_id").as("cell_id"))
+    graft.text.TextOps.sampleStratified(cells, Seq("cell_id"), "vec_id", k)
+  }
 }

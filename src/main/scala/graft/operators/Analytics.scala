@@ -640,4 +640,69 @@ object Analytics {
         col("sum_w").cast("double") / lit(windowDays.toDouble))
       .drop("day_num")
   }
+
+  /** Per-user feature extraction: one groupBy over the event feed
+    * yields the behavioral feature vector a downstream model trains
+    * on — activity volume, span, distinct active days, per-type
+    * counts (conditional aggregation, not a pivot — the type set is
+    * part of the feature contract and must not drift with the data),
+    * and exact monetary totals (DECIMAL(18,2) sums: the raw values
+    * carry two decimals, so decimal accumulation is exact and
+    * order-independent, where a double sum would drift with partition
+    * order). Purely partial-aggregatable: one shuffle of
+    * |users| × a-few-counters, no window, no join — at 100 TB this is
+    * the canonical map-side-combine aggregation.
+    */
+  def userFeatures(events: DataFrame): DataFrame = {
+    def typeCount(t: String) =
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("n_active_days"),
+        min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"),
+        typeCount("click"), typeCount("view"), typeCount("purchase"),
+        typeCount("signup"), typeCount("error"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("total_value"),
+        sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))).cast("decimal(18,2)")
+          .cast("double").as("purchase_value"))
+      .withColumn("days_span",
+        datediff(col("last_day"), col("first_day")) + 1)
+  }
+
+  /** Recency-weighted engagement score with BIT-EXACT dyadic decay:
+    * an event `d` days before the corpus's last day weighs
+    * 2^(H - d/halfLifeDays grows) — concretely, weight =
+    * 2^(H - floor(d / halfLifeDays)) as a BIGINT (H = 40 covers any
+    * horizon the retention window keeps). Summing integer
+    * count × weight is exact and order-independent — the usual
+    * exp(-λ·d) double sum is neither (transcendental + partition
+    * order), which is why engines disagree on it. The single
+    * division by 2^H at the end converts to the conventional
+    * [0, score] double scale losslessly (dyadic rationals are exact
+    * in binary floating point). Two partial-agg passes: per
+    * (user, day) counts, then the weighted rollup; the anchor day is
+    * a one-row broadcast.
+    */
+  def decayScore(events: DataFrame, halfLifeDays: Int): DataFrame = {
+    val H = 40
+    val daily = events.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val anchor = daily.agg(max(col("day")).as("anchor_day"))
+    daily.crossJoin(broadcast(anchor))
+      .withColumn("halvings",
+        least(floor(datediff(col("anchor_day"), col("day")) / lit(halfLifeDays))
+          .cast("long"), lit(H.toLong)))
+      // shiftleft's Scala binding takes a literal shift only; the SQL
+      // form accepts a column (same ShiftLeft expression underneath)
+      .withColumn("weight", expr(s"shiftleft(1L, cast($H - halvings as int))"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_events") * col("weight")).as("score_scaled"))
+      .withColumn("decay_score",
+        col("score_scaled").cast("double") / lit(math.pow(2.0, H)))
+  }
 }

@@ -622,4 +622,79 @@ object TextOps {
             s => s.getField("chunk")),
           " ").as("clean_text"))
   }
+
+  /** Deterministic train/val/test split assignment: bucket =
+    * multiplicative hash mod 100, split by cumulative percentage
+    * thresholds. Hash-based (not key-mod) so the split is
+    * uncorrelated with id assignment order, and deterministic so
+    * every pipeline run — and every engine — lands each document in
+    * the SAME split (rand() splits silently leak val docs into train
+    * on re-runs). Pure pushdown-able projection: no shuffle, no join,
+    * scales as the scan.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  trainPct: Int, valPct: Int): DataFrame = {
+    val bucket = pmod(hashKey(keyCol), lit(100))
+    df.select(col(keyCol), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Epoch-seeded deterministic shuffle into training shards: each
+    * epoch gets an independent pseudo-random permutation (the epoch
+    * offsets the key through a second odd multiplier before the
+    * shared multiplicative hash), rows land in `nShards` shards by
+    * hash range, and the within-shard order is the hash order. A
+    * training job reads shards in id order and rows in
+    * (shard, pos_in_shard) order and sees a reshuffled corpus every
+    * epoch — with zero RNG state, so any shard is reproducible in
+    * isolation. Scale: the only window partitions by (epoch, shard)
+    * — shard count grows with the corpus, so partitions stay bounded;
+    * a single global row_number would funnel each epoch through ONE
+    * partition, which this formulation exists to avoid.
+    */
+  def shuffleShards(df: DataFrame, keyCol: String,
+                    epochs: Int, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hkey = pmod(
+      (col(keyCol) + col("epoch") * lit(1000003L)) * lit(2654435761L),
+      lit(4294967296L))
+    val byShard = Window.partitionBy(col("epoch"), col("shard_id"))
+      .orderBy(col("hkey"), col(keyCol))
+    df.select(col(keyCol).cast("long").as(keyCol))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("hkey", hkey)
+      .withColumn("shard_id", pmod(col("hkey"), lit(nShards.toLong)))
+      .withColumn("pos_in_shard", row_number().over(byShard))
+      .select(col("epoch"), col("shard_id"), col("pos_in_shard"),
+        col(keyCol), col("hkey"))
+  }
+
+  /** Per-document n-gram novelty: the fraction of a document's
+    * distinct word n-grams that appear in NO other document (df = 1)
+    * — high novelty marks fresh content worth keeping or
+    * memorization-risk outliers worth auditing; low novelty marks
+    * template text the dedup family should have caught. One explode
+    * pass (grams deduped per doc in-map) feeds the df aggregation;
+    * the vocabulary-sized df table joins back on the gram key — at
+    * 100 TB hash grams to longs ([[graft.functions.TextHashFunctions]])
+    * so the 8-byte key shuffles instead of the string, same note as
+    * [[repeatedGrams]].
+    */
+  def novelty(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(bind(split(col("text"), " "))(w => array_distinct(wordGrams(w, n))))
+        .as("gram"))
+    val df = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gram_df"))
+    grams.join(df, "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("gram_df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams"))
+  }
 }

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Ann
+import graft.operators.Analytics
+import graft.text.TextOps
+
+/** Specs for the round-6 widening: semantic dedup (SemDeDup),
+  * diversity sampling, split assignment, epoch shard shuffle,
+  * novelty scoring, user features, dyadic decay score.
+  */
+class TrainingOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def embDf(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("semantic dedup flags within-cell near-dups, keeps lowest id, " +
+    "and does NOT compare across cells") {
+    // seeds (2 lowest ids) span the two axes; 10 duplicates 0, 11 is
+    // close to 1, 12 sits between the axes below threshold, and 13 is
+    // near 11 (cos ~0.96) but lands in the OTHER cell — blocking means
+    // that pair is never compared
+    val df = embDf(Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      10L -> Seq(0.99f, 0.1f), 11L -> Seq(0.5f, 0.866f),
+      12L -> Seq(1f, -1f), 13L -> Seq(0.72f, 0.69f)))
+    val out = Ann.semanticDedup(df, Ann.fitIvf(df, 2), 0.8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(0L -> false, 1L -> false, 10L -> true,
+      11L -> true, 12L -> false, 13L -> false))
+  }
+
+  test("diversity sample returns min(k, |cell|) per cell, deterministically") {
+    // cell 0 (x-axis) gets 5 members, cell 1 (y-axis) exactly one
+    val df = embDf(
+      Seq(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f)) ++
+        (10L to 13L).map(i => i -> Seq(1f, i.toFloat / 100f)))
+    val model = Ann.fitIvf(df, 2)
+    val out = Ann.sampleDiverse(df, model, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.count(_._1 == 0L) == 2)
+    assert(out.count(_._1 == 1L) == 1)
+    val again = Ann.sampleDiverse(df, model, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("split assignment is total, disjoint, and threshold-consistent") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val out = TextOps.splitAssign(docs, "doc_id", 80, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 500 && out.map(_._1).distinct.length == 500)
+    assert(out.forall { case (_, b, s) =>
+      s == (if (b < 80) "train" else if (b < 90) "val" else "test")
+    })
+    val bySplit = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
+  test("shard shuffle: every doc once per epoch, contiguous positions, " +
+    "different order per epoch") {
+    val docs = (0L until 100L).toDF("doc_id")
+    val out = TextOps.shuffleShards(docs, "doc_id", 2, 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // each epoch holds each doc exactly once
+    for (e <- 0 to 1)
+      assert(out.filter(_._1 == e).map(_._4).sorted.toSeq == (0L until 100L))
+    // positions within each (epoch, shard) are 1..n with no gaps
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // the two epochs order the corpus differently (hash reseeded)
+    def order(e: Int) = out.filter(_._1 == e)
+      .sortBy(t => (t._2, t._3)).map(_._4).toSeq
+    assert(order(0) != order(1))
+  }
+
+  test("novelty: shared grams score 0, unique grams score 1") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.novelty(docs, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.0 && out(3L) == 1.0)
+  }
+
+  test("user features: per-type counts, exact value sums, null " +
+    "purchase_value without purchases") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", "click", 1.25),
+      (1L, "2024-01-01 11:00:00", "purchase", 10.50),
+      (1L, "2024-01-03 09:00:00", "view", 0.10),
+      (2L, "2024-01-02 08:00:00", "error", 5.00))
+      .toDF("user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Analytics.userFeatures(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getLong(u1.fieldIndex("n_events")) == 3L)
+    assert(u1.getLong(u1.fieldIndex("n_active_days")) == 2L)
+    assert(u1.getLong(u1.fieldIndex("n_click")) == 1L)
+    assert(u1.getLong(u1.fieldIndex("n_purchase")) == 1L)
+    assert(u1.getDouble(u1.fieldIndex("total_value")) == 11.85)
+    assert(u1.getDouble(u1.fieldIndex("purchase_value")) == 10.50)
+    assert(u1.getInt(u1.fieldIndex("days_span")) == 3)
+    val u2 = out(2L)
+    assert(u2.isNullAt(u2.fieldIndex("purchase_value")))
+    assert(u2.getInt(u2.fieldIndex("days_span")) == 1)
+  }
+
+  test("decay score: dyadic half-life weights are exact") {
+    // anchor day = 2024-01-15; same-day events weigh 1, one half-life
+    // (7 days) back weighs 0.5, two back weigh 0.25
+    val ev = Seq(
+      (1L, "2024-01-15 10:00:00"), (1L, "2024-01-15 11:00:00"),
+      (1L, "2024-01-08 10:00:00"),
+      (2L, "2024-01-01 10:00:00"))
+      .toDF("user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Analytics.decayScore(ev, 7).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("decay_score"))).toMap
+    assert(out(1L) == 2.5)
+    assert(out(2L) == 0.25)
+  }
+}
