@@ -602,6 +602,47 @@ object SparkEntry {
     // dyadic integer decay so the sum is bit-exact in any order
     "q_decay_score" -> ((s, dir) =>
       Analytics.decayScore(Tables.events(s, dir), 7)),
+    // E37: MAD robust outlier days — median/MAD have a 50% breakdown
+    // point, so outage days can't inflate their own threshold
+    "q_mad_outliers" -> ((s, dir) =>
+      Analytics.madOutliers(Tables.events(s, dir), 3)),
+    // E38: week-over-week change report (lag over the dimension-sized
+    // weekly table)
+    "q_wow_change" -> ((s, dir) =>
+      Analytics.periodChange(Tables.events(s, dir))),
+    // E6d: Count-Min sketch cascade — per-day user-frequency sketches
+    // sum-merge to per-type totals, probed for 5 users (rows-only:
+    // the binary registers have no SQL oracle; cascade bit-identity,
+    // overcount bound, and exactness-at-width are spec-pinned)
+    "q_cms_counts" -> ((s, dir) => {
+      import graft.functions.CmsFunctions._
+      val ev = Tables.events(s, dir)
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(cmsSketch(col("user_id"), 4, 512).as("sk"))
+      val perType = daily.groupBy(col("event_type"))
+        .agg(cmsMerge(col("sk")).as("sk"))
+      val probes = ev.select(col("user_id")).filter(col("user_id") < 5).distinct()
+      perType.crossJoin(broadcast(probes))
+        .select(col("event_type"), col("user_id"),
+          cmsEstimate(col("sk"), col("user_id")).as("est_events"))
+    }),
+    // D48: BPE merge-step pair frequencies (tokenizer training), top
+    // 50 through a bounded TakeOrdered — total (n desc, pair) order
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairs(Tables.documents(s, dir), 50)),
+    // D49: per-source Pearson r between word and char counts from
+    // exact BIGINT moments (order-independent, grades bit-exact)
+    "q_feature_corr" -> ((s, dir) =>
+      TextOps.featureCorr(Tables.documents(s, dir))),
+    // D47: weak-supervision labeling — threshold regex rules vote,
+    // majority with lexicographic tie-break, abstain-all = unlabeled
+    "q_weak_labels" -> ((s, dir) =>
+      TextOps.weakLabels(Tables.documents(s, dir), Seq(
+        (regexp_count(col("text"), lit("\\bspark\\b")) >= 2, "tech"),
+        (regexp_count(col("text"), lit("\\bjoin\\b")) >= 2, "tech"),
+        (regexp_count(col("text"), lit("\\bcustomer\\b")) >= 2, "commerce"),
+        (regexp_count(col("text"), lit("\\bstream\\b")) >= 1, "streaming")))),
     // D19: per-label embedding centroids (decimal-exact means)
     "q_embed_centroids" -> ((s, dir) =>
       Ann.groupCentroids(Tables.embeddings(s, dir), "label")),
@@ -1817,6 +1858,83 @@ object SparkEntry {
         | CAST(CAST(sum(n_events * (1::BIGINT << CAST(40 - halvings AS INT))) AS BIGINT)
         |   AS DOUBLE) / 1099511627776.0 AS decay_score
         |FROM w GROUP BY 1""".stripMargin,
+    // integer daily counts keep the interpolated medians dyadic
+    // (x or x.5), so quantile_cont replays Spark's exact percentile
+    "q_mad_outliers" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n_events FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(n_events, 0.5) AS med
+        |  FROM daily GROUP BY 1),
+        |dev AS (SELECT d.event_type, d.day, d.n_events, m.med,
+        |    abs(d.n_events - m.med) AS abs_dev
+        |  FROM daily d JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.event_type, dev.day, dev.n_events, dev.med,
+        | dev.abs_dev, mad.mad, (dev.abs_dev > 3 * mad.mad) AS is_outlier
+        |FROM dev JOIN mad USING (event_type)""".stripMargin,
+    "q_wow_change" ->
+      """WITH wk AS (SELECT event_type,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week_start,
+        |    count(*) AS n_events FROM events GROUP BY 1, 2)
+        |SELECT event_type, week_start, n_events,
+        | lag(n_events) OVER (PARTITION BY event_type ORDER BY week_start) AS prev_n,
+        | n_events - lag(n_events) OVER (PARTITION BY event_type ORDER BY week_start)
+        |   AS delta,
+        | CAST(n_events - lag(n_events) OVER (PARTITION BY event_type ORDER BY week_start)
+        |   AS DOUBLE)
+        |   / lag(n_events) OVER (PARTITION BY event_type ORDER BY week_start)
+        |   AS pct_change
+        |FROM wk""".stripMargin,
+    // 1-based inclusive slice w[i:i+1] = the same 2-char window as
+    // substr(i, 2); the (n desc, pair asc) total order makes LIMIT
+    // deterministic on both engines
+    "q_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+        |    i -> w[i:i+1])) AS pair
+        |  FROM w WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // the same five exact BIGINT moments, the same final double shape
+    "q_feature_corr" ->
+      """WITH f AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        |    CAST(length(text) AS BIGINT) AS y
+        |  FROM documents),
+        |m AS (SELECT source, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM f GROUP BY 1)
+        |SELECT source, n, sx, sy, sxy, sxx, syy,
+        | CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+        |FROM m""".stripMargin,
+    // vote counts replay the threshold rules; majority tie-break is
+    // the lex-smallest label whose count equals the max
+    "q_weak_labels" ->
+      """WITH v AS (SELECT doc_id,
+        |   (CASE WHEN len(regexp_extract_all(text, '\bspark\b')) >= 2 THEN 1 ELSE 0 END
+        |    + CASE WHEN len(regexp_extract_all(text, '\bjoin\b')) >= 2 THEN 1 ELSE 0 END)
+        |     AS c_tech,
+        |   CASE WHEN len(regexp_extract_all(text, '\bcustomer\b')) >= 2 THEN 1 ELSE 0 END
+        |     AS c_commerce,
+        |   CASE WHEN len(regexp_extract_all(text, '\bstream\b')) >= 1 THEN 1 ELSE 0 END
+        |     AS c_streaming
+        |  FROM documents),
+        |m AS (SELECT *, c_tech + c_commerce + c_streaming AS n_votes,
+        |    greatest(c_commerce, c_streaming, c_tech) AS mx FROM v)
+        |SELECT doc_id, c_commerce, c_streaming, c_tech, n_votes,
+        | CASE WHEN n_votes = 0 THEN 'unlabeled'
+        |      WHEN c_commerce = mx THEN 'commerce'
+        |      WHEN c_streaming = mx THEN 'streaming'
+        |      ELSE 'tech' END AS label,
+        | CASE WHEN n_votes = 0 THEN NULL
+        |      ELSE CAST(mx AS DOUBLE) / n_votes END AS confidence
+        |FROM m""".stripMargin,
     "q_bm25_search" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,

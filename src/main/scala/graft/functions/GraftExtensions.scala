@@ -71,7 +71,18 @@ object GraftFunctions {
       (es: Seq[Expression]) => HllMerge(es.head).toAggregateExpression()),
     ("hll_estimate",
       info("hll_estimate", "cardinality estimate of an hll_sketch binary"),
-      (es: Seq[Expression]) => HllEstimate(es.head)))
+      (es: Seq[Expression]) => HllEstimate(es.head)),
+    ("cms_sketch",
+      info("cms_sketch", "mergeable Count-Min frequency counters: cms_sketch(value, depth, width)"),
+      (es: Seq[Expression]) => CmsSketch(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()),
+    ("cms_merge",
+      info("cms_merge", "element-wise sum merge of cms_sketch binaries"),
+      (es: Seq[Expression]) => CmsMerge(es.head).toAggregateExpression()),
+    ("cms_estimate",
+      info("cms_estimate", "point frequency estimate: cms_estimate(sketch, key)"),
+      (es: Seq[Expression]) => CmsEstimate(es(0), es(1))))
 
   /** Register all graft functions into an existing session. */
   def register(spark: SparkSession): Unit =

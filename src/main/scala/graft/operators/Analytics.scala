@@ -705,4 +705,52 @@ object Analytics {
       .withColumn("decay_score",
         col("score_scaled").cast("double") / lit(math.pow(2.0, H)))
   }
+
+  /** Robust outlier days via median absolute deviation: a volume
+    * monitor that, unlike the mean/stddev z-score (B11), does not let
+    * the outliers it hunts inflate their own threshold — median and
+    * MAD have a 50% breakdown point, so one broken week can't mask
+    * itself. Exact interpolated percentiles stay engine-identical
+    * here because the inputs are integer counts (midpoints are .5 —
+    * dyadic, exact in doubles); flagging uses strict `>` so the
+    * boundary is unambiguous. Shape: the feed collapses to the
+    * dimension-sized (type, day) table in ONE partial-agg pass, and
+    * everything after — two percentile aggs, two broadcast
+    * join-backs — runs on that table; at 100 TB swap in
+    * approx_percentile, same shape (B9 parity).
+    */
+  def madOutliers(events: DataFrame, k: Int = 3): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily.groupBy(col("event_type"))
+      .agg(percentile(col("n_events"), lit(0.5)).as("med"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("abs_dev", abs(col("n_events") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("abs_dev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("is_outlier", col("abs_dev") > lit(k) * col("mad"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("med"), col("abs_dev"), col("mad"), col("is_outlier"))
+  }
+
+  /** Period-over-period change report: weekly totals per type with
+    * the previous period's total, absolute delta, and relative change
+    * (one double division; null on the first period). The lag window
+    * runs over the already-aggregated weekly table — dimension-sized
+    * (types × weeks) from any feed size, so the unbounded ORDER BY
+    * inside each type partition is safe at 100 TB.
+    */
+  def periodChange(events: DataFrame): DataFrame = {
+    val weekly = events
+      .groupBy(col("event_type"),
+        date_trunc("week", col("ts")).cast("date").as("week_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week_start"))
+    weekly
+      .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .withColumn("delta", col("n_events") - col("prev_n"))
+      .withColumn("pct_change", col("delta").cast("double") / col("prev_n"))
+  }
 }

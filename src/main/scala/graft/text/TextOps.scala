@@ -697,4 +697,84 @@ object TextOps {
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_grams"))
   }
+
+  /** BPE merge-step candidate table: adjacent character-pair
+    * frequencies within words — the count a byte-pair-encoding
+    * tokenizer trainer computes each merge round (the most frequent
+    * pair becomes the next merge). One explode pass, map-side-combined
+    * counts over a symbol²-bounded key space, and the top-N finishes
+    * through TakeOrderedAndProject (a bounded heap per partition,
+    * never a full sort — pair cardinality is alphabet², tiny, but the
+    * pre-agg row count is corpus-sized). Ordering (n desc, pair asc)
+    * is total, so the cut is engine-deterministic.
+    */
+  def bpePairs(docs: DataFrame, topN: Int): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(bind(col("w"))(w =>
+        transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2)))))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topN)
+
+  /** Per-source Pearson correlation between two integer document
+    * features (here words vs chars) — the corpus diagnostic behind
+    * "is length a proxy for this score?". All five moments accumulate
+    * as exact BIGINTs (order-independent), and the final r is one
+    * fixed-shape double expression over them — sqrt and divide are
+    * correctly-rounded IEEE, so the statistic grades bit-exact where
+    * a running-covariance formulation would drift with partition
+    * order. One map-side-combined aggregation, |sources| rows out.
+    */
+  def featureCorr(docs: DataFrame): DataFrame = {
+    val x = size(split(col("text"), " ")).cast("long")
+    val y = length(col("text")).cast("long")
+    docs
+      .select(col("source"), x.as("x"), y.as("y"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("r",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+  }
+
+  /** Weak-supervision labeling (the Snorkel pattern): each rule is a
+    * boolean vote condition for a label (a rule that doesn't fire
+    * abstains), votes aggregate per label, and the final label is the
+    * majority with a deterministic tie-break (lexicographically
+    * smallest among the tied) — `unlabeled` when every rule abstains.
+    * Pure per-row projection over a literal rule set: no shuffle, no
+    * join, scales as the scan; the argmax rides an `array_sort` of
+    * (−count, label) structs, so ranking is engine-replayable.
+    * Output: one `c_<label>` vote count per label, total votes, the
+    * label, and confidence = winning votes / total votes.
+    */
+  def weakLabels(docs: DataFrame, rules: Seq[(Column, String)]): DataFrame = {
+    require(rules.nonEmpty, "weakLabels needs at least one rule")
+    val labels = rules.map(_._2).distinct.sorted
+    val cntCols = labels.map { l =>
+      rules.collect { case (c, `l`) => when(c, 1).otherwise(0) }
+        .reduce(_ + _).as(s"c_$l")
+    }
+    val base = docs.select(col("doc_id") +: cntCols: _*)
+    val best = element_at(array_sort(array(labels.map(l =>
+      struct((-col(s"c_$l")).as("neg"), lit(l).as("lab"))): _*)), 1)
+    base
+      .withColumn("n_votes", labels.map(l => col(s"c_$l")).reduce(_ + _))
+      .withColumn("label",
+        when(col("n_votes") === 0, lit("unlabeled"))
+          .otherwise(best.getField("lab")))
+      .withColumn("confidence",
+        when(col("n_votes") === 0, lit(null).cast("double"))
+          .otherwise((-best.getField("neg")).cast("double") / col("n_votes")))
+  }
 }

@@ -114,6 +114,122 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(u2.getInt(u2.fieldIndex("days_span")) == 1)
   }
 
+  test("cms: cascade merge is bit-identical to direct sketching and " +
+    "estimates bound true counts") {
+    import graft.functions.CmsFunctions._
+    val rows = for (u <- 0L until 20L; r <- 0 until (u % 5 + 1).toInt)
+      yield (u % 2, u % 3, u, r)
+    val df = rows.toDF("g", "d", "u", "r")
+    val direct = df.groupBy($"g").agg(cmsSketch($"u", 4, 512).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val cascade = df.groupBy($"g", $"d").agg(cmsSketch($"u", 4, 512).as("sk"))
+      .groupBy($"g").agg(cmsMerge($"sk").as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(direct.keySet == cascade.keySet)
+    direct.foreach { case (g, sk) =>
+      assert(java.util.Arrays.equals(sk, cascade(g)), s"cascade differs for g=$g")
+    }
+    // point estimates: always >= exact; == exact at this width/keyset
+    // (deterministic hashes, no cross-row collision at width 512)
+    val all = df.groupBy(lit(1).as("one")).agg(cmsSketch($"u", 4, 512).as("sk"))
+    val probes = df.select($"u").distinct()
+    val est = all.crossJoin(probes)
+      .select($"u", cmsEstimate($"sk", $"u").as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = df.groupBy($"u").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (u, n) => assert(est(u) == n, s"u=$u est=${est(u)} exact=$n") }
+  }
+
+  test("cms SQL surface: sketch/merge/estimate registered") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, 7L), (1L, 7L), (2L, 7L), (2L, 8L)).toDF("b", "k")
+      .createOrReplaceTempView("cms_in")
+    val out = spark.sql(
+      """SELECT cms_estimate(cms_merge(sk), 7L) AS est FROM
+        | (SELECT b, cms_sketch(k, 4, 64) AS sk FROM cms_in GROUP BY b)""".stripMargin)
+      .collect()
+    assert(out.head.getLong(0) == 3L)
+  }
+
+  test("weak labels: majority wins, ties go lexicographic, abstain-all " +
+    "is unlabeled with null confidence") {
+    val docs = Seq(
+      (1L, "both tech rules fire"), (2L, "tie between labels"),
+      (3L, "nothing matches here"))
+      .toDF("doc_id", "text")
+    val out = TextOps.weakLabels(docs, Seq(
+      (col("text").contains("tech"), "tech"),
+      (col("text").contains("rules"), "tech"),
+      (col("text").contains("tie"), "zebra"),
+      (col("text").contains("tie"), "alpha")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("label"),
+          if (r.isNullAt(r.fieldIndex("confidence"))) -1.0
+          else r.getDouble(r.fieldIndex("confidence")))).toMap
+    assert(out(1L) == (("tech", 1.0)))       // 2 of 2 votes
+    assert(out(2L) == (("alpha", 0.5)))      // 1-1 tie -> lex smallest
+    assert(out(3L) == (("unlabeled", -1.0))) // all rules abstained
+  }
+
+  test("mad outliers: a planted spike flags, steady days do not, and " +
+    "the spike cannot inflate the threshold") {
+    // 9 steady days at 10 +/- 1 and one 100-event spike: median 10,
+    // MAD 1, spike dev 90 > 3 * 1; steady devs <= 1 stay in-band
+    val days = (1 to 9).map(i => (s"2024-01-0$i".take(10), 10L + (i % 3) - 1)) :+
+      ("2024-01-10", 100L)
+    val ev = days.flatMap { case (d, n) =>
+      (0L until n).map(i => ("click", s"$d 00:00:00", i))
+    }.toDF("event_type", "ts", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Analytics.madOutliers(ev, 3).collect()
+      .map(r => r.getDate(1).toString ->
+        (r.getLong(2), r.getBoolean(r.fieldIndex("is_outlier")))).toMap
+    assert(out("2024-01-10") == ((100L, true)))
+    assert(out.filter(_._1 != "2024-01-10").values.forall(!_._2))
+  }
+
+  test("period change: first week null, deltas and pct exact") {
+    val ev = (Seq.fill(10)("2024-01-01 12:00:00") ++
+      Seq.fill(15)("2024-01-08 12:00:00") ++
+      Seq.fill(12)("2024-01-15 12:00:00"))
+      .map(("view", _)).toDF("event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Analytics.periodChange(ev).orderBy("week_start").collect()
+    assert(out.length == 3)
+    assert(out(0).isNullAt(out(0).fieldIndex("prev_n")))
+    assert(out(1).getLong(out(1).fieldIndex("delta")) == 5L)
+    assert(out(1).getDouble(out(1).fieldIndex("pct_change")) == 0.5)
+    assert(out(2).getLong(out(2).fieldIndex("delta")) == -3L)
+    assert(out(2).getDouble(out(2).fieldIndex("pct_change")) == -0.2)
+  }
+
+  test("bpe pairs: counts adjacent char pairs, deterministic tie order") {
+    val docs = Seq((1L, "abab ab x")).toDF("doc_id", "text")
+    // "abab" -> ab, ba, ab; "ab" -> ab; "x" dropped (length 1)
+    val out = TextOps.bpePairs(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("ab", 3L), ("ba", 1L)))
+  }
+
+  test("feature corr: exact moments, correct sign, repeatable to the bit") {
+    // words/chars per doc: (2,5), (3,11), (2,3) — positively related
+    val base = Seq(
+      (1L, "s", "aa bb"), (2L, "s", "aaa bbb ccc"), (3L, "s", "a b"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.featureCorr(base).collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getLong(row.fieldIndex("n")) == 3L)
+    assert(row.getLong(row.fieldIndex("sx")) == 7L)   // 2+3+2
+    assert(row.getLong(row.fieldIndex("sy")) == 19L)  // 5+11+3
+    assert(row.getLong(row.fieldIndex("sxy")) == 49L) // 10+33+6
+    val r = row.getDouble(row.fieldIndex("r"))
+    assert(r > 0.9 && r <= 1.0)
+    val again = TextOps.featureCorr(base).collect()
+    assert(r == again.head.getDouble(again.head.fieldIndex("r")))
+  }
+
   test("decay score: dyadic half-life weights are exact") {
     // anchor day = 2024-01-15; same-day events weigh 1, one half-life
     // (7 days) back weighs 0.5, two back weigh 0.25
