@@ -131,4 +131,40 @@ class KernelPropertySpec extends AnyFunSuite {
       rt.counts == buf.counts
     })
   }
+
+  /** CMS point-query over a buffer, matching CmsEstimate's read path. */
+  private def cmsQuery(buf: CmsBuffer, h1: Long): Long = {
+    val h2 = XXH64.hashLong(h1, CmsSketch.Seed2)
+    (0 until buf.depth).map { d =>
+      buf.counts(d * buf.width +
+        java.lang.Math.floorMod(h1 + d.toLong * h2, buf.width.toLong).toInt)
+    }.min
+  }
+
+  test("CmsBuffer: estimates never undercount, overcount bounded by " +
+    "colliding mass, split-merge == direct to the bit") {
+    val keyGen = Gen.choose(0L, 40L)
+    holds(Prop.forAll(Gen.listOf(keyGen), Gen.listOf(keyGen),
+      Gen.choose(1, 5), Gen.oneOf(8, 16, 64)) { (xs, ys, depth, width) =>
+      def h(k: Long) = XXH64.hashLong(k, HllSketch.Seed)
+      val all = xs ++ ys
+      val direct = new CmsBuffer(depth, width)
+      all.foreach(k => direct.add(h(k)))
+      val a = new CmsBuffer(depth, width)
+      xs.foreach(k => a.add(h(k)))
+      val b = new CmsBuffer(depth, width)
+      ys.foreach(k => b.add(h(k)))
+      a.merge(b)
+      val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      java.util.Arrays.equals(a.counts, direct.counts) &&
+        java.util.Arrays.equals(
+          CmsBuffer.deserialize(direct.serialize).counts, direct.counts) &&
+        truth.forall { case (k, f) =>
+          val est = cmsQuery(direct, h(k))
+          // >= truth always; <= truth + everything else (trivial worst
+          // case; the probabilistic eN/width bound isn't certain)
+          est >= f && est <= all.size.toLong
+        }
+    })
+  }
 }
