@@ -627,6 +627,17 @@ object SparkEntry {
         .select(col("event_type"), col("user_id"),
           cmsEstimate(col("sk"), col("user_id")).as("est_events"))
     }),
+    // D14e: temperature-scaled mixture (alpha = 0.5 sampling) with
+    // fixed-point integer weights so the normalizer is order-exact
+    "q_mixture_temp" -> ((s, dir) =>
+      TextOps.mixtureTemperature(Tables.documents(s, dir), 100000L)),
+    // D50: hard-negative mining — top-k nearest with a DIFFERENT
+    // label; exact brute-force plan with the label guard in the scan
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.hardNegatives(emb, emb.filter(col("vec_id") < 5), 10)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
+    }),
     // D48: BPE merge-step pair frequencies (tokenizer training), top
     // 50 through a bounded TakeOrdered — total (n desc, pair) order
     "q_bpe_pairs" -> ((s, dir) =>
@@ -1886,6 +1897,37 @@ object SparkEntry {
         |   / lag(n_events) OVER (PARTITION BY event_type ORDER BY week_start)
         |   AS pct_change
         |FROM wk""".stripMargin,
+    // fixed-point sqrt weights -> integer normalizer; every double op
+    // is a fixed-shape expression both engines evaluate identically
+    "q_mixture_temp" ->
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, avail_tokens,
+        |    CAST(floor(sqrt(CAST(avail_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w
+        |  FROM s),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS total_w FROM w)
+        |SELECT source, avail_tokens, w,
+        | CAST(w AS DOUBLE) / total_w AS p,
+        | CAST(floor(CAST(w AS DOUBLE) / total_w * 100000) AS BIGINT) AS target_tokens,
+        | CAST(CAST(floor(CAST(w AS DOUBLE) / total_w * 100000) AS BIGINT) AS DOUBLE)
+        |   / avail_tokens AS upsample
+        |FROM w, t""".stripMargin,
+    // the label guard replaces the self-pair filter: a vector can
+    // never be its own hard negative (labels equal)
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, emb AS qe
+        |  FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |   list_dot_product(q.qe, c.emb)
+        |     / sqrt(list_dot_product(q.qe, q.qe))
+        |     / sqrt(list_dot_product(c.emb, c.emb)) AS cos_sim
+        |  FROM q JOIN e c ON c.label <> q.q_label),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
+        |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 10""".stripMargin,
     // 1-based inclusive slice w[i:i+1] = the same 2-char window as
     // substr(i, 2); the (n desc, pair asc) total order makes LIMIT
     // deterministic on both engines

@@ -620,6 +620,30 @@ object Ann {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Hard-negative mining for contrastive training: each query's
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * near-misses that teach an embedding model its decision boundary
+    * (random negatives are trivially separable and carry no
+    * gradient). [[bruteForceTopK]]'s exact plan with the label guard
+    * pushed into the scan-side filter: queries broadcast, corpus
+    * scanned once, k rows per query cross the shuffle through the
+    * bounded heap. At corpus-as-queries scale, swap the scorer to
+    * fitIvf/ivfSearch like the kNN graph and keep the label filter.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("label"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("c_norm"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"), col("embedding").as("q_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) / col("q_norm") / col("c_norm"))
+          .as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): paraphrase-
     * level duplicates that share no n-grams still land in the same
     * embedding neighborhood, so cluster first and compare pairwise

@@ -142,6 +142,48 @@ object EventStream {
       .toDF(groupCol, "item", "n_occurrences")
   }
 
+  /** Streaming Count-Min sketch: the CMS counters
+    * ([[graft.functions.CmsBuffer]]) as keyed streaming state — the
+    * continuous any-key frequency monitor next to
+    * [[streamingHeavyHitters]]'s head-only summary. Each micro-batch
+    * folds its keys into the group's depth×width buffer and emits the
+    * refreshed sketch (plus the running item total, so consumers — and
+    * the parity spec — can identify the latest snapshot without batch
+    * ordering); state NEVER grows with the stream or the key space.
+    * Because the fold is the SAME deterministic counter addition the
+    * batch aggregate performs, the final streaming sketch is
+    * bit-identical to `cms_sketch` over the whole feed (spec-pinned).
+    */
+  def streamingCms(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                   groupCol: String, keyCol: String,
+                   depth: Int, width: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.Encoders
+    import graft.functions.{CmsBuffer, HllSketch}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr(groupCol, keyCol)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Array[Byte])]) =>
+          val (n0, prev) = state.getOption.getOrElse((0L, Array.emptyByteArray))
+          val buf = if (prev.isEmpty) new CmsBuffer(depth, width)
+            else CmsBuffer.deserialize(prev)
+          var n = n0
+          rows.foreach { r =>
+            buf.add(HllSketch.hashValue(r._2, LongType)); n += 1
+          }
+          val ser = buf.serialize
+          state.update((n, ser))
+          (g, n, ser)
+      }(Encoders.product[(Long, Array[Byte])],
+        Encoders.product[(String, Long, Array[Byte])])
+      .toDF(groupCol, "n_items", "sketch")
+  }
+
   /** Continuous rollup maintenance — the streaming form of the
     * reference's connect-daemon + DBLoader + aggregation-scheduler
     * loop (chill.py:159-192). Each micro-batch writes its 5-minute

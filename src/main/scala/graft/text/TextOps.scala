@@ -593,6 +593,36 @@ object TextOps {
           col("avail_tokens")).as("epochs"))
   }
 
+  /** Temperature-scaled mixture weights (the multilingual α-sampling
+    * standard, α = 0.5): sampling probability ∝ tokens^α flattens the
+    * head so low-resource sources aren't drowned — the mT5/XLM-R
+    * recipe. Weights are FIXED-POINT: floor(sqrt(tokens)·1000) as
+    * BIGINT (sqrt is correctly-rounded IEEE, floor is exact), so the
+    * normalizer is an integer sum — order-independent where a double
+    * Σ sqrt would drift with partition/merge order and break
+    * engine-exactness. One per-source agg, a one-row broadcast
+    * normalizer, dimension-sized output — [[mixturePlan]]'s shape with
+    * a principled weight.
+    */
+  def mixtureTemperature(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val perSource = docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("avail_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("avail_tokens").cast("double")) * 1000).cast("long"))
+    val totals = perSource.agg(sum(col("w")).as("total_w"))
+    perSource
+      .join(broadcast(totals))
+      .withColumn("p", col("w").cast("double") / col("total_w"))
+      .withColumn("target_tokens",
+        floor(col("p") * budgetTokens).cast("long"))
+      .withColumn("upsample",
+        col("target_tokens").cast("double") / col("avail_tokens"))
+      .drop("total_w")
+  }
+
   def passageDedup(docs: DataFrame, chunkWords: Int, maxDf: Int): DataFrame = {
     val chunks = docs.select(col("doc_id"),
       posexplode(bind(split(col("text"), " ")) { w =>

@@ -156,6 +156,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS sketch is bit-identical to the batch aggregate") {
+    val stream = streaming.EventStream.readEventStream(spark, streamDir)
+    val q = streaming.EventStream
+      .streamingCms(stream.selectExpr("event_type", "user_id"),
+        "event_type", "user_id", 4, 256)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_cms").start()
+    try {
+      q.processAllAvailable()
+      // latest snapshot per group = the row with the largest item total
+      val got = spark.table("stream_cms").collect()
+        .groupBy(_.getString(0))
+        .map { case (g, rows) =>
+          g -> rows.maxBy(_.getLong(1)).getAs[Array[Byte]]("sketch")
+        }
+      import graft.functions.CmsFunctions._
+      val batch = Tables.events(spark, sf)
+        .groupBy(col("event_type"))
+        .agg(cmsSketch(col("user_id"), 4, 256).as("sk"))
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+      assert(got.keySet == batch.keySet)
+      got.foreach { case (g, sk) =>
+        assert(java.util.Arrays.equals(sk, batch(g)),
+          s"streaming CMS differs from batch for group $g")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate event_ids") {
     val dir = streamDir
     val stream = streaming.EventStream.readEventStream(spark, dir)

@@ -204,6 +204,43 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(2).getDouble(out(2).fieldIndex("pct_change")) == -0.2)
   }
 
+  test("mixture temperature: alpha=0.5 flattens the head, fixed-point " +
+    "weights normalize exactly") {
+    // sources with 100 and 10k tokens: plain proportional sampling
+    // gives the big source 100x the mass; sqrt gives it only 10x
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "small", Seq.fill(25)("w").mkString(" "))) ++
+        (5 to 8).map(i => (i.toLong, "big", Seq.fill(2500)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.mixtureTemperature(docs, 10000L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val small = out("small"); val big = out("big")
+    assert(small.getLong(small.fieldIndex("avail_tokens")) == 100L)
+    assert(big.getLong(big.fieldIndex("avail_tokens")) == 10000L)
+    // w = floor(sqrt(tokens)*1000): 10_000 and 100_000 -> ratio 10, not 100
+    assert(small.getLong(small.fieldIndex("w")) == 10000L)
+    assert(big.getLong(big.fieldIndex("w")) == 100000L)
+    val pSmall = small.getDouble(small.fieldIndex("p"))
+    assert(pSmall == 10000.0 / 110000.0)
+    assert(big.getDouble(big.fieldIndex("upsample")) <
+      small.getDouble(small.fieldIndex("upsample")))
+  }
+
+  test("hard negatives exclude same-label vectors and rank by cosine") {
+    val df = Seq(
+      (0L, 1, Seq(1f, 0f)),          // query, label 1
+      (1L, 1, Seq(0.999f, 0.01f)),   // same label: excluded however close
+      (2L, 2, Seq(0.9f, 0.1f)),      // different label, closest negative
+      (3L, 2, Seq(0f, 1f)),          // different label, orthogonal
+      (4L, 3, Seq(0.5f, 0.5f)))      // different label, middle
+      .toDF("vec_id", "label", "embedding")
+    val out = Ann.hardNegatives(df, df.filter(col("vec_id") === 0), 10)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(r.fieldIndex("neighbor_id")),
+        r.getInt(r.fieldIndex("rnk").toInt)))
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 3L))
+  }
+
   test("bpe pairs: counts adjacent char pairs, deterministic tie order") {
     val docs = Seq((1L, "abab ab x")).toDF("doc_id", "text")
     // "abab" -> ab, ba, ab; "ab" -> ab; "x" dropped (length 1)
