@@ -627,6 +627,22 @@ object SparkEntry {
         .select(col("event_type"), col("user_id"),
           cmsEstimate(col("sk"), col("user_id")).as("est_events"))
     }),
+    // D51: embedding drift between dataset versions — per-label
+    // centroid cosine + both populations (current = re-crawl that
+    // lost every 7th doc)
+    "q_embed_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.embedDrift(emb, emb.filter(col("vec_id") % 7 =!= 0), "label")
+    }),
+    // E39: BFS blast radius over the co-supplier graph, 3 unrolled
+    // rounds from the node % 10 == 0 seed set
+    "q_bfs_depth" -> ((s, dir) => {
+      val edges = Graph.coSupplierEdges(Tables.lineitem(s, dir), 30L)
+      val seeds = edges.select(col("s1").as("node"))
+        .unionByName(edges.select(col("s2").as("node")))
+        .filter(col("node") % 10 === 0).distinct()
+      Graph.bfsDepth(edges, seeds, 3)
+    }),
     // D14e: temperature-scaled mixture (alpha = 0.5 sampling) with
     // fixed-point integer weights so the normalizer is order-exact
     "q_mixture_temp" -> ((s, dir) =>
@@ -1897,6 +1913,55 @@ object SparkEntry {
         |   / lag(n_events) OVER (PARTITION BY event_type ORDER BY week_start)
         |   AS pct_change
         |FROM wk""".stripMargin,
+    // the two centroid CTEs reuse the VARCHAR-decimal exact-sum trick
+    // from q_source_similarity; cosine accumulates left-to-right
+    "q_embed_drift" ->
+      """WITH ma AS (
+        |  SELECT label, i - 1 AS pos,
+        |   CAST(CAST(sum(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+        |     AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / count(*) AS mean_v
+        |  FROM embeddings, range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |va AS (SELECT label, list(mean_v ORDER BY pos) AS cvec FROM ma GROUP BY 1),
+        |mb AS (
+        |  SELECT label, i - 1 AS pos,
+        |   CAST(CAST(sum(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+        |     AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / count(*) AS mean_v
+        |  FROM embeddings, range(1, 65) t(i)
+        |  WHERE vec_id % 7 <> 0
+        |  GROUP BY 1, 2),
+        |vb AS (SELECT label, list(mean_v ORDER BY pos) AS cvec FROM mb GROUP BY 1),
+        |na AS (SELECT label, count(*) AS n_base FROM embeddings GROUP BY 1),
+        |nb AS (SELECT label, count(*) AS n_current FROM embeddings
+        |  WHERE vec_id % 7 <> 0 GROUP BY 1)
+        |SELECT va.label, na.n_base, nb.n_current,
+        | list_dot_product(va.cvec, vb.cvec)
+        |   / sqrt(list_dot_product(va.cvec, va.cvec))
+        |   / sqrt(list_dot_product(vb.cvec, vb.cvec)) AS cos_sim
+        |FROM va JOIN vb USING (label) JOIN na USING (label) JOIN nb USING (label)""".stripMargin,
+    // same co-supplier graph as q_kcore; three unrolled expansions,
+    // first-visit depth kept by the NOT IN anti-joins
+    "q_bfs_depth" ->
+      """WITH supps AS (SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM supps a JOIN supps b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 30),
+        |e AS (SELECT s1 AS src, s2 AS dst FROM pairs
+        |      UNION ALL SELECT s2, s1 FROM pairs),
+        |d0 AS (SELECT DISTINCT src AS node, 0 AS depth FROM e WHERE src % 10 = 0),
+        |f1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN d0 ON e.src = d0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0)),
+        |d1 AS (SELECT node, depth FROM d0 UNION ALL SELECT node, 1 FROM f1),
+        |f2 AS (SELECT DISTINCT e.dst AS node FROM e
+        |  JOIN d1 ON e.src = d1.node AND d1.depth = 1
+        |  WHERE e.dst NOT IN (SELECT node FROM d1)),
+        |d2 AS (SELECT node, depth FROM d1 UNION ALL SELECT node, 2 FROM f2),
+        |f3 AS (SELECT DISTINCT e.dst AS node FROM e
+        |  JOIN d2 ON e.src = d2.node AND d2.depth = 2
+        |  WHERE e.dst NOT IN (SELECT node FROM d2))
+        |SELECT node, depth FROM d2 UNION ALL SELECT node, 3 FROM f3""".stripMargin,
     // fixed-point sqrt weights -> integer normalizer; every double op
     // is a fixed-shape expression both engines evaluate identically
     "q_mixture_temp" ->

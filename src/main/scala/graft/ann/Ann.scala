@@ -523,6 +523,27 @@ object Ann {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_v")))),
         s => s.getField("mean_v")).as("cvec"))
 
+  /** Embedding drift between two corpus versions: per-group cosine
+    * between the versions' centroids plus both population counts —
+    * the dataset-versioning monitor that catches a re-crawl or filter
+    * change silently shifting a label's embedding distribution
+    * (cos = 1 ⇒ unmoved). Two [[groupCentroids]] scans (exact decimal
+    * sums), pos-ordered double arrays so the cosine accumulates
+    * left-to-right like the oracle's list_dot_product; the join is
+    * group-count-sized — free at any corpus scale.
+    */
+  def embedDrift(base: DataFrame, current: DataFrame, groupCol: String): DataFrame = {
+    val a = centroidVectors(base, groupCol).withColumnRenamed("cvec", "va")
+    val b = centroidVectors(current, groupCol).withColumnRenamed("cvec", "vb")
+    val na = base.groupBy(col(groupCol)).agg(count(lit(1)).as("n_base"))
+    val nb = current.groupBy(col(groupCol)).agg(count(lit(1)).as("n_current"))
+    a.join(b, Seq(groupCol)).join(na, Seq(groupCol)).join(nb, Seq(groupCol))
+      .select(col(groupCol), col("n_base"), col("n_current"),
+        (ddot(col("va"), col("vb"))
+          / sqrt(ddot(col("va"), col("va")))
+          / sqrt(ddot(col("vb"), col("vb")))).as("cos_sim"))
+  }
+
   /** Centroid-outlier mining: per group, the `k` vectors with the
     * LOWEST cosine similarity to their own group's centroid — the
     * screen that surfaces mislabeled or noisy samples before a group

@@ -138,6 +138,38 @@ object Graph {
     out
   }
 
+  /** BFS hop distance from a seed set over an undirected canonical
+    * (s1 < s2) edge list: `rounds` synchronous frontier expansions
+    * (fixed count, like pageRank/kCore, so the unrolled oracle
+    * replays it exactly — nodes beyond `rounds` hops stay absent).
+    * The supply-chain "blast radius" query: which suppliers are ≤ N
+    * hops from a compromised set. Per round only the frontier and
+    * the visited (node, depth) tables move — the symmetrized edge
+    * list is persisted once and semi-joined, never reshuffled; the
+    * anti-join keeps first-visit depths (= shortest, by BFS order);
+    * depths localCheckpoint per round so plans stay leaves instead
+    * of nesting (the components() lesson).
+    */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(edges.select(col("s2").as("src"), col("s1").as("dst")))
+      .persist()
+    var depths = seeds
+      .select(col("node").cast("long").as("node"), lit(0).as("depth"))
+      .localCheckpoint()
+    (1 to rounds).foreach { r =>
+      val frontier = depths.filter(col("depth") === r - 1)
+        .select(col("node").as("src"))
+      val next = sym.join(frontier, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(depths.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(r).as("depth"))
+      depths = depths.unionByName(next).localCheckpoint()
+    }
+    sym.unpersist()
+    depths
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected canonical (s1 < s2) edge list, by degree-ordered
     * "compact-forward": every edge is oriented from its lower-(deg,

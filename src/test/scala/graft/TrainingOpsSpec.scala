@@ -204,6 +204,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(2).getDouble(out(2).fieldIndex("pct_change")) == -0.2)
   }
 
+  test("bfs depth: hop distances from seeds, unreached nodes absent, " +
+    "shortest depth wins") {
+    // path 0-1-2-3-4 plus a shortcut seed at 3: node 2 is reachable
+    // at depth 2 from seed 0 and depth 1 from seed 3 - BFS keeps 1
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("s1", "s2")
+    val seeds = Seq(0L, 3L).toDF("node")
+    val out = graft.operators.Graph.bfsDepth(edges, seeds, 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(0L -> 0, 3L -> 0, 1L -> 1, 2L -> 1, 4L -> 1))
+    // rounds=1 from seed 0 only: node 2 unreached -> absent
+    val short = graft.operators.Graph
+      .bfsDepth(edges, Seq(0L).toDF("node"), 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(short == Map(0L -> 0, 1L -> 1))
+  }
+
+  test("embed drift: identical snapshots cos ~ 1, a shifted version " +
+    "drifts below, counts reported per side") {
+    val base = embDf(Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0.8f, 0.2f)))
+      .withColumn("label", lit(7))
+    val same = Ann.embedDrift(base, base, "label").collect().head
+    assert(same.getDouble(same.fieldIndex("cos_sim")) > 0.9999999)
+    assert(same.getLong(same.fieldIndex("n_base")) == 3L)
+    val shifted = base.filter(col("vec_id") =!= 0L)
+    val drift = Ann.embedDrift(base, shifted, "label").collect().head
+    assert(drift.getLong(drift.fieldIndex("n_current")) == 2L)
+    assert(drift.getDouble(drift.fieldIndex("cos_sim")) <
+      same.getDouble(same.fieldIndex("cos_sim")))
+  }
+
   test("mixture temperature: alpha=0.5 flattens the head, fixed-point " +
     "weights normalize exactly") {
     // sources with 100 and 10k tokens: plain proportional sampling
