@@ -953,7 +953,38 @@ object SparkEntry {
           // (scale-4 integers < 2^53: correctly rounded both engines)
           sum(rev).cast("decimal(38,4)").cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
-    })
+    }),
+    // D52: exact Mann-Whitney AUC per source — does length predict
+    // English? (the filter-evaluation shape; doubled midranks keep
+    // tie handling integral, one IEEE division at the end)
+    "q_auc" -> ((s, dir) =>
+      graft.text.Evaluate.aucByGroup(Tables.documents(s, dir),
+        col("n_chars"), (col("lang") === "en").cast("int"), col("source"))),
+    // D53: calibration bins — integer milli-probability score
+    // (n_chars/2 capped at 1000) vs the lang=en label, 10 bins
+    "q_calibration" -> ((s, dir) =>
+      graft.text.Evaluate.calibrationBins(Tables.documents(s, dir),
+        least(floor(col("n_chars") / 2), lit(1000L)),
+        (col("lang") === "en").cast("int"), 10)),
+    // D54: Cohen's kappa between two heuristic labelers (different
+    // keyword rule sets over the same documents)
+    "q_kappa" -> ((s, dir) => {
+      val t = col("text")
+      val a = when(regexp_count(t, lit("\\bcustomer\\b")) > 0, "commerce")
+        .when(regexp_count(t, lit("\\bspark\\b")) > 0, "tech")
+        .otherwise("other")
+      val b = when(regexp_count(t, lit("\\border\\b")) > 0, "commerce")
+        .when(regexp_count(t, lit("\\bstream\\b")) > 0, "tech")
+        .otherwise("other")
+      graft.text.Evaluate.cohenKappa(Tables.documents(s, dir), a, b)
+    }),
+    // E40: RFM customer segmentation over orders, 5 tiers per axis
+    "q_rfm" -> ((s, dir) =>
+      graft.operators.Analytics.rfmSegments(Tables.orders(s, dir), 5)),
+    // E41: market-basket association rules over order baskets,
+    // min support 3 baskets
+    "q_basket_lift" -> ((s, dir) =>
+      graft.operators.Analytics.basketLift(Tables.lineitem(s, dir), 3))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -2749,6 +2780,95 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // doubled midranks replay Spark's rank2 = 2*rank + peers - 1
+    // exactly; AUC is the one double division
+    "q_auc" ->
+      """WITH s AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+        |r AS (SELECT grp, pos,
+        |    2*rank() OVER (PARTITION BY grp ORDER BY score)
+        |      + count(*) OVER (PARTITION BY grp, score) - 1 AS rank2 FROM s),
+        |a AS (SELECT grp,
+        |    CAST(coalesce(sum(CASE WHEN pos = 1 THEN rank2 END), 0) AS BIGINT) AS r2_pos,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(1 - pos) AS BIGINT) AS n_neg FROM r GROUP BY 1)
+        |SELECT grp, r2_pos, n_pos, n_neg,
+        | r2_pos - n_pos*(n_pos+1) AS u2,
+        | CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |      ELSE CAST(r2_pos - n_pos*(n_pos+1) AS DOUBLE)/(2.0*n_pos*n_neg)
+        | END AS auc
+        |FROM a""".stripMargin,
+    // integer bucket edges and exact integer sums; the two rates are
+    // the only doubles
+    "q_calibration" ->
+      """WITH s AS (SELECT least(CAST(floor(n_chars / 2) AS BIGINT), 1000) AS sm,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+        |b AS (SELECT least(CAST(floor(sm / 100) AS BIGINT), 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(sm) AS BIGINT) AS sum_milli,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos
+        |  FROM s GROUP BY 1)
+        |SELECT bin, n, sum_milli, n_pos,
+        | CAST(sum_milli AS DOUBLE)/(1000.0*n) AS mean_pred,
+        | CAST(n_pos AS DOUBLE)/n AS frac_pos
+        |FROM b""".stripMargin,
+    // the same two keyword labelers; kappa from exact BIGINT terms
+    "q_kappa" ->
+      """WITH l AS (SELECT
+        |   CASE WHEN len(regexp_extract_all(text, '\bcustomer\b')) > 0 THEN 'commerce'
+        |        WHEN len(regexp_extract_all(text, '\bspark\b')) > 0 THEN 'tech'
+        |        ELSE 'other' END AS a,
+        |   CASE WHEN len(regexp_extract_all(text, '\border\b')) > 0 THEN 'commerce'
+        |        WHEN len(regexp_extract_all(text, '\bstream\b')) > 0 THEN 'tech'
+        |        ELSE 'other' END AS b
+        |  FROM documents),
+        |cm AS (SELECT a, b, count(*) AS c FROM l GROUP BY 1, 2),
+        |rt AS (SELECT a AS lab, CAST(sum(c) AS BIGINT) AS rt FROM cm GROUP BY 1),
+        |ct AS (SELECT b AS lab, CAST(sum(c) AS BIGINT) AS ct FROM cm GROUP BY 1),
+        |s AS (SELECT CAST(coalesce(sum(rt.rt*ct.ct), 0) AS BIGINT) AS sum_rc
+        |  FROM rt JOIN ct ON rt.lab = ct.lab),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT) AS agree
+        |  FROM cm)
+        |SELECT n, agree, sum_rc,
+        | CASE WHEN n*n = sum_rc THEN NULL
+        |      ELSE CAST(n*agree - sum_rc AS DOUBLE)/CAST(n*n - sum_rc AS DOUBLE)
+        | END AS kappa
+        |FROM t, s""".stripMargin,
+    // ntile under the same TOTAL (metric desc, custkey) orders; the
+    // monetary sum stays DECIMAL(18,2) until the final double cast
+    "q_rfm" ->
+      """WITH per AS (SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary_d
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT custkey, last_order, frequency, monetary_d,
+        |    ntile(5) OVER (ORDER BY last_order DESC, custkey) AS r_tier,
+        |    ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_tier,
+        |    ntile(5) OVER (ORDER BY monetary_d DESC, custkey) AS m_tier
+        |  FROM per)
+        |SELECT custkey, last_order, frequency,
+        | CAST(monetary_d AS DOUBLE) AS monetary, r_tier, f_tier, m_tier,
+        | CAST(r_tier AS VARCHAR) || CAST(f_tier AS VARCHAR)
+        |   || CAST(m_tier AS VARCHAR) AS segment
+        |FROM t""".stripMargin,
+    // the naive basket self-join the Spark side avoids; identical
+    // support counts, confidence and lift are single IEEE divisions
+    "q_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket,
+        |    CAST(l_partkey AS BIGINT) AS item FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM items),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, c_ab, ca.c AS c_a, cb.c AS c_b, n.n_baskets,
+        | CAST(c_ab AS DOUBLE)/ca.c AS confidence,
+        | CAST(n.n_baskets*c_ab AS DOUBLE)/(ca.c*cb.c) AS lift
+        |FROM p JOIN ic ca ON ca.item = p.item_a
+        |JOIN ic cb ON cb.item = p.item_b CROSS JOIN n
+        |WHERE c_ab >= 3""".stripMargin
   )
 }

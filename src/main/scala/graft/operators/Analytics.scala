@@ -753,4 +753,82 @@ object Analytics {
       .withColumn("delta", col("n_events") - col("prev_n"))
       .withColumn("pct_change", col("delta").cast("double") / col("prev_n"))
   }
+
+  /** RFM customer segmentation: recency (latest order date),
+    * frequency (order count), monetary (DECIMAL(18,2)-exact spend —
+    * order-independent where a double sum drifts), each cut into
+    * `nTiles` equal-count tiers by an `ntile` window under a TOTAL
+    * (metric, custkey) order, so tier edges are engine-deterministic
+    * (tier 1 = best: most recent / most orders / highest spend). The
+    * fact feed collapses to one row per customer in the first
+    * partial-aggregated pass, so the three windows consume the
+    * customer-dimension table, not the feed. They are unpartitioned —
+    * exact ntile IS a global sort — which holds to ~10⁸ customers; at
+    * open scale swap the cut points to `approx_percentile` thresholds
+    * broadcast back over the same aggregate (bucket-by-comparison,
+    * no global window), keeping this exact form as the oracle shape.
+    */
+  def rfmSegments(orders: DataFrame, nTiles: Int = 5): DataFrame = {
+    val per = orders
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary_d"))
+    def tier(order: Seq[org.apache.spark.sql.Column]) =
+      ntile(nTiles).over(Window.orderBy(order: _*))
+    per
+      .withColumn("r_tier", tier(Seq(col("last_order").desc, col("custkey").asc)))
+      .withColumn("f_tier", tier(Seq(col("frequency").desc, col("custkey").asc)))
+      .withColumn("m_tier", tier(Seq(col("monetary_d").desc, col("custkey").asc)))
+      .withColumn("segment",
+        concat(col("r_tier"), col("f_tier"), col("m_tier")))
+      .select(col("custkey"), col("last_order"), col("frequency"),
+        col("monetary_d").cast("double").as("monetary"),
+        col("r_tier"), col("f_tier"), col("m_tier"), col("segment"))
+  }
+
+  /** Market-basket association rules: for every item pair co-occurring
+    * in at least `minSupport` baskets, the support counts plus
+    * `confidence = c_ab/c_a` and `lift = n·c_ab/(c_a·c_b)` (exact
+    * BIGINT terms, one IEEE division each). The pair table comes from
+    * ONE fact scan — per-basket sorted distinct item set (bounded by
+    * basket width) expanded in-map by the native PairCombos kernel —
+    * never the items×items self-join on the basket key, which
+    * shuffles the feed twice and explodes before aggregating (the
+    * coSupplierEdges discipline). Item totals are dimension-sized and
+    * broadcast back onto the surviving pairs; the basket count rides
+    * a one-row broadcast anchor. At 100 TB the only guard needed is a
+    * basket-width cap before expansion (quadratic in the single
+    * widest basket, like every pair miner).
+    */
+  def basketLift(lineitem: DataFrame, minSupport: Long): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("basket"),
+        col("l_partkey").cast("long").as("item"))
+      .distinct()
+    val nBaskets = items.agg(count_distinct(col("basket")).as("n_baskets"))
+    val itemCnt = items.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    items
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+      .select(explode(
+        graft.functions.TextHashFunctions.pairCombos(col("its"))).as("p"))
+      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+      .join(broadcast(itemCnt.withColumnRenamed("c", "c_a")),
+        col("item_a") === col("item"))
+      .drop("item")
+      .join(broadcast(itemCnt.withColumnRenamed("c", "c_b")),
+        col("item_b") === col("item"))
+      .drop("item")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("confidence", col("c_ab").cast("double") / col("c_a"))
+      .withColumn("lift",
+        (col("n_baskets") * col("c_ab")).cast("double")
+          / (col("c_a") * col("c_b")))
+      .select(col("item_a"), col("item_b"), col("c_ab"), col("c_a"),
+        col("c_b"), col("n_baskets"), col("confidence"), col("lift"))
+  }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+import graft.text.Evaluate
+
+/** Specs for the evaluation-metric family (exact AUC, calibration
+  * bins, Cohen's kappa) and the RFM / market-basket warehouse ops.
+  */
+class EvalOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def scored(rows: Seq[(String, Long, Int)]) =
+    rows.toDF("grp", "score", "pos")
+
+  test("AUC is 1 for perfect separation, 0 for perfectly inverted") {
+    val perfect = scored(Seq(("g", 1L, 0), ("g", 2L, 0), ("g", 3L, 1), ("g", 4L, 1)))
+    val out = Evaluate.aucByGroup(perfect, col("score"), col("pos"), col("grp"))
+      .collect().head
+    assert(out.getAs[Double]("auc") == 1.0)
+    val inverted = scored(Seq(("g", 4L, 0), ("g", 3L, 0), ("g", 2L, 1), ("g", 1L, 1)))
+    val out2 = Evaluate.aucByGroup(inverted, col("score"), col("pos"), col("grp"))
+      .collect().head
+    assert(out2.getAs[Double]("auc") == 0.0)
+  }
+
+  test("AUC midrank tie handling: all-tied scores give exactly 0.5, " +
+    "and a half-informative score gives the hand value") {
+    val tied = scored(Seq(("g", 7L, 0), ("g", 7L, 1), ("g", 7L, 0), ("g", 7L, 1)))
+    val a = Evaluate.aucByGroup(tied, col("score"), col("pos"), col("grp"))
+      .collect().head
+    assert(a.getAs[Double]("auc") == 0.5)
+    // scores: neg {1, 3}, pos {3, 5} -> pairs: (1<3)=1, (1<5)=1,
+    // (3,3)=0.5, (3<5)=1 -> AUC = 3.5/4
+    val half = scored(Seq(("g", 1L, 0), ("g", 3L, 0), ("g", 3L, 1), ("g", 5L, 1)))
+    val b = Evaluate.aucByGroup(half, col("score"), col("pos"), col("grp"))
+      .collect().head
+    assert(b.getAs[Double]("auc") == 3.5 / 4)
+  }
+
+  test("AUC is null for single-class groups and groups stay independent") {
+    val df = scored(Seq(("only_pos", 1L, 1), ("only_pos", 2L, 1),
+      ("mixed", 1L, 0), ("mixed", 2L, 1)))
+    val m = Evaluate.aucByGroup(df, col("score"), col("pos"), col("grp"))
+      .collect().map(r => r.getString(0) -> Option(r.getAs[java.lang.Double]("auc"))).toMap
+    assert(m("only_pos").isEmpty)
+    assert(m("mixed").contains(1.0))
+  }
+
+  test("calibration bins: exact counts, clamped top edge, exact rates") {
+    val df = Seq((0L, 0), (50L, 0), (100L, 1), (950L, 1), (1000L, 1))
+      .toDF("sm", "pos")
+    val out = Evaluate.calibrationBins(df, col("sm"), col("pos"), 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // bin 0: sm 0, 50; bin 1: sm 100; bin 9: sm 950 and clamped 1000
+    assert(out == Map(0L -> (2L, 50L, 0L), 1L -> (1L, 100L, 1L),
+      9L -> (2L, 1950L, 2L)))
+  }
+
+  test("kappa: identical labelers 1.0, hand-checked 2x2 value, " +
+    "degenerate single-label pair null") {
+    val same = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("x", "y")
+    val k1 = Evaluate.cohenKappa(same, col("x"), col("y")).collect().head
+    assert(k1.getAs[Double]("kappa") == 1.0)
+    // n=4, agree=2, rows a:2 b:2, cols a:2 b:2 -> sum_rc=8,
+    // kappa = (8-8)/(16-8) = 0
+    val indep = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")).toDF("x", "y")
+    val k2 = Evaluate.cohenKappa(indep, col("x"), col("y")).collect().head
+    assert(k2.getAs[Double]("kappa") == 0.0)
+    val degen = Seq(("a", "a"), ("a", "a")).toDF("x", "y")
+    val k3 = Evaluate.cohenKappa(degen, col("x"), col("y")).collect().head
+    assert(k3.isNullAt(k3.fieldIndex("kappa")))
+  }
+
+  test("RFM tiers: deterministic, 1 = best on each axis, segment concat") {
+    val orders = Seq(
+      // custkey, orderdate, totalprice
+      (1L, "2024-01-10", 500.0), (1L, "2024-03-01", 500.0),
+      (2L, "2024-02-01", 100.0),
+      (3L, "2024-01-01", 10.0),
+      (4L, "2023-12-01", 2000.0),
+      (5L, "2023-11-01", 50.0))
+      .toDF("o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("date")).drop("d")
+    val out = Analytics.rfmSegments(orders, 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("segment")).toMap
+    // recency order: 1 (Mar), 2 (Feb), 3 (Jan), 4 (Dec), 5 (Nov)
+    // frequency: 1 has 2 orders, rest 1 (tie -> custkey order)
+    // monetary: 4 (2000), 1 (1000), 2 (100), 5 (50), 3 (10)
+    assert(out == Map(1L -> "112", 2L -> "223", 3L -> "335",
+      4L -> "441", 5L -> "554"))
+    val again = Analytics.rfmSegments(orders, 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("segment")).toMap
+    assert(out == again)
+  }
+
+  test("basket lift: exact support, confidence, and lift on hand data") {
+    // baskets: {1,2,3}, {1,2}, {1,3}, {2} -> pair (1,2) in 2 baskets
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.basketLift(li, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getAs[Double]("confidence"), r.getAs[Double]("lift"))).toMap
+    // c_1=3, c_2=3, c_3=2, n=4
+    // (1,2): c_ab=2, conf=2/3, lift=4*2/(3*3)
+    // (1,3): c_ab=2, conf=2/3, lift=4*2/(3*2)
+    assert(out.keySet == Set((1L, 2L), (1L, 3L)))
+    assert(out((1L, 2L)) == ((2L, 2.0 / 3, 8.0 / 9)))
+    assert(out((1L, 3L)) == ((2L, 2.0 / 3, 8.0 / 6)))
+  }
+
+  test("basket lift dedups repeated lines of the same part in a basket") {
+    val li = Seq((10L, 1L), (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Analytics.basketLift(li, 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 2L)
+  }
+}
