@@ -984,7 +984,15 @@ object SparkEntry {
     // E41: market-basket association rules over order baskets,
     // min support 3 baskets
     "q_basket_lift" -> ((s, dir) =>
-      graft.operators.Analytics.basketLift(Tables.lineitem(s, dir), 3))
+      graft.operators.Analytics.basketLift(Tables.lineitem(s, dir), 3)),
+    // D55: exact covariance matrix of the quantized corpus — one scan
+    // through the VecMoments kernel, one ~d²/2-long buffer per task
+    "q_embed_cov" -> ((s, dir) =>
+      Ann.embedCovariance(Tables.embeddings(s, dir))),
+    // D56: deterministic ±1 random projection to 16 dims (long-form
+    // for grading; integer end-to-end)
+    "q_rand_proj" -> ((s, dir) =>
+      Ann.randomProjection(Tables.embeddings(s, dir), 16))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -2869,6 +2877,44 @@ object SparkEntry {
         | CAST(n.n_baskets*c_ab AS DOUBLE)/(ca.c*cb.c) AS lift
         |FROM p JOIN ic ca ON ca.item = p.item_a
         |JOIN ic cb ON cb.item = p.item_b CROSS JOIN n
-        |WHERE c_ab >= 3""".stripMargin
+        |WHERE c_ab >= 3""".stripMargin,
+    // the naive per-row pair explosion the Spark kernel avoids;
+    // identical BIGINT moments, cov is the one double division
+    "q_embed_cov" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+        |  FROM embeddings),
+        |e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CASE WHEN max_abs = 0 THEN 0
+        |     ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS INT)
+        |     END) AS qvec
+        |  FROM s),
+        |x AS (SELECT vec_id, unnest(qvec) AS v,
+        |   unnest(generate_series(1, len(qvec))) AS i FROM e),
+        |p AS (SELECT a.i AS i, b.i AS j,
+        |   CAST(sum(CAST(a.v AS BIGINT) * b.v) AS BIGINT) AS sxy
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+        |m AS (SELECT i, CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS s FROM x GROUP BY 1),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+        |SELECT p.i, p.j, cnt.n, ma.s AS s_i, mb.s AS s_j, p.sxy,
+        | CAST(cnt.n*p.sxy - ma.s*mb.s AS DOUBLE)/(CAST(cnt.n AS DOUBLE)*cnt.n) AS cov
+        |FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j CROSS JOIN cnt""".stripMargin,
+    // the same integer sign hash; every term BIGINT so pv is exact
+    "q_rand_proj" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+        |  FROM embeddings),
+        |e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CASE WHEN max_abs = 0 THEN 0
+        |     ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS INT)
+        |     END) AS qvec
+        |  FROM s),
+        |ks AS (SELECT unnest(generate_series(1, 16)) AS k)
+        |SELECT vec_id, k,
+        | CAST(list_sum(list_transform(generate_series(1, len(qvec)),
+        |   j -> CAST(qvec[j] AS BIGINT)
+        |     * CASE WHEN ((j*73856093 + k*19349663) % 97) % 2 = 0
+        |            THEN 1 ELSE -1 END)) AS BIGINT) AS pv
+        |FROM e CROSS JOIN ks""".stripMargin
   )
 }

@@ -313,4 +313,58 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(out(1L) == 2.5)
     assert(out(2L) == 0.25)
   }
+
+  test("vec_moments kernel: exact hand values, partition-order-proof") {
+    import graft.functions.MomentsFunctions.vecMoments
+    val df = Seq(Seq(1, 2), Seq(3, 4)).toDF("qvec")
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val m = d.agg(vecMoments(col("qvec")).as("m")).select("m.*").collect().head
+      (m.getLong(0), m.getSeq[Long](1),
+        m.getSeq[org.apache.spark.sql.Row](2)
+          .map(p => (p.getInt(0), p.getInt(1)) -> p.getLong(2)).toMap)
+    }
+    val (n, s, sxy) = run(df)
+    assert(n == 2L && s == Seq(4L, 6L))
+    // (1,1): 1+9, (1,2): 2+12, (2,2): 4+16
+    assert(sxy == Map((1, 1) -> 10L, (1, 2) -> 14L, (2, 2) -> 20L))
+    assert(run(df.repartition(7)) == ((n, s, sxy)))
+  }
+
+  test("embedCovariance matches a naive driver-side computation") {
+    val vecs = Seq(
+      Seq(1f, 0f, 2f), Seq(0f, 1f, 2f), Seq(2f, 2f, 0f), Seq(1f, 1f, 1f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    // replay the quantization: round-half-up to int8 range
+    val q = vecs.map { v =>
+      val m = v.map(math.abs).max
+      v.map(x => math.floor(x * 127.0 / m + 0.5).toLong)
+    }
+    val nL = q.length.toLong
+    val out = Ann.embedCovariance(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    for (i <- 1 to 3; j <- i to 3) {
+      val si = q.map(_(i - 1)).sum
+      val sj = q.map(_(j - 1)).sum
+      val sxy = q.map(v => v(i - 1) * v(j - 1)).sum
+      val cov = (nL * sxy - si * sj).toDouble / (nL.toDouble * nL)
+      assert(out((i, j)) == ((si, sj, sxy, cov)), s"pair ($i,$j)")
+    }
+  }
+
+  test("random projection: exact sign formula, full output, deterministic") {
+    val df = Seq((0L, Seq(127f, -127f))).toDF("vec_id", "embedding")
+    // quantizes to (127, -127); sign(j,k) from the fixed hash
+    def sign(j: Long, k: Long): Long =
+      if (((j * 73856093L + k * 19349663L) % 97) % 2 == 0) 1L else -1L
+    val out = Ann.randomProjection(df, 16).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out.keySet == (1 to 16).toSet)
+    for (k <- 1 to 16)
+      assert(out(k) == 127L * sign(1, k) - 127L * sign(2, k), s"k=$k")
+    val again = Ann.randomProjection(df, 16).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out == again)
+  }
 }
