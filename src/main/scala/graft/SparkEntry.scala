@@ -992,7 +992,24 @@ object SparkEntry {
     // D56: deterministic ±1 random projection to 16 dims (long-form
     // for grading; integer end-to-end)
     "q_rand_proj" -> ((s, dir) =>
-      Ann.randomProjection(Tables.embeddings(s, dir), 16))
+      Ann.randomProjection(Tables.embeddings(s, dir), 16)),
+    // B18: two-threshold alarm state machine over daily volumes —
+    // ON above 1.2× average, OFF below 0.8×, hold in the dead band
+    "q_alarm_hysteresis" -> ((s, dir) =>
+      graft.operators.Kpi.alarmHysteresis(Tables.events(s, dir))),
+    // E43: 2-round synchronous label propagation over the co-supplier
+    // graph (deterministic majority, min-label tie-break)
+    "q_label_prop" -> ((s, dir) =>
+      Graph.labelPropagation(
+        Graph.coSupplierEdges(Tables.lineitem(s, dir), 30L), 2)),
+    // E44: top-20 behavioral trigram paths over per-user sequences
+    "q_event_paths" -> ((s, dir) =>
+      Analytics.eventPaths(Tables.events(s, dir), 20)),
+    // B19: gaps-and-islands outage report — the deterministic
+    // day-of-month thinning plants real multi-day gaps in the feed
+    "q_data_gaps" -> ((s, dir) =>
+      Analytics.dataGaps(
+        Tables.events(s, dir).filter(dayofmonth(col("ts")) % 5 =!= 0)))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -2915,6 +2932,66 @@ object SparkEntry {
         |   j -> CAST(qvec[j] AS BIGINT)
         |     * CASE WHEN ((j*73856093 + k*19349663) % 97) % 2 = 0
         |            THEN 1 ELSE -1 END)) AS BIGINT) AS pv
-        |FROM e CROSS JOIN ks""".stripMargin
+        |FROM e CROSS JOIN ks""".stripMargin,
+    // integer cross-multiplied thresholds; the state carry is the
+    // same IGNORE NULLS running window
+    "q_alarm_hysteresis" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+        |e AS (SELECT d.event_type, d.day, d.n_events,
+        |    CASE WHEN d.n_events*t.n_days*5 > t.total*6 THEN 'on'
+        |         WHEN d.n_events*t.n_days*5 < t.total*4 THEN 'off' END AS edge
+        |  FROM daily d JOIN tot t USING (event_type))
+        |SELECT event_type, day, n_events, edge,
+        | coalesce(last_value(edge IGNORE NULLS) OVER (
+        |   PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'off') AS alarm
+        |FROM e""".stripMargin,
+    // two unrolled synchronous LPA rounds; majority = row_number
+    // under the same (count desc, label) total order
+    "q_label_prop" ->
+      """WITH supps AS (SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM supps a JOIN supps b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 30),
+        |e AS (SELECT s1 AS src, s2 AS dst FROM pairs
+        |      UNION ALL SELECT s2, s1 FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |c1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+        |  FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (SELECT node, label,
+        |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        |  FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+        |  FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (SELECT node, label,
+        |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        |  FROM c2) WHERE rn = 1)
+        |SELECT node, label FROM l2""".stripMargin,
+    // the same two leads under the (ts, event_id) total order; the
+    // (n desc, path) order makes LIMIT deterministic on both engines
+    "q_event_paths" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path FROM s
+        |  WHERE e3 IS NOT NULL)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // same thinning (day-of-month % 5), same lag-based island edges
+    "q_data_gaps" ->
+      """WITH days AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
+        |  FROM events WHERE date_part('day', ts) % 5 <> 0),
+        |l AS (SELECT event_type, day,
+        |    lag(day, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_day
+        |  FROM days)
+        |SELECT event_type, prev_day + 1 AS gap_start, day - 1 AS gap_end,
+        | CAST(date_diff('day', prev_day, day) - 1 AS INT) AS gap_days
+        |FROM l WHERE date_diff('day', prev_day, day) > 1""".stripMargin
   )
 }

@@ -754,6 +754,52 @@ object Analytics {
       .withColumn("pct_change", col("delta").cast("double") / col("prev_n"))
   }
 
+  /** Top event-type paths (behavioral trigrams): each user's event
+    * sequence in (ts, event_id) order — the unique id makes the
+    * order total, so both engines see the same sequence — yields one
+    * path per sliding 3-window via two `lead`s over ONE user_id
+    * exchange (never k self-joins), then a map-side-combined count
+    * per path (|types|³-bounded key space) and a deterministic
+    * (n desc, path) top-N cut through TakeOrderedAndProject. The
+    * Sankey/user-journey feed at any scale.
+    */
+  def eventPaths(events: DataFrame, topN: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(topN)
+  }
+
+  /** Data-gap report (gaps-and-islands): for each event type, every
+    * maximal run of days with NO data — start, end, and length —
+    * from one `lag` over the dimension-sized distinct (type, day)
+    * table (the feed collapses in the first partial-agg pass; the
+    * per-type window sorts days, not events). The complement of
+    * densifyDaily: instead of zero-filling silent days it names the
+    * outage intervals, which is what a feed-monitoring ticket wants.
+    */
+  def dataGaps(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    days
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .filter(datediff(col("day"), col("prev_day")) > 1)
+      .select(col("event_type"),
+        date_add(col("prev_day"), 1).as("gap_start"),
+        date_sub(col("day"), 1).as("gap_end"),
+        (datediff(col("day"), col("prev_day")) - 1).as("gap_days"))
+  }
+
   /** RFM customer segmentation: recency (latest order date),
     * frequency (order count), monetary (DECIMAL(18,2)-exact spend —
     * order-independent where a double sum drifts), each cut into

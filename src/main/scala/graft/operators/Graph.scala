@@ -170,6 +170,42 @@ object Graph {
     depths
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * over an undirected canonical (s1 < s2) edge list: every node
+    * starts labeled with its own id, and each of the fixed `rounds`
+    * relabels every node to its neighbors' MAJORITY label — ties
+    * broken deterministically to the smallest label via a `min` over
+    * (−count, label) structs, so every round is engine-replayable and
+    * the unrolled SQL oracle replays the whole run exactly (the
+    * pageRank/kCore discipline: fixed rounds, not loop-until-
+    * fixpoint — LPA famously oscillates, and a fixed-round
+    * deterministic variant is the reproducible form). Per round the
+    * once-persisted symmetrized edge list joins the dimension-sized
+    * label table and the majority is ONE map-side-combined count per
+    * (node, label) — only label-table-sized data moves; labels are
+    * localCheckpoint'ed so plans stay leaves.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(edges.select(col("s2").as("src"), col("s1").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      labels = sym
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("negc"), col("label").as("lab"))).as("b"))
+        .select(col("node"), col("b.lab").as("label"))
+        .localCheckpoint()
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected canonical (s1 < s2) edge list, by degree-ordered
     * "compact-forward": every edge is oriented from its lower-(deg,

@@ -63,4 +63,39 @@ object Kpi {
       "avg_value" -> col("sum_value") / col("n_events"),
       "error_rate" -> col("n_errors").cast("double") / col("n_events")))
   }
+
+  /** Two-threshold alarm state machine over daily per-type volumes —
+    * the hysteresis monitor a PM counter stack raises tickets from
+    * (alarm turns ON above `hiNum/den` × the type's average daily
+    * volume, OFF below `loNum/den` ×, and HOLDS its last state in
+    * the dead band, so a feed hovering at the threshold doesn't
+    * flap). Threshold tests are integer cross-multiplications
+    * (`count·n_days·den  vs  total·hiNum`) — no division anywhere —
+    * and the state carry is ONE `last(ignoreNulls)` window per type
+    * over the dimension-sized daily table (the feed collapses in the
+    * first partial-agg pass), the same engine-replayable shape as the
+    * DBL log parser's header carry. Days before any edge default to
+    * 'off'.
+    */
+  def alarmHysteresis(events: DataFrame, hiNum: Long = 6, loNum: Long = 4,
+                      den: Long = 5): DataFrame = {
+    require(hiNum > loNum, "hysteresis needs hiNum > loNum")
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("total"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .join(broadcast(tot), "event_type")
+      .withColumn("edge",
+        when(col("n_events") * col("n_days") * den > col("total") * hiNum, "on")
+          .when(col("n_events") * col("n_days") * den < col("total") * loNum, "off"))
+      .withColumn("alarm",
+        coalesce(last(col("edge"), ignoreNulls = true).over(w), lit("off")))
+      .select(col("event_type"), col("day"), col("n_events"), col("edge"),
+        col("alarm"))
+  }
 }

@@ -114,6 +114,64 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(out((1L, 3L)) == ((2L, 2.0 / 3, 8.0 / 6)))
   }
 
+  test("alarm hysteresis: on above hi, holds in the dead band, off below lo") {
+    // one type, five days, counts 10,10,30,12,5 -> total 67, n_days 5
+    // hi edge: 25c > 402 (c > 16.08) -> day 3; lo edge: 25c < 268
+    // (c < 10.72) -> days 1,2,5; day 4 (c=12) is dead band -> holds on
+    val counts = Seq(10, 10, 30, 12, 5)
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      (0 until c).map(i => (s"2024-01-0${d + 1} 0${i % 10}:00:00", "t"))
+    }
+    val ev = rows.toDF("tss", "event_type")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = graft.operators.Kpi.alarmHysteresis(ev)
+      .collect().map(r => r.getDate(1).toString ->
+        (Option(r.getString(3)), r.getString(4))).toMap
+    assert(out("2024-01-01") == ((Some("off"), "off")))
+    assert(out("2024-01-02") == ((Some("off"), "off")))
+    assert(out("2024-01-03") == ((Some("on"), "on")))
+    assert(out("2024-01-04") == ((None, "on"))) // dead band holds
+    assert(out("2024-01-05") == ((Some("off"), "off")))
+  }
+
+  test("label propagation: two disconnected triangles converge to " +
+    "their min labels in 2 rounds") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("s1", "s2")
+    val out = graft.operators.Graph.labelPropagation(edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("event paths: sliding trigrams per user in (ts, event_id) order") {
+    val ev = Seq(
+      (1L, 1L, "A", "2024-01-01 00:00:01"),
+      (1L, 2L, "B", "2024-01-01 00:00:02"),
+      (1L, 3L, "C", "2024-01-01 00:00:03"),
+      (1L, 4L, "D", "2024-01-01 00:00:04"),
+      (2L, 5L, "A", "2024-01-01 00:00:01"),
+      (2L, 6L, "B", "2024-01-01 00:00:02"),
+      (2L, 7L, "C", "2024-01-01 00:00:03"))
+      .toDF("user_id", "event_id", "event_type", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = Analytics.eventPaths(ev, 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("A>B>C" -> 2L, "B>C>D" -> 1L))
+  }
+
+  test("data gaps: maximal missing runs with exact bounds and lengths") {
+    val ev = Seq(1, 2, 5, 6, 10)
+      .map(d => ("t", f"2024-01-$d%02d 12:00:00"))
+      .toDF("event_type", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = Analytics.dataGaps(ev)
+      .collect().map(r => (r.getDate(1).toString, r.getDate(2).toString,
+        r.getInt(3))).toSet
+    assert(out == Set(("2024-01-03", "2024-01-04", 2),
+      ("2024-01-07", "2024-01-09", 3)))
+  }
+
   test("basket lift dedups repeated lines of the same part in a basket") {
     val li = Seq((10L, 1L), (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L))
       .toDF("l_orderkey", "l_partkey")
