@@ -1009,7 +1009,26 @@ object SparkEntry {
     // day-of-month thinning plants real multi-day gaps in the feed
     "q_data_gaps" -> ((s, dir) =>
       Analytics.dataGaps(
-        Tables.events(s, dir).filter(dayofmonth(col("ts")) % 5 =!= 0)))
+        Tables.events(s, dir).filter(dayofmonth(col("ts")) % 5 =!= 0))),
+    // D57: recall@10 of the int8-quantized ANN vs the exact float
+    // top-k — the QA gate before switching to the cheaper scorer
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.annRecall(emb, emb.filter(col("vec_id") < 5), 10)
+    }),
+    // E45: first-view → first-purchase delay summary (exact µs
+    // percentiles, B9 parity)
+    "q_time_to_convert" -> ((s, dir) =>
+      Analytics.timeToConvert(Tables.events(s, dir), "view", "purchase")),
+    // E46: adoption curve — per-day new users + running total
+    "q_adoption" -> ((s, dir) =>
+      Analytics.adoptionCurve(Tables.events(s, dir))),
+    // B20: feed-staleness report; the deterministic late-month error
+    // blackout plants a genuinely stale family
+    "q_staleness" -> ((s, dir) =>
+      graft.operators.Maintenance.feedStaleness(
+        Tables.events(s, dir).filter(
+          !(col("event_type") === "error" && dayofmonth(col("ts")) > 20))))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -2992,6 +3011,82 @@ object SparkEntry {
         |  FROM days)
         |SELECT event_type, prev_day + 1 AS gap_start, day - 1 AS gap_end,
         | CAST(date_diff('day', prev_day, day) - 1 AS INT) AS gap_days
-        |FROM l WHERE date_diff('day', prev_day, day) > 1""".stripMargin
+        |FROM l WHERE date_diff('day', prev_day, day) > 1""".stripMargin,
+    // both rankers replayed with their graded oracles' exact scoring
+    // and (cos desc, id) tie-break, so the sets are deterministic
+    "q_ann_recall" ->
+      """WITH fe AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |fq AS (SELECT vec_id AS query_id, emb AS qe FROM fe WHERE vec_id < 5),
+        |fs AS (SELECT fq.query_id, c.vec_id AS neighbor_id,
+        |   list_dot_product(fq.qe, c.emb)
+        |     / sqrt(list_dot_product(fq.qe, fq.qe))
+        |     / sqrt(list_dot_product(c.emb, c.emb)) AS cos_sim
+        |  FROM fq JOIN fe c ON c.vec_id <> fq.query_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM fs)
+        |  WHERE rnk <= 10),
+        |s AS (SELECT vec_id, embedding,
+        |   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+        |  FROM embeddings),
+        |e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CASE WHEN max_abs = 0 THEN 0
+        |     ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS INT)
+        |     END) AS qv
+        |  FROM s),
+        |d AS (SELECT vec_id, qv::DOUBLE[] AS qd FROM e),
+        |q AS (SELECT vec_id AS query_id, qd AS qe FROM d WHERE vec_id < 5),
+        |qs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |   list_dot_product(q.qe, c.qd)
+        |     / sqrt(list_dot_product(q.qe, q.qe))
+        |     / sqrt(list_dot_product(c.qd, c.qd)) AS cos_sim
+        |  FROM q JOIN d c ON c.vec_id <> q.query_id),
+        |ap AS (SELECT query_id, neighbor_id FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM qs)
+        |  WHERE rnk <= 10)
+        |SELECT ex.query_id, CAST(count(ap.neighbor_id) AS BIGINT) AS n_overlap,
+        | 10 AS k, CAST(count(ap.neighbor_id) AS DOUBLE)/10 AS recall
+        |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id
+        |  AND ap.neighbor_id = ex.neighbor_id
+        |GROUP BY 1""".stripMargin,
+    // the same first-view anchor and first-qualifying-purchase pick;
+    // quantile_cont interpolates exactly like Spark percentile
+    "q_time_to_convert" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_from
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT e.user_id, f.t_from, min(e.ts) AS t_to
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= f.t_from GROUP BY 1, 2),
+        |d AS (SELECT epoch_us(CAST(t_to AS TIMESTAMP))
+        |    - epoch_us(CAST(t_from AS TIMESTAMP)) AS delta_us FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(min(delta_us) AS BIGINT) AS min_us,
+        | CAST(max(delta_us) AS BIGINT) AS max_us,
+        | quantile_cont(delta_us, 0.5) AS p50_us,
+        | quantile_cont(delta_us, 0.9) AS p90_us
+        |FROM d""".stripMargin,
+    // first-seen day per user, then the running total over the
+    // days-sized table
+    "q_adoption" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+        |SELECT day, new_users,
+        | CAST(sum(new_users) OVER (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d""".stripMargin,
+    // same late-month error blackout; staleness is exact date math
+    "q_staleness" ->
+      """WITH e AS (SELECT * FROM events
+        |  WHERE NOT (event_type = 'error' AND date_part('day', ts) > 20)),
+        |p AS (SELECT event_type, max(CAST(ts AS DATE)) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY 1),
+        |a AS (SELECT max(last_day) AS feed_day FROM p)
+        |SELECT p.event_type, p.last_day, p.n_events, a.feed_day,
+        | CAST(date_diff('day', p.last_day, a.feed_day) AS INT) AS days_stale,
+        | date_diff('day', p.last_day, a.feed_day) > 0 AS is_stale
+        |FROM p CROSS JOIN a""".stripMargin
   )
 }

@@ -719,6 +719,28 @@ object Ann {
     graft.text.TextOps.sampleStratified(cells, Seq("cell_id"), "vec_id", k)
   }
 
+  /** Recall@k of the int8-quantized ANN path against the exact float
+    * top-k — the QA gate to run BEFORE switching a 100 TB corpus to
+    * the 4×-cheaper quantized scorer. Both rankers break cosine ties
+    * by neighbor id, so their top-k SETS are deterministic and the
+    * per-query overlap grades exactly; one k-row-per-query left join
+    * (both inputs already bounded by the heap top-k), recall =
+    * n_overlap/k is the single division.
+    */
+  def annRecall(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = quantizedTopK(quantizeInt8(corpus), quantizeInt8(queries), k)
+      .select(col("query_id").as("qid2"), col("neighbor_id").as("nid2"))
+    exact
+      .join(approx, col("query_id") === col("qid2")
+        && col("neighbor_id") === col("nid2"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("nid2")).as("n_overlap"))
+      .withColumn("k", lit(k))
+      .withColumn("recall", col("n_overlap").cast("double") / k)
+  }
+
   /** Exact covariance matrix of the int8-quantized corpus — the PCA /
     * whitening / Mahalanobis input, laid out as one row per
     * upper-triangle (i ≤ j, 1-based) dimension pair. ONE corpus scan

@@ -800,6 +800,55 @@ object Analytics {
         (datediff(col("day"), col("prev_day")) - 1).as("gap_days"))
   }
 
+  /** Time-to-convert: for every user whose first `from` event is
+    * followed (at or after it) by a `to` event, the µs delay between
+    * the first `from` and the first such `to` — then one summary row
+    * with exact count/min/max and interpolated p50/p90 (B9 parity:
+    * Spark `percentile` and DuckDB `quantile_cont` interpolate
+    * bit-identically over BIGINT µs). The first-`from` anchor is a
+    * conditional `min` window over the SAME user_id partitioning the
+    * follow-up aggregation groups on — one exchange end-to-end, never
+    * an events×events self-join; the final summary collapses the
+    * per-user table (one row per converted user) in a second
+    * partial-agg pass. At 100 TB swap the exact percentiles for
+    * `approx_percentile`, same shape.
+    */
+  def timeToConvert(events: DataFrame, from: String, to: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val conv = events
+      .withColumn("t_from",
+        min(when(col("event_type") === from, col("ts"))).over(w))
+      .filter(col("event_type") === to && col("ts") >= col("t_from"))
+      .groupBy(col("user_id"), col("t_from"))
+      .agg(min(col("ts")).as("t_to"))
+      .select((unix_micros(col("t_to")) - unix_micros(col("t_from")))
+        .as("delta_us"))
+    conv.agg(
+      count(lit(1)).as("n_users"),
+      min(col("delta_us")).as("min_us"),
+      max(col("delta_us")).as("max_us"),
+      percentile(col("delta_us"), lit(0.5)).as("p50_us"),
+      percentile(col("delta_us"), lit(0.9)).as("p90_us"))
+  }
+
+  /** Adoption curve: per-day NEW users (first-seen day) and the
+    * running total — the growth report. The feed collapses twice
+    * (user → first day, day → new-user count) before the one
+    * unpartitioned cumulative window, which consumes the days-sized
+    * table (the pareto discipline: a global window is safe only
+    * because its input is dimension-sized).
+    */
+  def adoptionCurve(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
   /** RFM customer segmentation: recency (latest order date),
     * frequency (order count), monetary (DECIMAL(18,2)-exact spend —
     * order-independent where a double sum drifts), each cut into

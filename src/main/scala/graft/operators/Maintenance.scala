@@ -160,4 +160,23 @@ object Maintenance {
         (from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k") % 10).as("error_code"))
       .groupBy(col("day"), col("error_code"))
       .agg(count(lit(1)).as("n_errors"))
+
+  /** Feed-staleness report: each counter family's last-seen day
+    * against the feed's overall latest day — the "which feed stopped
+    * arriving" ops check run before anyone trusts a rollup. One
+    * map-side-combined pass collapses the feed to |types| rows; the
+    * anchor day rides a one-row broadcast (never a second feed scan);
+    * `days_stale` and the flag are exact date arithmetic.
+    */
+  def feedStaleness(events: DataFrame): DataFrame = {
+    val perType = events
+      .groupBy(col("event_type"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("n_events"))
+    val anchor = perType.agg(max(col("last_day")).as("feed_day"))
+    perType
+      .crossJoin(broadcast(anchor))
+      .withColumn("days_stale", datediff(col("feed_day"), col("last_day")))
+      .withColumn("is_stale", col("days_stale") > 0)
+  }
 }

@@ -172,6 +172,64 @@ class EvalOpsSpec extends AnyFunSuite {
       ("2024-01-07", "2024-01-09", 3)))
   }
 
+  test("ann recall: perfect on separable data, bounded by k, one row per query") {
+    // 12 vectors in two tight clusters; quantization cannot reorder
+    // neighbors across clusters, so recall@3 is exactly 1
+    val emb = (0L until 6L).map(i => (i, Seq(1f, 0.01f * i, 0f))) ++
+      (6L until 12L).map(i => (i, Seq(0f, 0.01f * i, 1f)))
+    val df = emb.toDF("vec_id", "embedding")
+    val out = graft.ann.Ann.annRecall(df, df.filter(col("vec_id") < 2), 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Double]("recall"))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out.values.forall { case (n, rec) =>
+      n <= 3 && rec >= 0.0 && rec <= 1.0 })
+    assert(out.values.forall(_._2 == 1.0))
+  }
+
+  test("time to convert: first view anchors, earlier purchases ignored, " +
+    "non-converters excluded") {
+    val ev = Seq(
+      (1L, "purchase", "2024-01-01 00:00:05"), // before the first view
+      (1L, "view", "2024-01-01 00:00:10"),
+      (1L, "purchase", "2024-01-01 00:00:20"), // first qualifying: +10s
+      (1L, "purchase", "2024-01-01 00:00:30"),
+      (2L, "purchase", "2024-01-01 00:00:01"), // no view at all
+      (3L, "view", "2024-01-01 00:00:01")) // never converts
+      .toDF("user_id", "event_type", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val r = Analytics.timeToConvert(ev, "view", "purchase").collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 10000000L && r.getLong(2) == 10000000L)
+    assert(r.getDouble(3) == 1.0e7 && r.getDouble(4) == 1.0e7)
+  }
+
+  test("adoption curve: first-seen days and exact running total") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-03 10:00:00"),
+      (2L, "2024-01-01 11:00:00"),
+      (3L, "2024-01-03 09:00:00"))
+      .toDF("user_id", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = Analytics.adoptionCurve(ev)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("2024-01-01" -> ((2L, 2L)), "2024-01-03" -> ((1L, 3L))))
+  }
+
+  test("feed staleness: lagging family flagged with exact day count") {
+    val ev = Seq(
+      ("a", "2024-01-05 10:00:00"), ("a", "2024-01-01 10:00:00"),
+      ("b", "2024-01-03 10:00:00"))
+      .toDF("event_type", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = graft.operators.Maintenance.feedStaleness(ev)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(r.fieldIndex("days_stale")), r.getBoolean(r.fieldIndex("is_stale"))))
+      .toMap
+    assert(out == Map("a" -> ((0, false)), "b" -> ((2, true))))
+  }
+
   test("basket lift dedups repeated lines of the same part in a basket") {
     val li = Seq((10L, 1L), (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L))
       .toDF("l_orderkey", "l_partkey")
