@@ -401,6 +401,70 @@ class PlanAuditSpec extends AnyFunSuite {
       s"windows must sit above the aggregate in the plan tree:\n$p")
   }
 
+  test("basket lift: in-map pair expansion, dimension totals broadcast, " +
+    "no items-by-items shuffle join") {
+    val p = plan("q_basket_lift")
+    assert(p.contains("pair_combos"),
+      s"pairs must expand in-map via the PairCombos kernel:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"item totals must broadcast, not shuffle-join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both item-count joins must broadcast:\n$p")
+  }
+
+  test("auc: rank and peer-count share one exchange and one sort") {
+    val p = plan("q_auc")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"both windows and the final agg must share the group exchange:\n$p")
+    assert("\\bSort\\b".r.findAllIn(p).length <= 1,
+      s"rank and peers must share one sort:\n$p")
+  }
+
+  test("embed covariance: moments aggregate map-side, no pre-agg explode") {
+    val p = plan("q_embed_cov")
+    assert("vec_moments".r.findAllIn(p).nonEmpty,
+      s"expected the VecMoments kernel:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"moments must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a global moments agg needs only the single-partition exchange:\n$p")
+    // the d(d+1)/2 expansion must sit ABOVE the aggregate (one row in)
+    val genPos = p.indexOf("Generate")
+    val aggPos = p.indexOf("ObjectHashAggregate")
+    assert(genPos >= 0 && aggPos > genPos,
+      s"pair expansion must happen after aggregation:\n$p")
+  }
+
+  test("event paths: bounded top-N finish, no cartesian anywhere") {
+    val p = plan("q_event_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N must be a bounded TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"trigrams must come from windows, not self-joins:\n$p")
+  }
+
+  test("time to convert: anchor window and follow-up agg share the " +
+    "user exchange") {
+    val p = plan("q_time_to_convert")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"one user_id exchange end-to-end:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"never an events-by-events join:\n$p")
+  }
+
+  test("rfm: the feed collapses before any window sort") {
+    val p = plan("q_rfm")
+    assert(!p.contains("SortMergeJoin"))
+    // one customer-collapse exchange; the ntile windows run on the
+    // aggregate (single-partition exchanges, not hash ones)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"windows must consume the customer aggregate:\n$p")
+    val aggPos = p.indexOf("HashAggregate")
+    val winPos = p.indexOf("Window")
+    assert(winPos >= 0 && aggPos > winPos,
+      s"windows must sit above the aggregate in the plan tree:\n$p")
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
