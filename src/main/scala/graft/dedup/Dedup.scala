@@ -579,4 +579,28 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))
   }
+
+  /** Blocking-recall QA: how much of the EXACT near-dup pair set a
+    * candidate generator (banded MinHash, sorted neighborhood, …)
+    * actually surfaces — the number to check before trusting an
+    * approximate dedup pass at 100 TB, mirroring [[graft.ann.Ann.annRecall]]
+    * on the ANN side. Both inputs are (doc_a, doc_b) pair tables;
+    * the overlap is one pair-key left join, and recall/precision are
+    * the two final divisions over exact BIGINT counts. Output is one
+    * row regardless of corpus size.
+    */
+  def blockingRecall(exactPairs: DataFrame, candidatePairs: DataFrame): DataFrame = {
+    val e = exactPairs.select(col("doc_a"), col("doc_b"))
+    val c = candidatePairs.select(col("doc_a").as("ca"), col("doc_b").as("cb"))
+    val nCand = c.agg(count(lit(1)).as("n_candidates"))
+    e.join(c, col("doc_a") === col("ca") && col("doc_b") === col("cb"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("ca")).as("n_found"))
+      .crossJoin(broadcast(nCand))
+      .withColumn("recall",
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(col("n_found").cast("double") / col("n_exact")))
+      .withColumn("precision",
+        when(col("n_candidates") === 0, lit(null).cast("double"))
+          .otherwise(col("n_found").cast("double") / col("n_candidates")))
+  }
 }

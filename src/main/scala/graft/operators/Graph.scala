@@ -170,6 +170,25 @@ object Graph {
     depths
   }
 
+  /** Degree distribution of an undirected canonical (s1 < s2) edge
+    * list — the first question asked of any warehouse-mined graph
+    * (is it power-law? where do the hubs start?): node count per
+    * exact degree plus each degree's share of the node population.
+    * Two map-side-combined aggregations (edges → degrees → histogram)
+    * and a one-row broadcast total; output is bounded by the max
+    * degree at any graph size.
+    */
+  def degreeDistribution(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("s1").as("node"))
+      .unionByName(edges.select(col("s2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum(col("n_nodes")).as("n_total"))
+    hist
+      .crossJoin(broadcast(tot))
+      .withColumn("share", col("n_nodes").cast("double") / col("n_total"))
+  }
+
   /** Synchronous label-propagation communities (Raghavan et al. 2007)
     * over an undirected canonical (s1 < s2) edge list: every node
     * starts labeled with its own id, and each of the fixed `rounds`

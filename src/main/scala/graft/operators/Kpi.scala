@@ -64,6 +64,48 @@ object Kpi {
       "error_rate" -> col("n_errors").cast("double") / col("n_events")))
   }
 
+  /** Busy hour per counter family — THE telecom PM dimensioning KPI:
+    * the hour-of-day carrying the most traffic, with its share of the
+    * family's total. One map-side-combined pass collapses the feed to
+    * |types|×24 rows; the argmax is a deterministic (n desc, hr)
+    * `row_number` over that dimension-sized table and the share is
+    * the single division. Totals ride the same 24-row aggregate —
+    * no second feed scan.
+    */
+  def busyHour(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perHr = events
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("hr").asc)
+    val tot = Window.partitionBy(col("event_type"))
+    perHr
+      .withColumn("n_total", sum(col("n")).over(tot))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("hr").as("busy_hr"),
+        col("n").as("n_busy"), col("n_total"),
+        (col("n").cast("double") / col("n_total")).as("share"))
+  }
+
+  /** Day-of-week traffic profile per counter family (0 = Sunday, the
+    * DuckDB/ISO dow convention): exact counts and each day's share of
+    * the family total — the seasonality baseline every volume monitor
+    * should subtract before alarming. One partial-agg pass to
+    * |types|×7 rows; the share join is against a broadcast
+    * types-sized total.
+    */
+  def dowProfile(events: DataFrame): DataFrame = {
+    val perDow = events
+      .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val tot = perDow.groupBy(col("event_type")).agg(sum(col("n")).as("n_total"))
+    perDow
+      .join(broadcast(tot), "event_type")
+      .withColumn("share", col("n").cast("double") / col("n_total"))
+  }
+
   /** Two-threshold alarm state machine over daily per-type volumes —
     * the hysteresis monitor a PM counter stack raises tickets from
     * (alarm turns ON above `hiNum/den` × the type's average daily

@@ -230,6 +230,43 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(out == Map("a" -> ((0, false)), "b" -> ((2, true))))
   }
 
+  test("busy hour: deterministic argmax with hr tie-break, exact share") {
+    val ev = (Seq.fill(3)("2024-01-01 09:10:00") ++
+      Seq.fill(3)("2024-01-02 07:30:00") ++ // ties 3-3 -> hr 7 wins
+      Seq.fill(2)("2024-01-01 13:00:00"))
+      .map(t => ("t", t)).toDF("event_type", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val r = graft.operators.Kpi.busyHour(ev).collect().head
+    assert(r.getInt(1) == 7 && r.getLong(2) == 3L && r.getLong(3) == 8L)
+    assert(r.getDouble(4) == 3.0 / 8)
+  }
+
+  test("dow profile: 0 = Sunday, shares sum to one per family") {
+    // 2024-01-07 is a Sunday
+    val ev = Seq(("t", "2024-01-07 10:00:00"), ("t", "2024-01-08 10:00:00"),
+      ("t", "2024-01-08 11:00:00"))
+      .toDF("event_type", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = graft.operators.Kpi.dowProfile(ev)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(4))).toMap
+    assert(out == Map(0 -> ((1L, 1.0 / 3)), 1 -> ((2L, 2.0 / 3))))
+  }
+
+  test("degree distribution: exact histogram and shares on a path graph") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s1", "s2")
+    val out = graft.operators.Graph.degreeDistribution(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out == Map(1L -> ((2L, 2.0 / 3)), 2L -> ((1L, 1.0 / 3))))
+  }
+
+  test("blocking recall: partial candidate coverage measured exactly") {
+    val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val cand = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val r = graft.dedup.Dedup.blockingRecall(exact, cand).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 2.0 / 3 && r.getDouble(4) == 2.0 / 4)
+  }
+
   test("basket lift dedups repeated lines of the same part in a basket") {
     val li = Seq((10L, 1L), (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L))
       .toDF("l_orderkey", "l_partkey")
