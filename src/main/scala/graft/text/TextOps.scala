@@ -728,6 +728,69 @@ object TextOps {
         col("n_novel").cast("double") / col("n_grams"))
   }
 
+  /** Cross-source quantile normalization: each document's score is
+    * replaced by the POOLED score at the same within-source quantile
+    * — the strong form of [[percentRankBySource]]'s calibration
+    * (identical-distribution output, not just comparable ranks; the
+    * microarray-style quantile normalization applied to corpus
+    * scores). Exact and engine-deterministic: within-source rank and
+    * pooled rank both order by (score, doc_id), and the mapping is
+    * pure integer arithmetic — ceil(rank·N_pool/N_src) — joined
+    * against the pooled rank table, no interpolation, no floats
+    * until never. The pooled rank is ONE global sort of the
+    * corpus-sized (score, doc_id) projection — the same discipline as
+    * decile/zorder: exact form is the oracle shape; at open scale
+    * swap the pooled table for `approx_percentile` cut points at,
+    * say, 10⁴ grid quantiles and keep everything else unchanged.
+    */
+  def quantileNormalize(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.select(col("doc_id"), col("source"),
+      col("n_chars").cast("long").as("score"))
+    val ranked = s
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("score"), col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val pooled = s.select(col("score").as("pool_score"), col("doc_id"))
+      .withColumn("prk", row_number().over(
+        Window.orderBy(col("pool_score"), col("doc_id"))))
+      .drop("doc_id")
+    val nPool = s.agg(count(lit(1)).as("n_pool"))
+    ranked
+      .crossJoin(broadcast(nPool))
+      .withColumn("target",
+        expr("(rk * n_pool + n_src - 1) div n_src"))
+      .join(pooled, col("prk") === col("target"))
+      .select(col("doc_id"), col("source"), col("score"),
+        col("pool_score").as("norm_score"))
+  }
+
+  /** Vocabulary growth curve (the Heaps-law profile): cumulative
+    * distinct word n-grams after each `bucket`-document prefix of the
+    * corpus, in doc_id (ingestion) order — the dataset-size planning
+    * curve ("how much new text does the next crawl actually add?").
+    * Each gram collapses to its FIRST document in one
+    * map-side-combined min-agg (never a cumulative-distinct window,
+    * which cannot partial-aggregate); the bucket histogram and one
+    * running sum over the |buckets|-sized table finish the job. At
+    * 100 TB hash grams to 8-byte longs before the min-agg, same note
+    * as [[novelty]].
+    */
+  def vocabGrowth(docs: DataFrame, n: Int, bucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDoc = docs.select(col("doc_id"),
+        explode(bind(split(col("text"), " "))(w =>
+          array_distinct(wordGrams(w, n)))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    firstDoc
+      .groupBy(expr(s"first_doc div $bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("vocab_cum", sum(col("n_new")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** BPE merge-step candidate table: adjacent character-pair
     * frequencies within words — the count a byte-pair-encoding
     * tokenizer trainer computes each merge round (the most frequent

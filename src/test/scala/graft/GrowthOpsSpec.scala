@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.operators.{Analytics, Graph}
+import graft.text.TextOps
+
+/** Specs for the round-6 batch: seasonal-naive backtest, weekly
+  * growth accounting, quantile normalization, edit-distance dedup,
+  * personalized PageRank, and the vocabulary growth curve.
+  */
+class GrowthOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def events(rows: Seq[(String, String)]) =
+    rows.toDF("event_type", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+
+  test("seasonal naive: day-7 forecast, exact errors, unmatched days dropped") {
+    // type a: Jan 1 ×2, Jan 8 ×3 (scored), Jan 15 missing, Jan 22 ×1
+    // (not scored: Jan 15 has no actual so Jan 22 has no forecast)
+    val ev = events(
+      Seq.fill(2)(("a", "2024-01-01 10:00:00")) ++
+      Seq.fill(3)(("a", "2024-01-08 10:00:00")) ++
+      Seq(("a", "2024-01-22 10:00:00")))
+    val out = Analytics.seasonalNaive(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[java.sql.Date]("day").toString == "2024-01-08")
+    assert(r.getAs[Long]("n_actual") == 3L)
+    assert(r.getAs[Long]("n_forecast") == 2L)
+    assert(r.getAs[Long]("abs_err") == 1L)
+    assert(r.getAs[Double]("ape") == 1.0 / 3)
+  }
+
+  test("growth accounting: retained/new/resurrected/churned classify exactly") {
+    // weeks: w1 = Jan 1, w2 = Jan 8, w3 = Jan 15 (2024-01-01 is a Monday)
+    // u1: w1, w2, w3 (retained twice); u2: w1 only (churns in w2);
+    // u3: w2, w3 (new in w2); u4: w1, w3 (resurrected in w3)
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-08"), (1L, "2024-01-15"),
+      (2L, "2024-01-02"),
+      (3L, "2024-01-09"), (3L, "2024-01-16"),
+      (4L, "2024-01-03"), (4L, "2024-01-17"))
+      .toDF("user_id", "d")
+      .withColumn("ts", col("d").cast("timestamp"))
+      .withColumn("event_type", lit("t")).drop("d")
+    val out = Analytics.growthAccounting(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("wk").toString ->
+        (r.getAs[Long]("active"), r.getAs[Long]("retained"),
+          r.getAs[Long]("new_users"), r.getAs[Long]("resurrected"),
+          Option(r.getAs[java.lang.Long]("churned")).map(_.toLong)))
+      .toMap
+    assert(out("2024-01-01") == (3L, 0L, 3L, 0L, None))
+    // w2: u1 retained, u3 new; churned = 3 actives(w1) - 1 retained = 2
+    assert(out("2024-01-08") == (2L, 1L, 1L, 0L, Some(2L)))
+    // w3: u1 retained, u3 retained, u4 resurrected; churned = 2 - 2 = 0
+    assert(out("2024-01-15") == (3L, 2L, 0L, 1L, Some(0L)))
+  }
+
+  test("quantile normalization maps within-source ranks onto pooled scores") {
+    val docs = Seq(
+      (0L, "A", 1L), (1L, "A", 2L), (2L, "A", 3L), (3L, "A", 4L),
+      (4L, "B", 10L), (5L, "B", 20L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextOps.quantileNormalize(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("norm_score")).toMap
+    // pool sorted: 1,2,3,4,10,20 (N=6); A (n=4): ranks 1..4 ->
+    // ceil(6k/4) = 2,3,5,6 -> 2,3,10,20; B (n=2): ceil(6k/2) = 3,6 -> 3,20
+    assert(out == Map(0L -> 2L, 1L -> 3L, 2L -> 10L, 3L -> 20L,
+      4L -> 3L, 5L -> 20L))
+  }
+
+  test("edit-distance pairs: bounded verify, band adjacency, token blocking") {
+    val docs = Seq(
+      (0L, "hello world foo bar baz"),
+      (1L, "hello world foo bar qux"),   // dist 3 from doc 0
+      (2L, "hello " + ("x" * 40)),       // same tok0, next length band
+      (3L, "hello " + ("x" * 39) + "y"), // dist 1 from doc 2
+      (4L, "goodbye world foo bar baz")) // close to doc 0 but tok0 differs
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs, 20, 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("dist")).toMap
+    assert(out == Map((0L, 1L) -> 3L, (2L, 3L) -> 1L))
+  }
+
+  test("personalized pagerank: teleport mass stays on the seed set") {
+    // cycle s -> a -> b -> s, seed = {s}, init = 100, boost = 15
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "s")).toDF("src", "dst")
+    val seeds = Seq("s").toDF("node")
+    val r1 = Graph.personalizedPageRank(edges, seeds, 1, 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map("s" -> 15L, "a" -> 85L, "b" -> 0L))
+    val r2 = Graph.personalizedPageRank(edges, seeds, 2, 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round 2: a <- 85*15 div 100 = 12, b <- 85*85 div 100 = 72, s = 15
+    assert(r2 == Map("s" -> 15L, "a" -> 12L, "b" -> 72L))
+  }
+
+  test("vocab growth: grams land in their first doc's bucket, short docs none") {
+    val docs = Seq(
+      (0L, "a b c"),       // gram "a b c"
+      (1L, "a b c d"),     // "a b c" already seen, "b c d" new
+      (2L, "e f"),         // too short for a trigram
+      (3L, "x y z"))       // new gram in bucket 1
+      .toDF("doc_id", "text")
+    val out = TextOps.vocabGrowth(docs, 3, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(0L -> (2L, 2L), 1L -> (1L, 3L)))
+  }
+}

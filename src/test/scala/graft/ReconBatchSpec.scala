@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.operators.{Analytics, Reconcile}
+
+/** Specs for the reconciliation/ops batch: order-insensitive bucket
+  * checksums, sliding-window burst detection, the cross-source
+  * duplication matrix, and ship-lag percentiles.
+  */
+class ReconBatchSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, String)]) =
+    rows.toDF("event_id", "user_id", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+
+  test("bucket checksum: hand value, order-insensitive, bit-sensitive") {
+    val a = ev(Seq((1L, 10L, "2024-01-01 00:00:00"),
+      (2L, 20L, "2024-01-01 01:00:00")))
+    def h(id: Long, uid: Long, us: Long) =
+      (id % 1000003L) * 2097143L + (uid % 1000033L) * 4093L + us % 1000000007L
+    val us0 = 1704067200000000L // 2024-01-01T00:00:00Z
+    val expect = h(1, 10, us0) + h(2, 20, us0 + 3600L * 1000000)
+    val out = Reconcile.bucketChecksums(a).collect().head
+    assert(out.getAs[Long]("n_rows") == 2L)
+    assert(out.getAs[Long]("checksum") == expect)
+    // same rows, reversed order -> identical checksum
+    val b = ev(Seq((2L, 20L, "2024-01-01 01:00:00"),
+      (1L, 10L, "2024-01-01 00:00:00")))
+    assert(Reconcile.bucketChecksums(b).collect().head
+      .getAs[Long]("checksum") == expect)
+    // one changed user id -> different checksum
+    val c = ev(Seq((1L, 11L, "2024-01-01 00:00:00"),
+      (2L, 20L, "2024-01-01 01:00:00")))
+    assert(Reconcile.bucketChecksums(c).collect().head
+      .getAs[Long]("checksum") != expect)
+  }
+
+  test("burst detect: window width decides which events co-count") {
+    val e = ev(Seq((1L, 7L, "2024-01-01 00:00:00"),
+      (2L, 7L, "2024-01-01 00:00:30"),
+      (3L, 7L, "2024-01-01 00:01:10")))
+    // 60s window: {t0,t30} then {t30,t70} -> peak 2
+    val narrow = Analytics.burstDetect(e, 60000000L).collect().head
+    assert(narrow.getAs[Long]("max_burst") == 2L)
+    assert(narrow.getAs[Long]("n_events") == 3L)
+    // 100s window covers all three
+    val wide = Analytics.burstDetect(e, 100000000L).collect().head
+    assert(wide.getAs[Long]("max_burst") == 3L)
+  }
+
+  test("cross-source matrix: unordered pairs collapse, diagonal kept") {
+    val docs = Seq((0L, "A"), (1L, "B"), (2L, "A"), (3L, "B"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.crossSourceMatrix(docs, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (0,1)=A-B, (1,2)=B-A -> both A,B; (0,2)=A-A diagonal
+    assert(out == Map(("A", "B") -> 2L, ("A", "A") -> 1L))
+  }
+
+  test("ship lag: exact percentile interpolation per priority") {
+    val li = Seq((1L, "2024-01-05"), (1L, "2024-01-11"),
+      (2L, "2024-02-03"), (2L, "2024-02-05"))
+      .toDF("l_orderkey", "sd")
+      .withColumn("l_shipdate", col("sd").cast("timestamp")).drop("sd")
+    val o = Seq((1L, "HI", "2024-01-01"), (2L, "HI", "2024-02-01"))
+      .toDF("o_orderkey", "o_orderpriority", "od")
+      .withColumn("o_orderdate", col("od").cast("timestamp")).drop("od")
+    val r = Analytics.shipLag(li, o).collect().head
+    // lags: 4, 10, 2, 4 -> sorted 2,4,4,10; p50 = 4, min 2, max 10
+    assert(r.getAs[Long]("n_lines") == 4L)
+    assert(r.getAs[Long]("min_days") == 2L)
+    assert(r.getAs[Long]("max_days") == 10L)
+    assert(r.getAs[Double]("p50_days") == 4.0)
+  }
+}
