@@ -465,6 +465,82 @@ class PlanAuditSpec extends AnyFunSuite {
       s"windows must sit above the aggregate in the plan tree:\n$p")
   }
 
+  test("seasonal naive: the forecast join broadcasts the daily table") {
+    val p = plan("q_forecast_baseline")
+    assert(p.contains("BroadcastHashJoin"), s"forecast side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("growth accounting: user classification and weekly rollup share work; " +
+    "no second feed scan for churn") {
+    val p = plan("q_growth_accounting")
+    // distinct + lag + weekly rollup + churn lag: the feed is read once
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"churn must ride the aggregate, not rescan the feed:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      s"no join anywhere in growth accounting:\n$p")
+  }
+
+  test("quantile norm: pooled rank join stays broadcast; one source sort") {
+    val p = plan("q_quantile_norm")
+    assert(!p.contains("SortMergeJoin"), s"rank mapping must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("edit-distance dedup: band replication is an equi-join, never a " +
+    "nested-loop band join") {
+    val p = plan("q_dedup_edit")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band blocking must stay an equi-join:\n$p")
+    assert(p.contains("levenshtein"), "bounded verify must be in-plan")
+  }
+
+  test("seeded pagerank: final ranks are a checkpointed leaf like pagerank's") {
+    val p = plan("q_pagerank_seeded")
+    assert(p.contains("Scan ExistingRDD"), "ranks must come from a checkpoint leaf")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("vocab growth: gram first-doc min-agg partial-combines; " +
+    "running sum consumes the bucket histogram") {
+    val p = plan("q_vocab_growth")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"min-agg and histogram must both partial-aggregate:\n$p")
+    val winPos = p.indexOf("Window")
+    val scanPos = p.indexOf("Scan parquet")
+    assert(winPos >= 0 && scanPos > winPos,
+      s"the cumulative window must sit above the aggregates:\n$p")
+  }
+
+  test("bucket checksum: pure projection + one partial-combined aggregate") {
+    val p = plan("q_table_checksum")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      s"checksum must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("burst detect: the range window and the per-user max share one exchange") {
+    val p = plan("q_burst_users")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"window and max must share the user_id exchange:\n$p")
+    assert(!p.contains("Join"))
+  }
+
+  test("dup matrix: source lookup broadcasts onto the pair table twice") {
+    val p = plan("q_dup_matrix")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both source lookups must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ship lag: both fact sides prune to the join key + 2 columns") {
+    val p = plan("q_ship_lag")
+    assert(!p.contains("l_quantity") && !p.contains("o_totalprice"),
+      s"unused fact columns must prune before the join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
