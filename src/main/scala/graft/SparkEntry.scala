@@ -1091,7 +1091,16 @@ object SparkEntry {
     }),
     // E53: order-to-ship lag percentiles per priority (SLA report)
     "q_ship_lag" -> ((s, dir) =>
-      Analytics.shipLag(Tables.lineitem(s, dir), Tables.orders(s, dir)))
+      Analytics.shipLag(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    // E54: per-day session quality rollup over the 30-min sessions
+    "q_session_stats" -> ((s, dir) =>
+      Analytics.sessionStats(
+        Analytics.sessionize(Tables.events(s, dir), 1800L))),
+    // B23: compaction planner — per-day size estimate + file count at
+    // a 64 KiB target (exercises multi-file splits at test SF; the
+    // production default is 128 MiB, same arithmetic)
+    "q_compaction_plan" -> ((s, dir) =>
+      graft.operators.Layout.compactionPlan(Tables.events(s, dir), 65536L))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -3320,6 +3329,51 @@ object SparkEntry {
         |FROM p2 JOIN documents da ON da.doc_id = doc_a
         | JOIN documents db ON db.doc_id = doc_b
         |GROUP BY 1, 2""".stripMargin),
+    // q_sessionize's CTE chain rolled up per day; durations in exact µs
+    "q_session_stats" ->
+      """WITH t AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |   LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |     (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |     AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END AS new_session
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, ts,
+        |   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |   epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+        |   CAST(min(ts) AS DATE) AS day
+        |  FROM s GROUP BY 1, 2)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_bounce,
+        | CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+        | CAST(max(dur_us) AS BIGINT) AS max_dur_us,
+        | CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*) AS bounce_rate,
+        | CAST(sum(dur_us) AS DOUBLE) / count(*) AS avg_dur_us
+        |FROM g GROUP BY 1""".stripMargin,
+    // same integer width model: 28-byte fixed + variable col lengths;
+    // ceil-division via (x + t - 1) // t
+    "q_compaction_plan" ->
+      """WITH w AS (SELECT CAST(ts AS DATE) AS day,
+        |    28 + length(event_type) + coalesce(length(props), 0) AS wb
+        |  FROM events),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(wb) AS BIGINT) AS est_bytes FROM w GROUP BY 1)
+        |SELECT day, n_rows, est_bytes,
+        | (est_bytes + 65535) // 65536 AS n_files,
+        | (n_rows + (est_bytes + 65535) // 65536 - 1)
+        |   // ((est_bytes + 65535) // 65536) AS rows_per_file
+        |FROM d""".stripMargin,
     // quantile_cont == Spark percentile (B9 parity) over exact day lags
     "q_ship_lag" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,

@@ -927,6 +927,31 @@ object Analytics {
         col("c_b"), col("n_baskets"), col("confidence"), col("lift"))
   }
 
+  /** Per-day session quality report over [[sessionize]]'s output:
+    * session count, bounce rate (single-event sessions), exact total
+    * and average duration, and the longest session — the engagement
+    * summary a product dashboard reads. Consumes the already
+    * dimension-reduced session table (one row per session), so this
+    * is a map-side-combined day rollup plus two divisions; the heavy
+    * lifting (the user-partitioned gap scan) happened once in
+    * sessionize and is shared by every downstream session consumer.
+    */
+  def sessionStats(sessions: DataFrame): DataFrame =
+    sessions
+      .select(to_date(col("session_start")).as("day"), col("n_events"),
+        (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .as("dur_us"))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("dur_us")).as("total_dur_us"),
+        max(col("dur_us")).as("max_dur_us"))
+      .withColumn("bounce_rate",
+        col("n_bounce").cast("double") / col("n_sessions"))
+      .withColumn("avg_dur_us",
+        col("total_dur_us").cast("double") / col("n_sessions"))
+
   /** Per-user burst detection: each user's PEAK event count within
     * any sliding `windowMicros` time window — the rate-limit /
     * abuse-screen audit ("did anyone exceed N actions per day?").

@@ -50,4 +50,30 @@ object Layout {
     */
   def layoutForScan(df: DataFrame, keyCol: Column, numFiles: Int): DataFrame =
     df.repartitionByRange(numFiles, keyCol).sortWithinPartitions(keyCol)
+
+  /** Compaction / file-layout plan for a date-partitioned feed: per
+    * day, estimated uncompressed bytes (fixed per-row overhead + the
+    * variable-width columns' lengths, all integer arithmetic) and the
+    * file count that hits `targetBytes` per file — the advisor a
+    * small-file compaction job (OPTIMIZE) runs BEFORE rewriting, so
+    * it only touches partitions whose layout is actually wrong.
+    * One map-side-combined pass over the feed; output is
+    * days-sized. The 1-row-group pathology this round's bench
+    * reconciliation documented (BENCH_NOTES_r6.md: a single-RG file
+    * caps scan parallelism at ONE task) is exactly what the
+    * `n_files` column exists to prevent — at 100 TB both too-many
+    * tiny files (footer/open overhead) and too-few huge ones
+    * (parallelism cap) are layout bugs.
+    */
+  def compactionPlan(events: DataFrame, targetBytes: Long): DataFrame =
+    events
+      .select(to_date(col("ts")).as("day"),
+        (lit(28L) + length(col("event_type"))
+          + coalesce(length(col("props")), lit(0))).cast("long").as("w"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("w")).as("est_bytes"))
+      .withColumn("n_files",
+        expr(s"(est_bytes + ${targetBytes - 1}L) div ${targetBytes}L"))
+      .withColumn("rows_per_file",
+        expr("(n_rows + n_files - 1) div n_files"))
 }

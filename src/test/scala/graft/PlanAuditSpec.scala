@@ -541,6 +541,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("session stats: day rollup rides the sessionize exchange output") {
+    val p = plan("q_session_stats")
+    assert(!p.contains("Join"), s"session stats must not join:\n$p")
+    // sessionize's user exchange + the day rollup exchange only
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"exactly two exchanges (user gap-scan, day rollup):\n$p")
+  }
+
+  test("compaction plan: one partial-combined aggregate, no join or window") {
+    val p = plan("q_compaction_plan")
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      s"width sum must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key

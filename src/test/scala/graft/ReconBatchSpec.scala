@@ -63,6 +63,36 @@ class ReconBatchSpec extends AnyFunSuite {
     assert(out == Map(("A", "B") -> 2L, ("A", "A") -> 1L))
   }
 
+  test("session stats: bounce and duration math over a hand session table") {
+    val sessions = Seq(
+      (1L, 1L, 3L, "2024-01-01 10:00:00", "2024-01-01 10:10:00"),
+      (2L, 1L, 1L, "2024-01-01 11:00:00", "2024-01-01 11:00:00"),
+      (3L, 1L, 2L, "2024-01-02 09:00:00", "2024-01-02 09:30:00"))
+      .toDF("user_id", "session_id", "n_events", "s", "e")
+      .withColumn("session_start", col("s").cast("timestamp"))
+      .withColumn("session_end", col("e").cast("timestamp"))
+    val out = Analytics.sessionStats(sessions).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounce"),
+          r.getAs[Double]("bounce_rate"), r.getAs[Double]("avg_dur_us"))).toMap
+    // Jan 1: 600s + 0s over 2 sessions, one bounce
+    assert(out("2024-01-01") == (2L, 1L, 0.5, 300000000.0))
+    assert(out("2024-01-02") == (1L, 0L, 0.0, 1800000000.0))
+  }
+
+  test("compaction plan: width model and ceil-divisions are exact") {
+    val e = Seq((1L, 1L, "ab", "xyz", "2024-01-01 00:00:00"),
+      (2L, 1L, "ab", null, "2024-01-01 01:00:00"))
+      .toDF("event_id", "user_id", "event_type", "props", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    // widths: 28+2+3 = 33 and 28+2+0 = 30 -> 63 bytes
+    val r = graft.operators.Layout.compactionPlan(e, 50L).collect().head
+    assert(r.getAs[Long]("n_rows") == 2L)
+    assert(r.getAs[Long]("est_bytes") == 63L)
+    assert(r.getAs[Long]("n_files") == 2L)   // ceil(63/50)
+    assert(r.getAs[Long]("rows_per_file") == 1L)
+  }
+
   test("ship lag: exact percentile interpolation per priority") {
     val li = Seq((1L, "2024-01-05"), (1L, "2024-01-11"),
       (2L, "2024-02-03"), (2L, "2024-02-05"))
