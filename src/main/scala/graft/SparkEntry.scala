@@ -1100,7 +1100,29 @@ object SparkEntry {
     // a 64 KiB target (exercises multi-file splits at test SF; the
     // production default is 128 MiB, same arithmetic)
     "q_compaction_plan" -> ((s, dir) =>
-      graft.operators.Layout.compactionPlan(Tables.events(s, dir), 65536L))
+      graft.operators.Layout.compactionPlan(Tables.events(s, dir), 65536L)),
+    // E9c: nearest as-of — each purchase aligned to the user's
+    // closest error either direction, backward winning ties
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("err_id"),
+          col("value").as("err_value"))
+      graft.operators.AsOf.asofJoinNearest(purchases, errors, "user_id", "ts",
+          Seq("err_id", "err_value"), "err_id")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }),
+    // E55: 2-D Pareto frontier of parts (cheapest for their size)
+    "q_skyline" -> ((s, dir) =>
+      Analytics.skyline(Tables.part(s, dir))),
+    // E56: open-order backlog curve (sweep-line over the warehouse)
+    "q_backlog" -> ((s, dir) =>
+      Analytics.orderBacklog(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // D63: one-row dataset release card (counts, tokens, dup rate)
+    "q_dataset_card" -> ((s, dir) =>
+      TextOps.datasetCard(Tables.documents(s, dir)))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -1364,6 +1386,69 @@ object SparkEntry {
         |FROM j""".stripMargin,
     "q_user_totals" ->
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY 1",
+    // both directional ASOF picks, nearest |delta-t| wins, backward
+    // breaks ties (distance-0 same-ts matches land backward both ways)
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |e0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS err_id,
+        |        value AS err_value FROM events WHERE event_type = 'error'),
+        |e AS (SELECT user_id, ts, err_id, err_value FROM (
+        |  SELECT e0.*, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |                                  ORDER BY err_id DESC) AS rn FROM e0)
+        |  WHERE rn = 1),
+        |b AS (SELECT p.event_id, p.user_id, p.ts, p.value,
+        |        e.ts AS bts, e.err_id AS bid, e.err_value AS bval
+        |      FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts),
+        |f AS (SELECT p.event_id, e.ts AS fts, e.err_id AS fid,
+        |        e.err_value AS fval
+        |      FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts <= e.ts)
+        |SELECT b.event_id, b.user_id, b.ts, b.value,
+        | CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+        |   epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
+        |   THEN bid ELSE fid END AS asof_err_id,
+        | CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+        |   epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
+        |   THEN bval ELSE fval END AS asof_err_value
+        |FROM b JOIN f USING (event_id)""".stripMargin,
+    // per-price max + running max over the sorted distinct prices;
+    // duplicates of a frontier point all survive
+    "q_skyline" ->
+      """WITH m AS (SELECT p_retailprice AS price, max(p_size) AS msize
+        |  FROM part GROUP BY 1),
+        |w AS (SELECT price, msize, max(msize) OVER (ORDER BY price
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best FROM m),
+        |s AS (SELECT price, msize FROM w WHERE best IS NULL OR msize > best)
+        |SELECT p_partkey, p_name, p_retailprice, p_size
+        |FROM part JOIN s ON p_retailprice = s.price AND p_size = s.msize""".stripMargin,
+    // +1 at order date, -1 at the last ship date, one running sum
+    "q_backlog" ->
+      """WITH f AS (SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS done_day
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day FROM orders),
+        |d AS (SELECT o.day AS day, CAST(1 AS BIGINT) AS delta FROM o
+        |      UNION ALL
+        |      SELECT f.done_day, CAST(-1 AS BIGINT) FROM o
+        |      JOIN f ON o_orderkey = l_orderkey),
+        |g AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM d GROUP BY 1)
+        |SELECT day, net,
+        | CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS backlog
+        |FROM g""".stripMargin,
+    // scan-level aggregate x dup-rate aggregate, one row each, crossed
+    "q_dataset_card" ->
+      """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+        |  quantile_cont(len(string_split(text, ' ')), 0.5) AS p50_words
+        |  FROM documents),
+        |d AS (SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+        |    AS n_dup_docs
+        |  FROM (SELECT count(*) AS c FROM documents GROUP BY text))
+        |SELECT n_docs, n_sources, n_langs, total_words, p50_words,
+        | CAST(total_words AS DOUBLE) / n_docs AS mean_words, n_dup_docs,
+        | CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_rate
+        |FROM b CROSS JOIN d""".stripMargin,
     // the daily histogram rebuilt directly (cascade == direct for
     // integer counts), then the same rank landing and the same
     // fixed-order interpolation expression; window SUMs cast BIGINT

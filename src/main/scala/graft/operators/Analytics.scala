@@ -927,6 +927,63 @@ object Analytics {
         col("c_b"), col("n_baskets"), col("confidence"), col("lift"))
   }
 
+  /** 2-D skyline (Pareto frontier): the parts no other part beats on
+    * BOTH price (lower better) and size (bigger better) — classic
+    * multi-criteria shortlisting. The naive dominance test is a
+    * non-equi self-join (nested-loop at scale); the 2-D structure
+    * collapses it to sorting: keep a (price, size) point iff its
+    * size equals its price-group's max AND strictly exceeds every
+    * cheaper price-group's max. The per-price max is one map-side-
+    * combined agg; the running max is a window over the DISTINCT
+    * price table (dimension-sized — the pareto discipline); winners
+    * broadcast back onto the scan, so duplicates of a frontier
+    * point all survive (equal points don't dominate each other).
+    */
+  def skyline(part: DataFrame): DataFrame = {
+    val perPrice = part
+      .groupBy(col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("msize"))
+    val w = Window.orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("best", max(col("msize")).over(w))
+      .filter(col("best").isNull || col("msize") > col("best"))
+      .select(col("price"), col("msize"))
+    part.join(broadcast(frontier),
+        col("p_retailprice") === col("price") && col("p_size") === col("msize"))
+      .select(col("p_partkey"), col("p_name"),
+        col("p_retailprice"), col("p_size"))
+  }
+
+  /** Open-order backlog curve: for every day on which anything
+    * happened, the number of orders placed but not yet fully shipped
+    * — the operational WIP series. Sweep-line shape ([[
+    * sessionConcurrency]]'s discipline on warehouse data): each order
+    * contributes +1 at its order date and −1 at its LAST ship date
+    * (the fact×fact orderkey join is co-keyed and collapses lineitem
+    * in a partial-agg pass), deltas net per day map-side, and ONE
+    * running sum over the days-sized net table builds the curve.
+    */
+  def orderBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val fulfilled = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("done_day"))
+    val deltas = orders
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("day"))
+      .join(fulfilled, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(explode(array(
+        struct(col("day"), lit(1L).as("delta")),
+        struct(col("done_day").as("day"), lit(-1L).as("delta")))).as("d"))
+      .select(col("d.day"), col("d.delta"))
+      .filter(col("day").isNotNull)
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .groupBy(col("day"))
+      .agg(sum(col("delta")).as("net"))
+      .withColumn("backlog", sum(col("net")).over(w))
+  }
+
   /** Per-day session quality report over [[sessionize]]'s output:
     * session count, bounce rate (single-event sessions), exact total
     * and average duration, and the longest session — the engagement

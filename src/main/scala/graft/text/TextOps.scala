@@ -728,6 +728,36 @@ object TextOps {
         col("n_novel").cast("double") / col("n_grams"))
   }
 
+  /** Dataset card: the one-row corpus summary a dataset release
+    * ships with — document/source/language counts, token totals,
+    * exact median length, and the exact-duplicate rate. Two passes,
+    * both fully map-side-combinable: one scan-level aggregate over
+    * per-row projections, and one text-keyed group for the dup rate
+    * (the [[graft.dedup.Dedup.exact]] key), their one-row results
+    * cross-joined. Every number is exact; the only doubles are two
+    * final divisions and the interpolated median (B9 parity).
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).as("n_words"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("n_words")).cast("long").as("total_words"),
+        percentile(col("n_words"), lit(0.5)).as("p50_words"))
+      .withColumn("mean_words",
+        col("total_words").cast("double") / col("n_docs"))
+    val dups = docs.groupBy(col("text"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L))
+        .cast("long").as("n_dup_docs"))
+    base.crossJoin(broadcast(dups))
+      .withColumn("dup_rate",
+        col("n_dup_docs").cast("double") / col("n_docs"))
+  }
+
   /** Cross-source quantile normalization: each document's score is
     * replaced by the POOLED score at the same within-source quantile
     * — the strong form of [[percentRankBySource]]'s calibration

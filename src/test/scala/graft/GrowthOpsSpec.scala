@@ -100,6 +100,72 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(r2 == Map("s" -> 15L, "a" -> 12L, "b" -> 72L))
   }
 
+  test("nearest as-of: closest side wins, backward breaks ties") {
+    def df(rows: Seq[(Long, Long, String)], v: String) =
+      rows.toDF("event_id", "user_id", "tss")
+        .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+        .withColumn("value", lit(1.0))
+    val left = df(Seq((100L, 1L, "2024-01-01 00:00:10"),
+      (101L, 2L, "2024-01-01 00:00:10"),
+      (102L, 3L, "2024-01-01 00:00:10")), "l")
+    val right = df(Seq(
+      (1L, 1L, "2024-01-01 00:00:04"), (2L, 1L, "2024-01-01 00:00:13"),
+      (3L, 2L, "2024-01-01 00:00:07"), (4L, 2L, "2024-01-01 00:00:13"),
+      (5L, 3L, "2024-01-01 00:00:10")), "r")
+      .withColumnRenamed("event_id", "err_id")
+    val out = graft.operators.AsOf.asofJoinNearest(
+      left, right, "user_id", "ts", Seq("err_id"), "err_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Long]("asof_err_id")).toMap
+    // u1: back 6s vs fwd 3s -> forward; u2: 3s tie -> backward;
+    // u3: same-ts right = distance 0 backward
+    assert(out == Map(100L -> 2L, 101L -> 3L, 102L -> 5L))
+  }
+
+  test("skyline: dominance, same-price groups, duplicate frontier points") {
+    val parts = Seq(
+      (1L, "a", 10.0, 5), // frontier
+      (2L, "b", 10.0, 3), // dominated within its price group
+      (3L, "c", 20.0, 9), // frontier (bigger than every cheaper max)
+      (4L, "d", 20.0, 9), // duplicate frontier point survives
+      (5L, "e", 30.0, 9), // dominated: same size, higher price
+      (6L, "f", 40.0, 2)) // dominated outright
+      .toDF("p_partkey", "p_name", "p_retailprice", "p_size")
+    val out = Analytics.skyline(parts).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L, 4L))
+  }
+
+  test("order backlog: sweep counts open orders, unshipped orders stay open") {
+    val orders = Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("o_orderkey", "od")
+      .withColumn("o_orderdate", col("od").cast("timestamp")).drop("od")
+    val li = Seq((1L, "2024-01-02"), (1L, "2024-01-05"), (2L, "2024-01-04"))
+      .toDF("l_orderkey", "sd")
+      .withColumn("l_shipdate", col("sd").cast("timestamp")).drop("sd")
+    val out = Analytics.orderBacklog(orders, li).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("net"), r.getAs[Long]("backlog"))).toMap
+    // Jan1 +1; Jan2 +1; Jan3 +1 (order 3 never ships); Jan4 -1; Jan5 -1
+    assert(out == Map("2024-01-01" -> (1L, 1L), "2024-01-02" -> (1L, 2L),
+      "2024-01-03" -> (1L, 3L), "2024-01-04" -> (-1L, 2L),
+      "2024-01-05" -> (-1L, 1L)))
+  }
+
+  test("dataset card: one exact row including the duplicate count") {
+    val docs = Seq(
+      (0L, "a b c", "en", "s1"), (1L, "a b c", "en", "s2"),
+      (2L, "d e", "fr", "s1"), (3L, "f", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextOps.datasetCard(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[Long]("total_words") == 9L)
+    assert(r.getAs[Double]("p50_words") == 2.5)
+    assert(r.getAs[Long]("n_dup_docs") == 2L)
+    assert(r.getAs[Double]("dup_rate") == 0.5)
+  }
+
   test("vocab growth: grams land in their first doc's bucket, short docs none") {
     val docs = Seq(
       (0L, "a b c"),       // gram "a b c"
