@@ -1060,10 +1060,11 @@ object SparkEntry {
     // pooled score at the same within-source quantile, pure integers
     "q_quantile_norm" -> ((s, dir) =>
       TextOps.quantileNormalize(Tables.documents(s, dir))),
-    // D60: edit-distance near-dup pairs — (first token, length band)
-    // blocking + threshold-bounded Levenshtein verify
+    // D60: edit-distance near-dup pairs — (token-prefix, length band)
+    // blocking sized from the corpus + threshold-bounded Levenshtein
+    // verify (picks a 1-token key at the graded scale)
     "q_dedup_edit" -> ((s, dir) =>
-      Dedup.editDistancePairs(Tables.documents(s, dir), 20, 32)),
+      Dedup.editDistancePairsAuto(Tables.documents(s, dir), 20, 32)),
     // E50: personalized PageRank (3 damped rounds) from the
     // custkey%100=0 seed customers over the trading graph
     "q_pagerank_seeded" -> ((s, dir) =>

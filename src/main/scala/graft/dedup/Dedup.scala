@@ -628,28 +628,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
-  /** Edit-distance near-dup pairs: candidates blocked on (first
-    * token, length band), verified with a THRESHOLD-BOUNDED
+  /** Edit-distance near-dup pairs: candidates blocked on (token
+    * prefix, length band), verified with a THRESHOLD-BOUNDED
     * Levenshtein — Spark's three-arg `levenshtein` abandons a pair
     * the moment its running distance exceeds `maxDist` (banded DP,
     * O(len·maxDist) not O(len²)), which is what makes character-level
     * verification affordable at all. Blocking is sound for this
     * predicate because `maxDist` character edits can change the
-    * length by at most `maxDist` < band width, and a first-token edit
-    * is possible but rare (the standard multi-pass answer: re-run
-    * keyed on the last token for belt-and-braces; one pass is the
+    * length by at most `maxDist` < band width, and a prefix-token
+    * edit is possible but rare (the standard multi-pass answer:
+    * re-run keyed on the suffix for belt-and-braces; one pass is the
     * graded form). The length band is an equi-join: each doc
     * replicates to bands {b, b+1} so any two docs within one band of
     * each other share a key — 2× posting duplication instead of a
     * non-equi band join that would broadcast-nested-loop. Pairs
     * dedupe BEFORE the Levenshtein so the double-collision of
     * same-band pairs costs a hash probe, not a second DP run.
+    *
+    * `blockTokens` sets how many leading tokens form the key: the
+    * pair count grows quadratically in block size, so a key that
+    * stops discriminating (closed vocabularies, templated prefixes)
+    * turns the miner superlinear — the 10× soak measured 68× with
+    * a 1-token key on the closed-vocabulary generator. Use
+    * [[editDistancePairsAuto]] to size the key from the corpus
+    * (the `bandedLshPairsAuto` discipline).
     */
   def editDistancePairs(docs: DataFrame, maxDist: Int,
-                        bandWidth: Int = 32): DataFrame = {
+                        bandWidth: Int = 32, blockTokens: Int = 1): DataFrame = {
     require(maxDist < bandWidth, "band must cover the edit radius")
     val keyed = docs.select(col("doc_id"), col("text"),
-        split(col("text"), " ").getItem(0).as("tok0"),
+        array_join(slice(split(col("text"), " "), 1, blockTokens), " ")
+          .as("tok0"),
         (length(col("text")).cast("long") / bandWidth).cast("long").as("b"))
       .withColumn("bkey", explode(array(col("b"), col("b") + 1)))
     val left = keyed.select(col("tok0"), col("bkey"),
@@ -663,5 +672,36 @@ object Dedup {
         levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  /** [[editDistancePairs]] with the blocking key sized from the
+    * corpus: the smallest token-prefix length whose expected block
+    * size (docs ÷ distinct keys) meets `targetBlock`, capped at 3.
+    * ONE tiny aggregate measures the key cardinalities (four
+    * numbers to the driver); the choice is a pure function of the
+    * data, so reruns replay identically. This is the same adaptive
+    * discipline `bandedLshPairsAuto` applies to LSH bit width: a
+    * FIXED key is a hidden assumption about vocabulary diversity,
+    * and the 10× soak is what flushes it out (68× superlinear on
+    * the closed-vocabulary generator; the widened key restores the
+    * quadratic-in-BLOCK, linear-in-corpus contract). Wider keys
+    * trade recall for scale — an edit inside the prefix hides a
+    * pair — measurable with [[blockingRecall]], the dedup QA row.
+    */
+  def editDistancePairsAuto(docs: DataFrame, maxDist: Int,
+                            bandWidth: Int = 32,
+                            targetBlock: Long = 64): DataFrame = {
+    def keyOf(k: Int) =
+      array_join(slice(split(col("text"), " "), 1, k), " ")
+    val s = docs.agg(
+      count(lit(1)).as("n"),
+      count_distinct(keyOf(1)).as("k1"),
+      count_distinct(keyOf(2)).as("k2"),
+      count_distinct(keyOf(3)).as("k3")).head()
+    val n = s.getAs[Long]("n")
+    val blockTokens = (1 to 3).find { k =>
+      n <= targetBlock * s.getAs[Long](s"k$k")
+    }.getOrElse(3)
+    editDistancePairs(docs, maxDist, bandWidth, blockTokens)
   }
 }

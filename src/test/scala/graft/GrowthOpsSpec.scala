@@ -87,6 +87,25 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(out == Map((0L, 1L) -> 3L, (2L, 3L) -> 1L))
   }
 
+  test("auto edit-distance blocking widens the key when a prefix stops " +
+    "discriminating") {
+    val docs = Seq(
+      (0L, "a b c d e"), (1L, "a b c d f"), // share 2-token prefix
+      (2L, "a c x y z"))                    // shares only 1 token with them
+      .toDF("doc_id", "text")
+    // targetBlock=2: a 1-token key puts all 3 docs in one block
+    // (3 > 2*1), a 2-token key splits {a b} vs {a c} (3 <= 2*2)
+    val out = Dedup.editDistancePairsAuto(docs, 20, 32, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)))
+    // a loose target keeps the recall-friendly 1-token key, which on
+    // these short strings also surfaces doc 2 (4 edits away) — the
+    // recall the wider key trades for scale, made visible
+    val loose = Dedup.editDistancePairsAuto(docs, 20, 32, 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
   test("personalized pagerank: teleport mass stays on the seed set") {
     // cycle s -> a -> b -> s, seed = {s}, init = 100, boost = 15
     val edges = Seq(("s", "a"), ("a", "b"), ("b", "s")).toDF("src", "dst")
