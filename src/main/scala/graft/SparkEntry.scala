@@ -1123,7 +1123,16 @@ object SparkEntry {
       Analytics.orderBacklog(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // D63: one-row dataset release card (counts, tokens, dup rate)
     "q_dataset_card" -> ((s, dir) =>
-      TextOps.datasetCard(Tables.documents(s, dir)))
+      TextOps.datasetCard(Tables.documents(s, dir))),
+    // E57: purchase-value quintile mobility matrix across the
+    // mid-month split
+    "q_decile_transition" -> ((s, dir) =>
+      Analytics.decileTransition(Tables.events(s, dir),
+        "2024-01-16 00:00:00", 5)),
+    // D64: dedup threshold sensitivity ladder from one verify pass
+    "q_dedup_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(Tables.documents(s, dir), 3,
+        Seq(0.5, 0.6, 0.7, 0.8, 0.9)))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -1435,6 +1444,32 @@ object SparkEntry {
         |SELECT day, net,
         | CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS backlog
         |FROM g""".stripMargin,
+    // DECIMAL period sums -> order-independent tier edges; same
+    // (value desc, user) ntile order
+    "q_decile_transition" ->
+      """WITH u AS (SELECT user_id,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS va,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS vb
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT user_id,
+        |    ntile(5) OVER (ORDER BY va DESC, user_id) AS tier_a,
+        |    ntile(5) OVER (ORDER BY vb DESC, user_id) AS tier_b
+        |  FROM u WHERE va IS NOT NULL AND vb IS NOT NULL)
+        |SELECT tier_a, tier_b, CAST(count(*) AS BIGINT) AS n_users
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    // one candidate pass at the loosest threshold; cumulative counts
+    "q_dedup_sweep" -> (shingleCtes + ",\n" +
+      """j AS (SELECT CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jac
+        |  FROM pairs JOIN sz x ON x.doc_id = doc_a
+        |  JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5),
+        |thr AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+        |SELECT threshold,
+        | CAST(sum(CASE WHEN jac >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_pairs
+        |FROM thr CROSS JOIN j GROUP BY 1""".stripMargin),
     // scan-level aggregate x dup-rate aggregate, one row each, crossed
     "q_dataset_card" ->
       """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,

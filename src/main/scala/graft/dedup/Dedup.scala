@@ -604,6 +604,28 @@ object Dedup {
           .otherwise(col("n_found").cast("double") / col("n_candidates")))
   }
 
+  /** Dedup threshold sensitivity sweep: near-dup pair counts at a
+    * ladder of Jaccard thresholds from ONE candidate-generation pass
+    * — the tuning table an operator reads before committing a
+    * threshold to a 100 TB dedup run (each threshold re-run from
+    * scratch would repeat the expensive posting/verify pipeline;
+    * here the per-pair similarity is computed once at the LOOSEST
+    * threshold and the ladder is a bounded explode + map-side-
+    * combined count over |thresholds| keys). Counts are cumulative
+    * by construction: n_pairs at 0.9 ⊆ n_pairs at 0.8.
+    */
+  def thresholdSweep(docs: DataFrame, n: Int, thresholds: Seq[Double],
+                     maxBucket: Int = 1000): DataFrame = {
+    require(thresholds.nonEmpty)
+    val pairs = ngramJaccardPairs(docs, n, thresholds.min, maxBucket)
+    pairs
+      .select(col("jaccard"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L))
+        .as("n_pairs"))
+  }
+
   /** Cross-source duplication matrix: near-dup pair counts per
     * UNORDERED source pair — which feeds are copying which (the
     * contract-compliance / leakage view of the dedup output; D25's

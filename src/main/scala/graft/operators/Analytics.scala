@@ -927,6 +927,41 @@ object Analytics {
         col("c_b"), col("n_baskets"), col("confidence"), col("lift"))
   }
 
+  /** Spend-tier mobility matrix: each purchasing user's value
+    * quintile in period A vs period B, as transition counts — the
+    * customer-value migration report ("are my top-tier users
+    * staying top-tier?"). The feed collapses to one row per user
+    * in a partial-agg pass with BOTH period sums as conditional
+    * aggregates (one scan, never two); sums go through
+    * DECIMAL(18,6) so tier edges are order-independent where a
+    * double sum drifts; the two `ntile` windows consume the
+    * user-dimension table under TOTAL (value desc, user) orders
+    * (RFM's discipline — exact ntile IS a global sort, swap to
+    * broadcast `approx_percentile` cut points at open user counts);
+    * the matrix rollup is map-side combined over an nTiles² key
+    * space. Tier 1 = highest value.
+    */
+  def decileTransition(events: DataFrame, splitTs: String,
+                       nTiles: Int = 5): DataFrame = {
+    val split = to_timestamp(lit(splitTs))
+    val per = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < split, col("value").cast("decimal(18,6)")))
+          .as("va"),
+        sum(when(col("ts") >= split, col("value").cast("decimal(18,6)")))
+          .as("vb"))
+      .filter(col("va").isNotNull && col("vb").isNotNull)
+    per
+      .withColumn("tier_a", ntile(nTiles).over(
+        Window.orderBy(col("va").desc, col("user_id"))))
+      .withColumn("tier_b", ntile(nTiles).over(
+        Window.orderBy(col("vb").desc, col("user_id"))))
+      .groupBy(col("tier_a"), col("tier_b"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** 2-D skyline (Pareto frontier): the parts no other part beats on
     * BOTH price (lower better) and size (bigger better) — classic
     * multi-criteria shortlisting. The naive dominance test is a

@@ -170,6 +170,37 @@ class GrowthOpsSpec extends AnyFunSuite {
       "2024-01-05" -> (-1L, 1L)))
   }
 
+  test("decile transition: tiers from decimal sums, only two-period users") {
+    val ev = Seq(
+      // u1: big A, small B; u2: small A, big B; u3: A only (dropped)
+      (1L, "purchase", 100.0, "2024-01-01 10:00:00"),
+      (1L, "purchase", 1.0, "2024-01-20 10:00:00"),
+      (2L, "purchase", 1.0, "2024-01-02 10:00:00"),
+      (2L, "purchase", 100.0, "2024-01-21 10:00:00"),
+      (3L, "purchase", 50.0, "2024-01-03 10:00:00"),
+      (1L, "view", 999.0, "2024-01-22 10:00:00")) // non-purchase ignored
+      .toDF("user_id", "event_type", "value", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = Analytics.decileTransition(ev, "2024-01-16 00:00:00", 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // u1: tier_a 1 (100 > 1), tier_b 2; u2: tier_a 2, tier_b 1
+    assert(out == Map((1, 2) -> 1L, (2, 1) -> 1L))
+  }
+
+  test("threshold sweep counts are cumulative from one pair pass") {
+    val docs = Seq(
+      (0L, "a b c d e f"), (1L, "a b c d e f"),   // jaccard 1.0
+      (2L, "a b c d e x"), (3L, "a b c d e f g h i j k l"))
+      .toDF("doc_id", "text")
+    val out = Dedup.thresholdSweep(docs, 3, Seq(0.5, 0.9)).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // pair (0,1) jac 1.0 counts everywhere; (0,2)/(1,2) share 3 of 5
+    // grams (0.6) count only at 0.5; (3,*) containment pairs fall
+    // below 0.5
+    assert(out(0.9) == 1L)
+    assert(out(0.5) == 3L)
+  }
+
   test("dataset card: one exact row including the duplicate count") {
     val docs = Seq(
       (0L, "a b c", "en", "s1"), (1L, "a b c", "en", "s2"),

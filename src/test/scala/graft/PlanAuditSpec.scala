@@ -556,6 +556,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("decile transition: the feed collapses to users before any window sort") {
+    val p = plan("q_decile_transition")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"user collapse + matrix rollup only:\n$p")
+    // tree prints top-down: matrix rollup above the windows, the
+    // user-collapse aggregate below them (windows consume it)
+    val winPos = p.indexOf("Window")
+    assert(winPos >= 0 && p.indexOf("HashAggregate", winPos) > winPos,
+      s"ntile windows must consume the user aggregate:\n$p")
+  }
+
+  test("threshold sweep: one candidate pass, bounded ladder explode") {
+    val p = plan("q_dedup_sweep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"the ladder must reuse ONE candidate pass, not re-scan per threshold:\n$p")
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
