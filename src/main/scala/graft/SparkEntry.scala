@@ -1132,7 +1132,16 @@ object SparkEntry {
     // D64: dedup threshold sensitivity ladder from one verify pass
     "q_dedup_sweep" -> ((s, dir) =>
       Dedup.thresholdSweep(Tables.documents(s, dir), 3,
-        Seq(0.5, 0.6, 0.7, 0.8, 0.9)))
+        Seq(0.5, 0.6, 0.7, 0.8, 0.9))),
+    // D65: tokenizer fertility per (lang, source) — BPE-ish tokens
+    // per whitespace word, the sequence-length cost report
+    "q_fertility" -> ((s, dir) =>
+      TextOps.fertilityReport(Tables.documents(s, dir))),
+    // D66: duplicate-cluster size histogram over the D2d components
+    "q_dup_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizeHistogram(
+        Dedup.components(
+          Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.8))))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -1459,6 +1468,33 @@ object SparkEntry {
         |  FROM u WHERE va IS NOT NULL AND vb IS NOT NULL)
         |SELECT tier_a, tier_b, CAST(count(*) AS BIGINT) AS n_users
         |FROM t GROUP BY 1, 2""".stripMargin,
+    // exact BIGINT token sums; fertility is the one final division
+    "q_fertility" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_tokens,
+        | CAST(sum(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS DOUBLE)
+        |   / sum(len(string_split(text, ' '))) AS fertility
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    // the q_dedup_groups recursive reachability, histogrammed
+    "q_dup_cluster_sizes" -> (shingleCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" +
+      """jp AS (SELECT doc_a, doc_b
+        |  FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION SELECT doc_b, doc_a FROM jp),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node),
+        |comp AS (SELECT node AS doc_id, MIN(lbl) AS group_id
+        |  FROM reach GROUP BY node),
+        |cs AS (SELECT group_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM comp GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM cs GROUP BY 1""".stripMargin),
     // one candidate pass at the loosest threshold; cumulative counts
     "q_dedup_sweep" -> (shingleCtes + ",\n" +
       """j AS (SELECT CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jac

@@ -604,6 +604,21 @@ object Dedup {
           .otherwise(col("n_found").cast("double") / col("n_candidates")))
   }
 
+  /** Duplicate-cluster size histogram over [[components]]' output:
+    * how many clusters of each size the dedup found — the shape
+    * report that distinguishes "many small twins" (normal crawl
+    * noise) from "one giant template cluster" (a boilerplate source
+    * the miner should escalate). Two map-side-combined aggregations
+    * over the already dimension-reduced (doc, group) table; output
+    * bounded by the largest cluster size.
+    */
+  def clusterSizeHistogram(comps: DataFrame): DataFrame =
+    comps
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Dedup threshold sensitivity sweep: near-dup pair counts at a
     * ladder of Jaccard thresholds from ONE candidate-generation pass
     * — the tuning table an operator reads before committing a

