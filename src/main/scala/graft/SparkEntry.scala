@@ -1154,7 +1154,18 @@ object SparkEntry {
       Analytics.theilSenSlope(Tables.events(s, dir))),
     // E58: exact Gini concentration of per-user activity
     "q_gini" -> ((s, dir) =>
-      Analytics.giniConcentration(Tables.events(s, dir)))
+      Analytics.giniConcentration(Tables.events(s, dir))),
+    // D8b: language-ID confusion matrix — the heuristic's QA gate
+    "q_lang_confusion" -> ((s, dir) =>
+      TextOps.langConfusion(Tables.documents(s, dir))),
+    // E59: portable mod-bucket skew report over the shuffle key
+    "q_partition_skew" -> ((s, dir) =>
+      graft.operators.Layout.partitionSkew(
+        Tables.events(s, dir), col("user_id"), 32)),
+    // B24: delta-encoding advisor — raw vs varint bytes for the
+    // (user, ts)-sorted feed, sized exactly without writing a byte
+    "q_delta_encode" -> ((s, dir) =>
+      graft.operators.Layout.deltaEncodingAdvisor(Tables.events(s, dir)))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -1200,6 +1211,29 @@ object SparkEntry {
           col("idn"), col("grp_name"), col("cnt10"), col("region"), kpi)
       }.reduce(_.unionByName(_))
   }
+
+  /** The q_lang_id DuckDB select, shared with q_lang_confusion's
+    * rollup so the scorer definition cannot drift between the two.
+    */
+  private val langIdSelect =
+    """SELECT doc_id, lang AS true_lang,
+      | len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) AS s_en,
+      | len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) AS s_es,
+      | len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS s_de,
+      | len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) AS s_fr,
+      | CASE
+      |  WHEN len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) = 0
+      |   AND len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) = 0
+      |   AND len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) = 0
+      |   AND len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) = 0 THEN 'und'
+      |  WHEN len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) >= len(regexp_extract_all(text, '\b(el|la|de|que|y)\b'))
+      |   AND len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) >= len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b'))
+      |   AND len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'en'
+      |  WHEN len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) >= len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b'))
+      |   AND len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'es'
+      |  WHEN len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'de'
+      |  ELSE 'fr' END AS pred_lang
+      |FROM documents""".stripMargin
 
   /** Shared DuckDB CTE chain of the n-gram oracle family: distinct
     * word-3-gram shingles per doc, set sizes, and per-pair
@@ -1775,25 +1809,41 @@ object SparkEntry {
         | CAST(SUM(n_stopwords) AS BIGINT) AS total_stopwords,
         | CAST(CAST(SUM(n_stopwords) AS BIGINT) AS DOUBLE) / CAST(SUM(n_words) AS BIGINT) AS stopword_ratio
         |FROM q GROUP BY 1""".stripMargin,
-    "q_lang_id" ->
-      """SELECT doc_id, lang AS true_lang,
-        | len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) AS s_en,
-        | len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) AS s_es,
-        | len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS s_de,
-        | len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) AS s_fr,
-        | CASE
-        |  WHEN len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) = 0
-        |   AND len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) = 0
-        |   AND len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) = 0
-        |   AND len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) = 0 THEN 'und'
-        |  WHEN len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) >= len(regexp_extract_all(text, '\b(el|la|de|que|y)\b'))
-        |   AND len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) >= len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b'))
-        |   AND len(regexp_extract_all(text, '\b(the|and|of|is|a)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'en'
-        |  WHEN len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) >= len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b'))
-        |   AND len(regexp_extract_all(text, '\b(el|la|de|que|y)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'es'
-        |  WHEN len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|les|des)\b')) THEN 'de'
-        |  ELSE 'fr' END AS pred_lang
-        |FROM documents""".stripMargin,
+    "q_lang_id" -> langIdSelect,
+    // the q_lang_id scorer rolled up to (true, pred) with recall
+    "q_lang_confusion" ->
+      (s"WITH li AS (\n$langIdSelect),\n" +
+        """c AS (SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+          |  FROM li GROUP BY 1, 2)
+          |SELECT true_lang, pred_lang, n,
+          | CAST(sum(n) OVER (PARTITION BY true_lang) AS BIGINT) AS n_true,
+          | CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY true_lang)
+          |   AS share_of_true
+          |FROM c""".stripMargin),
+    // pmod == % for the non-negative key; total crossed from one row
+    "q_partition_skew" ->
+      """WITH b AS (SELECT user_id % 32 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM b)
+        |SELECT bucket, n_rows, CAST(n_rows AS DOUBLE) / total AS share,
+        | CAST(n_rows * 32 AS DOUBLE) / total AS ratio_to_even
+        |FROM b CROSS JOIN t""".stripMargin,
+    // identical 7-bit varint ladder over the same (user, ts) deltas
+    "q_delta_encode" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |  FROM events),
+        |v AS (SELECT CASE WHEN delta IS NULL THEN 8
+        |  WHEN delta < 128 THEN 1 WHEN delta < 16384 THEN 2
+        |  WHEN delta < 2097152 THEN 3 WHEN delta < 268435456 THEN 4
+        |  WHEN delta < 34359738368 THEN 5 WHEN delta < 4398046511104 THEN 6
+        |  WHEN delta < 562949953421312 THEN 7
+        |  WHEN delta < 72057594037927936 THEN 8 ELSE 9 END AS vb FROM l)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+        | CAST(sum(vb) AS BIGINT) AS varint_bytes,
+        | CAST(count(*) * 8 AS DOUBLE) / sum(vb) AS compression_ratio
+        |FROM v""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars,
         | len(string_split(text, ' ')) AS n_words,

@@ -65,6 +65,62 @@ object Layout {
     * tiny files (footer/open overhead) and too-few huge ones
     * (parallelism cap) are layout bugs.
     */
+  /** Hash-partition skew report: row counts per `numBuckets` key
+    * buckets (portable `key mod buckets`, not an engine-private
+    * hash) with each bucket's ratio to the even-split ideal — the
+    * measurement that decides whether a key needs E5's salting
+    * BEFORE a 100 TB shuffle discovers it the hard way. One
+    * map-side-combined pass; output is buckets-sized.
+    */
+  def partitionSkew(df: DataFrame, key: Column, numBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the total rides an unpartitioned window over the BUCKETS-sized
+    // aggregate (pareto discipline) — one feed scan, no count() action
+    df.groupBy(pmod(key.cast("long"), lit(numBuckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("total", sum(col("n_rows")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("share", col("n_rows").cast("double") / col("total"))
+      .withColumn("ratio_to_even",
+        (col("n_rows") * numBuckets.toLong).cast("double") / col("total"))
+      .drop("total")
+  }
+
+  /** Delta-encoding advisor for a per-key ordered timestamp column:
+    * total bytes under raw fixed-8 encoding vs varint-encoded
+    * per-user deltas (7-bit groups — the parquet DELTA_BINARY_PACKED
+    * / Gorilla-style win, sized exactly without writing a byte).
+    * The delta scan is ONE user-partitioned window (lag) and the
+    * byte cost is an in-row CASE ladder on delta magnitude — all
+    * BIGINT, one final division for the ratio. Answers "is it worth
+    * re-sorting this feed by (user, ts) before writing?" from a
+    * single aggregate.
+    */
+  def deltaEncodingAdvisor(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sized = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("delta", unix_micros(col("ts")) - col("prev_us"))
+      .withColumn("vbytes",
+        when(col("delta").isNull, 8L) // first event per user: full width
+          .when(col("delta") < (1L << 7), 1L)
+          .when(col("delta") < (1L << 14), 2L)
+          .when(col("delta") < (1L << 21), 3L)
+          .when(col("delta") < (1L << 28), 4L)
+          .when(col("delta") < (1L << 35), 5L)
+          .when(col("delta") < (1L << 42), 6L)
+          .when(col("delta") < (1L << 49), 7L)
+          .when(col("delta") < (1L << 56), 8L)
+          .otherwise(9L))
+    sized.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) * 8L).as("raw_bytes"),
+      sum(col("vbytes")).as("varint_bytes"))
+      .withColumn("compression_ratio",
+        col("raw_bytes").cast("double") / col("varint_bytes"))
+  }
+
   def compactionPlan(events: DataFrame, targetBytes: Long): DataFrame =
     events
       .select(to_date(col("ts")).as("day"),

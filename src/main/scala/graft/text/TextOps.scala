@@ -90,6 +90,26 @@ object TextOps {
           .otherwise("fr"))
   }
 
+  /** Language-ID confusion matrix: [[langId]]'s predictions against
+    * the labeled `lang` column as (true, predicted) counts with
+    * per-true-language recall — the QA gate for the heuristic
+    * classifier (the D8 twin of `annRecall`/`blockingRecall`: every
+    * heuristic component ships with the query that measures it).
+    * One scan through the per-row scorer, a map-side-combined
+    * rollup over the \|langs\|²-bounded key space, and the recall
+    * denominator rides a window over that tiny aggregate.
+    */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(docs)
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_true",
+        sum(col("n")).over(Window.partitionBy(col("true_lang"))))
+      .withColumn("share_of_true",
+        col("n").cast("double") / col("n_true"))
+  }
+
   /** Evaluate `value` once and expose it to `body` as a lambda
     * variable — projection collapsing would otherwise inline an
     * expensive subexpression (like a split) into a HOF lambda, where

@@ -63,6 +63,43 @@ class ReconBatchSpec extends AnyFunSuite {
     assert(out == Map(("A", "B") -> 2L, ("A", "A") -> 1L))
   }
 
+  test("lang confusion: counts and recall per true language") {
+    val docs = Seq(
+      (0L, "en", "the cat and the dog is a pet"), // en scored
+      (1L, "en", "zzz qqq"),                      // no stopwords -> und
+      (2L, "fr", "le chat et les chiens des"))    // fr scored
+      .toDF("doc_id", "lang", "text")
+    val out = graft.text.TextOps.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_true"),
+          r.getAs[Double]("share_of_true"))).toMap
+    assert(out(("en", "en")) == (1L, 2L, 0.5))
+    assert(out(("en", "und")) == (1L, 2L, 0.5))
+    assert(out(("fr", "fr")) == (1L, 1L, 1.0))
+  }
+
+  test("partition skew: shares and even-split ratios are exact") {
+    val df = (Seq.fill(6)(0L) ++ Seq.fill(2)(1L)).toDF("user_id")
+    val out = graft.operators.Layout.partitionSkew(df, col("user_id"), 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        r.getAs[Double]("share"), r.getAs[Double]("ratio_to_even"))).toMap
+    assert(out(0L) == (6L, 0.75, 1.5))
+    assert(out(1L) == (2L, 0.25, 0.5))
+  }
+
+  test("delta encode: varint ladder and first-event full width") {
+    val e = ev(Seq(
+      (1L, 7L, "2024-01-01 00:00:00"),       // first: 8 bytes
+      (2L, 7L, "2024-01-01 00:00:00.000100"), // delta 100us -> 1 byte
+      (3L, 7L, "2024-01-01 00:01:00"),       // delta ~60M us -> 4 bytes
+      (4L, 8L, "2024-01-01 00:00:00")))      // new user: 8 bytes
+    val r = graft.operators.Layout.deltaEncodingAdvisor(e).collect().head
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("raw_bytes") == 32L)
+    assert(r.getAs[Long]("varint_bytes") == (8L + 1L + 4L + 8L))
+    assert(r.getAs[Double]("compression_ratio") == 32.0 / 21)
+  }
+
   test("session stats: bounce and duration math over a hand session table") {
     val sessions = Seq(
       (1L, 1L, 3L, "2024-01-01 10:00:00", "2024-01-01 10:10:00"),
