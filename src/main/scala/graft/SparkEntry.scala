@@ -1165,7 +1165,16 @@ object SparkEntry {
     // B24: delta-encoding advisor — raw vs varint bytes for the
     // (user, ts)-sorted feed, sized exactly without writing a byte
     "q_delta_encode" -> ((s, dir) =>
-      graft.operators.Layout.deltaEncodingAdvisor(Tables.events(s, dir)))
+      graft.operators.Layout.deltaEncodingAdvisor(Tables.events(s, dir))),
+    // B25: per-(type, day) p10/p50/p90 value bands (SLA band chart)
+    "q_quantile_bands" -> ((s, dir) =>
+      graft.operators.Kpi.dailyBands(Tables.events(s, dir))),
+    // E60: daily activity split by first-seen-day actors vs returners
+    "q_new_vs_returning" -> ((s, dir) =>
+      Analytics.newVsReturning(Tables.events(s, dir))),
+    // D67: embedding-norm QA gate per label
+    "q_emb_norm_stats" -> ((s, dir) =>
+      Ann.normStats(Tables.embeddings(s, dir)))
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -1799,6 +1808,42 @@ object SparkEntry {
     "q_embed_norm" ->
       """SELECT vec_id, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
         |FROM embeddings""".stripMargin,
+    // order-independent stats only (no mean: double sums drift)
+    "q_emb_norm_stats" ->
+      """WITH n AS (SELECT label,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |    AS norm FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        | min(norm) AS min_norm,
+        | quantile_cont(norm, 0.5) AS p50_norm,
+        | max(norm) AS max_norm
+        |FROM n GROUP BY 1""".stripMargin,
+    // B9-parity interpolated percentiles per (type, day)
+    "q_quantile_bands" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | min(value) AS min_value,
+        | quantile_cont(value, 0.1) AS p10,
+        | quantile_cont(value, 0.5) AS p50,
+        | quantile_cont(value, 0.9) AS p90,
+        | max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the same first-day window tag, rolled up per day
+    "q_new_vs_returning" ->
+      """WITH t AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day
+        |  FROM events)
+        |SELECT day,
+        | CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS new_events,
+        | CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS returning_events,
+        | CAST(count(DISTINCT CASE WHEN day = first_day THEN user_id END)
+        |   AS BIGINT) AS new_users,
+        | CAST(count(DISTINCT CASE WHEN day <> first_day THEN user_id END)
+        |   AS BIGINT) AS returning_users
+        |FROM t GROUP BY 1""".stripMargin,
     "q_quality_by_source" ->
       """WITH q AS (SELECT doc_id, source,
         |   len(string_split(text, ' ')) AS n_words,

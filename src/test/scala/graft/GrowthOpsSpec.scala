@@ -223,6 +223,48 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(out == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
   }
 
+  test("quantile bands interpolate exactly per (type, day)") {
+    val ev = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+      ("t", v, s"2024-01-01 0$i:00:00")
+    }.toDF("event_type", "value", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val r = graft.operators.Kpi.dailyBands(ev).collect().head
+    assert(r.getAs[Long]("n_events") == 4L)
+    assert(r.getAs[Double]("p50") == 2.5)
+    assert(r.getAs[Double]("p10") == 1.3)
+    assert(r.getAs[Double]("p90") == 3.7)
+    assert(r.getAs[Double]("min_value") == 1.0)
+    assert(r.getAs[Double]("max_value") == 4.0)
+  }
+
+  test("new vs returning: first-seen day splits both events and users") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:00:00"),
+      (1L, "2024-01-02 10:00:00"),
+      (2L, "2024-01-02 10:00:00"))
+      .toDF("user_id", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = Analytics.newVsReturning(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("2024-01-01") == (2L, 0L, 1L, 0L))
+    assert(out("2024-01-02") == (1L, 1L, 1L, 1L))
+  }
+
+  test("embedding norm stats flag zero vectors, order-independent stats") {
+    val emb = Seq(
+      (0L, Array(3.0f, 4.0f), 1),   // norm 5
+      (1L, Array(0.0f, 0.0f), 1),   // zero vector
+      (2L, Array(0.0f, 2.0f), 1))   // norm 2
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ann.Ann.normStats(emb).collect().head
+    assert(r.getAs[Long]("n_vecs") == 3L)
+    assert(r.getAs[Long]("n_zero") == 1L)
+    assert(r.getAs[Double]("min_norm") == 0.0)
+    assert(r.getAs[Double]("p50_norm") == 2.0)
+    assert(r.getAs[Double]("max_norm") == 5.0)
+  }
+
   test("dataset card: one exact row including the duplicate count") {
     val docs = Seq(
       (0L, "a b c", "en", "s1"), (1L, "a b c", "en", "s2"),
