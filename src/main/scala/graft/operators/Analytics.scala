@@ -938,16 +938,24 @@ object Analytics {
     */
   def newVsReturning(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-    events
+    // collapse to (user, day) FIRST: the user-day aggregate rides the
+    // window's user_id partitioning (a hash layout on a key subset
+    // satisfies the grouping), and the day rollup then needs no
+    // distinct — two conditional count_distincts here would instead
+    // Expand the feed 3× and add a dedup exchange (audit-caught)
+    val perUserDay = events
       .withColumn("first_day", min(to_date(col("ts"))).over(w))
-      .withColumn("is_new", to_date(col("ts")) === col("first_day"))
-      .groupBy(to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"),
+        (to_date(col("ts")) === col("first_day")).as("is_new"))
+      .agg(count(lit(1)).as("n"))
+    perUserDay
+      .groupBy(col("day"))
       .agg(
-        sum(when(col("is_new"), 1L).otherwise(0L)).as("new_events"),
-        sum(when(!col("is_new"), 1L).otherwise(0L)).as("returning_events"),
-        count_distinct(when(col("is_new"), col("user_id"))).as("new_users"),
-        count_distinct(when(!col("is_new"), col("user_id")))
-          .as("returning_users"))
+        sum(when(col("is_new"), col("n")).otherwise(0L)).as("new_events"),
+        sum(when(!col("is_new"), col("n")).otherwise(0L))
+          .as("returning_events"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("returning_users"))
   }
 
   /** Time-bounded conversion funnel: [[funnel]] with a per-step

@@ -575,6 +575,66 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the ladder must reuse ONE candidate pass, not re-scan per threshold:\n$p")
   }
 
+  test("windowed funnel keeps the one-exchange funnel shape") {
+    val p = plan("q_funnel_windowed")
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"stage windows + user fold on one user exchange, one stage rollup:\n$p")
+  }
+
+  test("theil-sen: pairwise slopes join the broadcast daily table") {
+    val p = plan("q_theil_sen")
+    assert(p.contains("BroadcastHashJoin"), s"daily self-join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("gini: rank window and rollup consume the user aggregate") {
+    val p = plan("q_gini")
+    assert(!p.contains("Join"))
+    val winPos = p.indexOf("Window")
+    assert(winPos >= 0 && p.indexOf("HashAggregate", winPos) > winPos,
+      s"the rank window must sit above the per-user aggregate:\n$p")
+  }
+
+  test("lang confusion: one scorer scan, no join") {
+    val p = plan("q_lang_confusion")
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("partition skew: one feed exchange; the total is window-side") {
+    val p = plan("q_partition_skew")
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"bucket rollup only — no count() second scan:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("delta encode: lag window and byte rollup on one user exchange") {
+    val p = plan("q_delta_encode")
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"one user_id exchange end-to-end:\n$p")
+  }
+
+  test("quantile bands: grouped percentiles, no window, no join") {
+    val p = plan("q_quantile_bands")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("new vs returning: exactly the two unavoidable exchanges") {
+    val p = plan("q_new_vs_returning")
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"user tag + day rollup only:\n$p")
+  }
+
+  test("embedding norm stats: one label exchange, norms in the scan stage") {
+    val p = plan("q_emb_norm_stats")
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
