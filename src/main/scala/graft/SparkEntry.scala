@@ -1174,7 +1174,15 @@ object SparkEntry {
       Analytics.newVsReturning(Tables.events(s, dir))),
     // D67: embedding-norm QA gate per label
     "q_emb_norm_stats" -> ((s, dir) =>
-      Ann.normStats(Tables.embeddings(s, dir)))
+      Ann.normStats(Tables.embeddings(s, dir))),
+    // B18b: the hysteresis alarm as keyed streaming state (one
+    // latched boolean per family), absolute 73/60 thresholds
+    "q_stream_alarm" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.streaming.EventStream.alarmStream(daily, 73L, 60L)
+    })
   )
 
   /** q_config_run body: compile the checked-in Chill+HLD workbooks
@@ -3332,6 +3340,18 @@ object SparkEntry {
         |FROM e CROSS JOIN ks""".stripMargin,
     // integer cross-multiplied thresholds; the state carry is the
     // same IGNORE NULLS running window
+    // the same edge/hold ladder at absolute thresholds, replayed with
+    // a last-non-null window
+    "q_stream_alarm" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2),
+        |e AS (SELECT *, CASE WHEN n_events > 73 THEN 'on'
+        |    WHEN n_events < 60 THEN 'off' END AS edge FROM d)
+        |SELECT event_type, day, n_events,
+        | coalesce(last_value(edge IGNORE NULLS) OVER (
+        |   PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'off') AS alarm
+        |FROM e""".stripMargin,
     "q_alarm_hysteresis" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2),

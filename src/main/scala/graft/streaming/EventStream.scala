@@ -142,6 +142,45 @@ object EventStream {
       .toDF(groupCol, "item", "n_occurrences")
   }
 
+  /** Streaming alarm state machine: B18's two-threshold hysteresis
+    * as keyed streaming state — per family, the alarm latches ON
+    * when a day's volume exceeds `hi` and releases only below `lo`
+    * (absolute thresholds: a streaming monitor cannot see the
+    * full-period mean the batch form normalizes by). State is ONE
+    * boolean per family — the smallest possible streaming state —
+    * and each micro-batch folds its days in event-time order (the
+    * in-batch sort is bounded by days-per-family-per-batch; across
+    * batches the latched boolean carries the machine forward), so
+    * the emitted (day, alarm) sequence equals the batch replay of
+    * the same edge/hold ladder (oracle- and spec-pinned).
+    */
+  def alarmStream(daily: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  hi: Long, lo: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    require(hi > lo, "hysteresis needs hi > lo")
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily
+      .selectExpr("event_type", "CAST(day AS STRING) AS day", "n_events")
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (family: String, rows: Iterator[(String, String, Long)],
+         state: GroupState[Boolean]) =>
+          var on = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, day, n) =>
+            if (n > hi) on = true else if (n < lo) on = false
+            (family, day, n, if (on) "on" else "off")
+          }
+          state.update(on)
+          out.iterator
+      }
+      .toDF("event_type", "day", "n_events", "alarm")
+      .withColumn("day", col("day").cast("date"))
+  }
+
   /** Streaming Count-Min sketch: the CMS counters
     * ([[graft.functions.CmsBuffer]]) as keyed streaming state — the
     * continuous any-key frequency monitor next to

@@ -185,6 +185,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming alarm latches across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String, Long)]
+    val daily = ms.toDF.toDF("event_type", "day", "n_events")
+    val q = streaming.EventStream.alarmStream(daily, 10L, 5L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_alarm").start()
+    try {
+      // batch 1: 20 trips the alarm, 7 holds it
+      ms.addData(("t", "2024-01-01", 20L), ("t", "2024-01-02", 7L))
+      q.processAllAvailable()
+      // batch 2: 7 can only read "on" if the latch CARRIED over the
+      // micro-batch boundary; 3 releases it
+      ms.addData(("t", "2024-01-03", 7L), ("t", "2024-01-04", 3L))
+      q.processAllAvailable()
+      val rows = spark.table("stream_alarm").collect()
+        .map(r => r.getAs[java.sql.Date]("day").toString ->
+          r.getString(3)).toMap
+      assert(rows == Map("2024-01-01" -> "on", "2024-01-02" -> "on",
+        "2024-01-03" -> "on", "2024-01-04" -> "off"))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate event_ids") {
     val dir = streamDir
     val stream = streaming.EventStream.readEventStream(spark, dir)
