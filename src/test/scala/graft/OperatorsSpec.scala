@@ -945,6 +945,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(operators.Rollups.fiveMinute(ev).count() == 0)
     assert(operators.Analytics.sessionize(ev, 1800L).count() == 0)
     assert(operators.Skew.saltedAggregate(ev, "event_type", "value", 8).count() == 0)
+    // round-6 additions: empty feeds must yield empty (or for the
+    // one-row advisors, a well-defined all-zero/null) results
+    assert(operators.Analytics.seasonalNaive(ev).count() == 0)
+    assert(operators.Analytics.growthAccounting(ev).count() == 0)
+    assert(operators.Analytics.burstDetect(ev, 60000000L).count() == 0)
+    assert(operators.Analytics.giniConcentration(ev).count() == 0)
+    assert(operators.Analytics.theilSenSlope(ev).count() == 0)
+    assert(operators.Analytics.newVsReturning(ev).count() == 0)
+    assert(operators.Reconcile.bucketChecksums(ev).count() == 0)
+    assert(operators.Layout.compactionPlan(ev, 65536L).count() == 0)
+    assert(operators.Layout.partitionSkew(ev, col("user_id"), 32).count() == 0)
+    assert(dedup.Dedup.editDistancePairs(docs, 20, 32).count() == 0)
+    assert(dedup.Dedup.thresholdSweep(docs, 3, Seq(0.8)).count() == 0)
+    assert(text.TextOps.quantileNormalize(docs).count() == 0)
+    assert(text.TextOps.vocabGrowth(docs, 3, 50).count() == 0)
+    assert(text.TextOps.fertilityReport(docs).count() == 0)
+    // one-row advisors stay one row with zero counts and null ratio
+    val card = graft.operators.Layout.deltaEncodingAdvisor(ev).collect().head
+    assert(card.getAs[Long]("n_rows") == 0L)
   }
 
   test("sketch expressions are deterministic and seed-sensitive") {
