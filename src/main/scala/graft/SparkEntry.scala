@@ -1175,6 +1175,10 @@ object SparkEntry {
     // D67: embedding-norm QA gate per label
     "q_emb_norm_stats" -> ((s, dir) =>
       Ann.normStats(Tables.embeddings(s, dir))),
+    // D68: NN-Descent kNN graph (index-free at-scale path; rows-only
+    // by design like the IVF scorer — recall spec-pinned vs exact)
+    "q_knn_descent" -> ((s, dir) =>
+      Ann.knnGraphDescent(Tables.embeddings(s, dir), 10, 2)),
     // B18b: the hysteresis alarm as keyed streaming state (one
     // latched boolean per family), absolute 73/60 thresholds
     "q_stream_alarm" -> ((s, dir) => {

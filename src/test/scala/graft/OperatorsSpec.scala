@@ -371,6 +371,47 @@ class OperatorsSpec extends AnyFunSuite {
       s"probe side must never broadcast:\n$p")
   }
 
+  test("nn-descent converges fast on clustered data, degrades gracefully " +
+    "to coverage on isotropic data, stays deterministic") {
+    import spark.implicits._
+    // structured corpus: 8 tight clusters on distinct axes — the
+    // regime descent is FOR; two rounds must essentially solve it
+    val clustered = (0 until 64).map { i =>
+      val cl = i % 8
+      val base = Array.tabulate(16)(j =>
+        0.01f * (((i * 31 + j * 17 + 7) % 23) - 11))
+      base(cl * 2) = 10f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val exactC = ann.Ann.knnGraph(clustered, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val descC = ann.Ann.knnGraphDescent(clustered, 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallC = (descC & exactC).size.toDouble / exactC.size
+    assert(recallC >= 0.95, s"descent on clustered data must converge: $recallC")
+    // the driver corpus is ISOTROPIC random (within-cluster and
+    // cross-cluster cosine are both ~0, measured) — there descent,
+    // like every ANN method, can only buy recall with coverage, so
+    // the contract is monotone improvement + exact-k + determinism
+    val emb = Tables.embeddings(spark, sf)
+    val exact = ann.Ann.knnGraph(emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(iters: Int): (Double, Set[(Long, Long)]) = {
+      val e = ann.Ann.knnGraphDescent(emb, 5, iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ((e & exact).size.toDouble / exact.size, e)
+    }
+    val (r1, _) = recallOf(1)
+    val (r3, e3) = recallOf(3)
+    assert(r3 >= r1 - 1e-9, s"descent must not lose recall: $r1 -> $r3")
+    assert(r3 >= 0.15, s"3-round coverage floor broken: $r3")
+    val perNode = e3.groupBy(_._1).values.map(_.size).toSet
+    assert(perNode == Set(5))
+    // hash seeding + exact scores + id-tie-broken heap => bit-reproducible
+    val (_, e3b) = recallOf(3)
+    assert(e3b == e3)
+  }
+
   test("triangle stats: K4 is all-triangles, a path has none, tie-degrees safe") {
     import spark.implicits._
     // K4: every node deg 3, participates in C(3,2)=3 triangles, coeff 1.0
