@@ -1179,6 +1179,10 @@ object SparkEntry {
     // by design like the IVF scorer — recall spec-pinned vs exact)
     "q_knn_descent" -> ((s, dir) =>
       Ann.knnGraphDescent(Tables.embeddings(s, dir), 10, 2)),
+    // D69: winnowing (MOSS) fingerprint near-dup pairs — guaranteed
+    // local-match coverage at ~1/window the posting volume
+    "q_dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowedPairs(Tables.documents(s, dir), 4, 5)),
     // B18b: the hysteresis alarm as keyed streaming state (one
     // latched boolean per family), absolute 73/60 thresholds
     "q_stream_alarm" -> ((s, dir) => {
@@ -3344,6 +3348,30 @@ object SparkEntry {
         |FROM e CROSS JOIN ks""".stripMargin,
     // integer cross-multiplied thresholds; the state carry is the
     // same IGNORE NULLS running window
+    // identical portable fold: per-word char hash -> trigram combine
+    // -> window-of-4 minima -> distinct values -> shared-fp counts
+    "q_dedup_winnow" ->
+      """WITH h AS (SELECT doc_id,
+        |  list_transform(string_split(text, ' '),
+        |    w -> list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(list_filter(string_split(w, ''), ch -> ch <> ''),
+        |        ch -> unicode(ch)::BIGINT)),
+        |      (a, c) -> (a*127 + c) % 2147483647)) AS wh
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(wh) - 2),
+        |    i -> ((wh[i]*131 + wh[i+1]) % 2147483647 * 131 + wh[i+2])
+        |      % 2147483647) AS gh
+        |  FROM h WHERE len(wh) >= 3),
+        |w AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(gh) - 3),
+        |    j -> list_min(gh[j:j+3]))) AS fps
+        |  FROM g WHERE len(gh) >= 4),
+        |p AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(count(*) AS BIGINT) AS n_shared
+        |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
     // the same edge/hold ladder at absolute thresholds, replayed with
     // a last-non-null window
     "q_stream_alarm" ->

@@ -604,6 +604,52 @@ object Dedup {
           .otherwise(col("n_found").cast("double") / col("n_candidates")))
   }
 
+  /** Winnowing fingerprint near-dup pairs (Schleimer–Wilkerson–Aiken,
+    * the MOSS algorithm): per document, portable word-trigram rolling
+    * hashes → the MINIMUM of every `window` consecutive gram hashes
+    * → the distinct selected values are the document's fingerprints.
+    * Winnowing's guarantee — any shared run of at least window+2
+    * words yields at least one SHARED fingerprint — makes this the
+    * principled local-match detector in the family (shingle/minhash
+    * sample globally; winnowing guarantees per-passage coverage with
+    * ~1/window the posting volume of full shingling). Because
+    * fingerprints are selected by VALUE minima, no positional
+    * tie-break rule is needed and the whole selection is
+    * engine-portable integer arithmetic (the same fold as
+    * [[graft.text.TextOps.fingerprint]], oracle-replayable).
+    * Candidates then flow through the standard capped posting
+    * machinery; a pair survives with `minShared` shared fingerprints.
+    */
+  def winnowedPairs(docs: DataFrame, window: Int = 4, minShared: Long = 5,
+                    maxBucket: Int = 1000): DataFrame = {
+    val P = graft.text.TextOps.FpP
+    val wh = graft.text.TextOps.portableWordHashes(col("text"))
+    val grams = bindArr(wh) { h =>
+      when(size(h) >= 3,
+        transform(sequence(lit(1), size(h) - 2), i =>
+          ((element_at(h, i) * lit(131L) + element_at(h, i + 1)) % P
+            * lit(131L) + element_at(h, i + 2)) % P))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val fps = bindArr(grams) { g =>
+      when(size(g) >= window,
+        array_distinct(transform(sequence(lit(1), size(g) - (window - 1)),
+          j => array_min(slice(g, j, lit(window))))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val postings = docs
+      .select(col("doc_id"), explode(fps).as("fp"))
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    postings
+      .select(explode(
+        graft.functions.TextHashFunctions.pairCombos(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Duplicate-cluster size histogram over [[components]]' output:
     * how many clusters of each size the dedup found — the shape
     * report that distinguishes "many small twins" (normal crawl

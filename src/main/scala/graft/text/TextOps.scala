@@ -246,20 +246,30 @@ object TextOps {
     * 2^39 so the same fold runs in any 64-bit-integer SQL engine
     * without wrap-around (the DuckDB oracle replays it exactly).
     */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    val P = lit(2147483647L) // 2^31 - 1
-    val wordHash = (w: Column) =>
-      aggregate(
-        filter(split(w, ""), ch => ch =!= ""),
-        lit(0L),
-        (h, ch) => (h * lit(127L) + ascii(ch).cast("long")) % P)
+  def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       aggregate(
-        split(col("text"), " "),
+        portableWordHashes(col("text")),
         lit(0L),
-        (acc, w) => (acc * lit(131L) + wordHash(w) + lit(1L)) % P).as("fingerprint"))
-  }
+        (acc, h) => (acc * lit(131L) + h + lit(1L)) % FpP).as("fingerprint"))
+
+  /** p = 2^31 − 1, the engine-portable hash modulus shared by the
+    * fingerprint and winnowing families.
+    */
+  private[graft] val FpP = lit(2147483647L)
+
+  /** Per-word portable rolling hashes of a document: each word folds
+    * its characters through (h·127 + c) mod p — every intermediate
+    * stays under 2^39, so the identical fold runs in any
+    * 64-bit-integer SQL engine (the DuckDB oracles replay it).
+    */
+  private[graft] def portableWordHashes(text: Column): Column =
+    transform(split(text, " "), w =>
+      aggregate(
+        filter(split(w, ""), ch => ch =!= ""),
+        lit(0L),
+        (h, ch) => (h * lit(127L) + ascii(ch).cast("long")) % FpP))
 
   /** Word n-gram strings of a document's word array: positions
     * 1..len-n+1, each joined with single spaces; empty when the

@@ -280,6 +280,21 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("dup_rate") == 0.5)
   }
 
+  test("winnowing: a shared window+2-word run guarantees a shared " +
+    "fingerprint; unrelated docs pair with nothing") {
+    val run = "alpha beta gamma delta epsilon zeta" // exactly 6 = window+2
+    val docs = Seq(
+      (0L, s"one two three $run four five six seven"),
+      (1L, s"red green blue $run yellow purple orange pink"),
+      (2L, "cat dog bird fish horse cow sheep goat llama duck"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowedPairs(docs, 4, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((0L, 1L)),
+      s"only the shared-run pair may appear: ${out.keySet}")
+    assert(out((0L, 1L)) >= 1L)
+  }
+
   test("vocab growth: grams land in their first doc's bucket, short docs none") {
     val docs = Seq(
       (0L, "a b c"),       // gram "a b c"
