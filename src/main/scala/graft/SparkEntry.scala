@@ -1183,6 +1183,12 @@ object SparkEntry {
     // local-match coverage at ~1/window the posting volume
     "q_dedup_winnow" -> ((s, dir) =>
       Dedup.winnowedPairs(Tables.documents(s, dir), 4, 5)),
+    // E61: HITS hubs/authorities (2 fixed integer rounds) over the
+    // directed customer->supplier trading graph
+    "q_hits" -> ((s, dir) =>
+      Graph.hits(
+        Graph.tradingEdgesDirected(
+          Tables.lineitem(s, dir), Tables.orders(s, dir)), 2)),
     // B18b: the hysteresis alarm as keyed streaming state (one
     // latched boolean per family), absolute 73/60 thresholds
     "q_stream_alarm" -> ((s, dir) => {
@@ -3348,6 +3354,30 @@ object SparkEntry {
         |FROM e CROSS JOIN ks""".stripMargin,
     // integer cross-multiplied thresholds; the state carry is the
     // same IGNORE NULLS running window
+    // two unrolled HITS rounds; authorities sum hubs over in-edges,
+    // hubs sum the refreshed authorities over out-edges
+    "q_hits" ->
+      """WITH p AS (SELECT DISTINCT 'c' || o_custkey AS src,
+        |   's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |n AS (SELECT src AS node FROM p UNION SELECT dst FROM p),
+        |a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS authority
+        |  FROM p GROUP BY 1),
+        |na1 AS (SELECT n.node, COALESCE(a1.authority, 0) AS authority
+        |  FROM n LEFT JOIN a1 ON n.node = a1.node),
+        |h1 AS (SELECT p.src AS node, CAST(SUM(na1.authority) AS BIGINT) AS hub
+        |  FROM p JOIN na1 ON p.dst = na1.node GROUP BY 1),
+        |nh1 AS (SELECT n.node, COALESCE(h1.hub, 0) AS hub
+        |  FROM n LEFT JOIN h1 ON n.node = h1.node),
+        |a2 AS (SELECT p.dst AS node, CAST(SUM(nh1.hub) AS BIGINT) AS authority
+        |  FROM p JOIN nh1 ON p.src = nh1.node GROUP BY 1),
+        |na2 AS (SELECT n.node, COALESCE(a2.authority, 0) AS authority
+        |  FROM n LEFT JOIN a2 ON n.node = a2.node),
+        |h2 AS (SELECT p.src AS node, CAST(SUM(na2.authority) AS BIGINT) AS hub
+        |  FROM p JOIN na2 ON p.dst = na2.node GROUP BY 1)
+        |SELECT n.node, COALESCE(h2.hub, 0) AS hub, na2.authority
+        |FROM n LEFT JOIN h2 ON n.node = h2.node
+        |JOIN na2 ON n.node = na2.node""".stripMargin,
     // identical portable fold: per-word char hash -> trigram combine
     // -> window-of-4 minima -> distinct values -> shared-fp counts
     "q_dedup_winnow" ->

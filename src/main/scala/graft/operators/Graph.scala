@@ -26,15 +26,21 @@ object Graph {
     * two key spaces overlap.
     */
   def tradingEdges(lineitem: DataFrame, orders: DataFrame): DataFrame = {
-    val pairs = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = tradingEdgesDirected(lineitem, orders)
+    pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** The directed customer→supplier form of [[tradingEdges]] — what
+    * direction-sensitive scores ([[hits]]) consume.
+    */
+  def tradingEdgesDirected(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cust"),
-        concat(lit("s"), col("l_suppkey")).as("supp"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
-    pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-  }
 
   /** Fixed-point PageRank over a directed edge list (src, dst):
     * `iters` damped propagation rounds from a uniform start of `init`
@@ -280,6 +286,60 @@ object Graph {
         when(col("deg") >= 2,
           (col("triangles") * 2L).cast("double") / (col("deg") * (col("deg") - 1)))
           .otherwise(lit(0.0)))
+  }
+
+  /** HITS hubs and authorities (Kleinberg) over a DIRECTED edge
+    * list, fixed-round integer form: from h₀ = 1 everywhere,
+    * a'(v) = Σ_{u→v} h(u) then h'(u) = Σ_{u→v} a'(v), `iters`
+    * times — authorities are nodes many good hubs point at, hubs are
+    * nodes pointing at many good authorities (on the customer→
+    * supplier trading graph: supplier centrality weighted by how
+    * broad their buyers are, and vice versa). Classic HITS
+    * L2-normalizes each round — a transcendental the oracle can't
+    * replay — so this fixes the round count instead and keeps raw
+    * BIGINT sums (magnitudes grow ~(max-degree)² per round;
+    * headroom contract like pageRank's: deg_max^(2·iters) must fit
+    * a long — at big graphs right-shift both scores each round, the
+    * RANKING is shift-invariant). Per round: two narrow shuffles
+    * over the once-partitioned edge list, scores localCheckpoint'ed
+    * (the components() lesson); the unrolled oracle replays every
+    * round exactly.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one round")
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(width, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var hubs = nodes.withColumn("hub", lit(1L)).localCheckpoint()
+    var auths: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val a = e
+        .join(hubs.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub")).as("authority"))
+      auths = nodes
+        .join(a, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("authority"), lit(0L)).as("authority"))
+        .localCheckpoint()
+      val h = e
+        .join(auths.select(col("node").as("dst"), col("authority")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("authority")).as("hub"))
+      hubs = nodes
+        .join(h, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
+        .localCheckpoint()
+    }
+    val out = hubs.join(auths, "node")
+      .select(col("node"), col("hub"), col("authority"))
+    e.unpersist(); nodes.unpersist()
+    out
   }
 
   /** Personalized PageRank: [[pageRank]]'s damped propagation with

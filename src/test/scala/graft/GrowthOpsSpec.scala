@@ -106,6 +106,18 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(loose == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("hits: hand-computed hubs and authorities after two rounds") {
+    val edges = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"))
+      .toDF("src", "dst")
+    val out = Graph.hits(edges, 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // r1: a(s1)=2, a(s2)=1; h(c1)=3, h(c2)=2
+    // r2: a(s1)=3+2=5, a(s2)=3; h(c1)=5+3=8, h(c2)=5
+    assert(out == Map(
+      "c1" -> (8L, 0L), "c2" -> (5L, 0L),
+      "s1" -> (0L, 5L), "s2" -> (0L, 3L)))
+  }
+
   test("personalized pagerank: teleport mass stays on the seed set") {
     // cycle s -> a -> b -> s, seed = {s}, init = 100, boost = 15
     val edges = Seq(("s", "a"), ("a", "b"), ("b", "s")).toDF("src", "dst")
