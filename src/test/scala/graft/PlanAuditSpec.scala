@@ -635,6 +635,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
   }
 
+  test("winnowing: one scan, fingerprints selected in-row, capped postings") {
+    val p = plan("q_dedup_winnow")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"winnowing must fingerprint in one pass:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("hits: final scores are checkpointed leaves, no nested round plan") {
+    val p = plan("q_hits")
+    assert(p.contains("Scan ExistingRDD"),
+      "scores must come from checkpoint leaves")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
