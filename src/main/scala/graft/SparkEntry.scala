@@ -1196,6 +1196,40 @@ object SparkEntry {
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n_events"))
       graft.streaming.EventStream.alarmStream(daily, 73L, 60L)
+    }),
+    // E62: fixed-round Markov stationary mass over the event-type
+    // transition matrix — where activity settles under the observed
+    // transition frequencies (BIGINT fixed-point, pagerank family)
+    "q_markov_stationary" -> ((s, dir) =>
+      Graph.markovStationary(
+        Analytics.transitionMatrix(Tables.events(s, dir)), 3)),
+    // B26: winsorized daily mean — per-type global p05/p95 clip band
+    // (pass 1, |types| rows, broadcast) over a map-side-combined
+    // daily cents mean (pass 2)
+    "q_winsorized" -> ((s, dir) =>
+      graft.operators.Kpi.winsorizedDailyMean(Tables.events(s, dir))),
+    // A12: fixed-width positional source — render orders into a
+    // fixed-width layout, parse it back by substring slicing (the
+    // oracle independently renders AND parses the same layout), then
+    // roll up the parsed fields
+    "q_fixed_width" -> ((s, dir) => {
+      val lines = Tables.orders(s, dir).select(
+        concat(
+          lpad(col("o_orderkey").cast("string"), 12, "0"),
+          col("o_orderstatus"),
+          lpad(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+            .cast("string"), 15, "0"),
+          rpad(col("o_orderpriority"), 16, " ")).as("value"))
+        .withColumn("_file", lit("orders.fw"))
+      ChillPipeline.sliceFixedWidth(lines, Seq(
+          ChillPipeline.FixedWidthCol("order_key", 1, 12),
+          ChillPipeline.FixedWidthCol("status", 13, 1),
+          ChillPipeline.FixedWidthCol("cents", 14, 15),
+          ChillPipeline.FixedWidthCol("priority", 29, 16)),
+        0, 0, Set.empty)
+        .groupBy(col("status"), col("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents").cast("long")).as("sum_cents"))
     })
   )
 
@@ -3787,6 +3821,77 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
         |SELECT bucket, n_new,
         | CAST(sum(n_new) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+    // the same 3 power-iteration rounds unrolled, q_pagerank's form;
+    // // on positives == Spark's div; absorbing states carry mass
+    "q_markov_stationary" ->
+      """WITH l AS (SELECT event_type, LAG(event_type, 1) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type AS i, event_type AS j,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT i, CAST(sum(n) AS BIGINT) AS rt FROM c GROUP BY 1),
+        |st AS (SELECT i AS state FROM c UNION SELECT j FROM c),
+        |p0 AS (SELECT state, CAST(1000000000000 AS BIGINT) AS mass FROM st),
+        |g1 AS (SELECT c.j AS state,
+        |    CAST(SUM((p.mass * c.n) // r.rt) AS BIGINT) AS m
+        |  FROM c JOIN p0 p ON p.state = c.i JOIN r ON r.i = c.i GROUP BY 1),
+        |p1 AS (SELECT st.state, CAST(COALESCE(g1.m, 0) +
+        |    CASE WHEN r.rt IS NULL THEN p0.mass ELSE 0 END AS BIGINT) AS mass
+        |  FROM st LEFT JOIN g1 ON g1.state = st.state
+        |    LEFT JOIN r ON r.i = st.state JOIN p0 ON p0.state = st.state),
+        |g2 AS (SELECT c.j AS state,
+        |    CAST(SUM((p.mass * c.n) // r.rt) AS BIGINT) AS m
+        |  FROM c JOIN p1 p ON p.state = c.i JOIN r ON r.i = c.i GROUP BY 1),
+        |p2 AS (SELECT st.state, CAST(COALESCE(g2.m, 0) +
+        |    CASE WHEN r.rt IS NULL THEN p1.mass ELSE 0 END AS BIGINT) AS mass
+        |  FROM st LEFT JOIN g2 ON g2.state = st.state
+        |    LEFT JOIN r ON r.i = st.state JOIN p1 ON p1.state = st.state),
+        |g3 AS (SELECT c.j AS state,
+        |    CAST(SUM((p.mass * c.n) // r.rt) AS BIGINT) AS m
+        |  FROM c JOIN p2 p ON p.state = c.i JOIN r ON r.i = c.i GROUP BY 1),
+        |p3 AS (SELECT st.state, CAST(COALESCE(g3.m, 0) +
+        |    CASE WHEN r.rt IS NULL THEN p2.mass ELSE 0 END AS BIGINT) AS mass
+        |  FROM st LEFT JOIN g3 ON g3.state = st.state
+        |    LEFT JOIN r ON r.i = st.state JOIN p2 ON p2.state = st.state)
+        |SELECT state, mass, CAST(mass AS DOUBLE) /
+        | (SELECT CAST(SUM(mass) AS DOUBLE) FROM p3) AS share
+        |FROM p3""".stripMargin,
+    // quantile_cont == Spark percentile (B9 parity); round-half-up
+    // cents sums, one double division per mean
+    "q_winsorized" ->
+      """WITH b AS (SELECT event_type,
+        |   quantile_cont(value, 0.05) AS lo_bound,
+        |   quantile_cont(value, 0.95) AS hi_bound
+        |  FROM events GROUP BY 1),
+        |cl AS (SELECT e.event_type, CAST(e.ts AS DATE) AS day, e.value,
+        |   LEAST(GREATEST(e.value, b.lo_bound), b.hi_bound) AS clip,
+        |   b.lo_bound, b.hi_bound
+        |  FROM events e JOIN b ON e.event_type = b.event_type)
+        |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / (count(*) * 100.0) AS raw_avg,
+        | CAST(SUM(CAST(floor(clip * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |   / (count(*) * 100.0) AS winsorized_avg,
+        | MIN(lo_bound) AS lo_bound, MAX(hi_bound) AS hi_bound
+        |FROM cl GROUP BY 1, 2""".stripMargin,
+    // the oracle renders the identical fixed-width lines with
+    // lpad/rpad, re-slices them with substr + trim, and aggregates —
+    // both the render and the positional parse must round-trip
+    "q_fixed_width" ->
+      """WITH lines AS (SELECT
+        |   lpad(CAST(o_orderkey AS VARCHAR), 12, '0') || o_orderstatus ||
+        |   lpad(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |     AS VARCHAR), 15, '0') ||
+        |   rpad(o_orderpriority, 16, ' ') AS value
+        |  FROM orders),
+        |p AS (SELECT trim(substr(value, 13, 1)) AS status,
+        |   CAST(trim(substr(value, 14, 15)) AS BIGINT) AS cents,
+        |   trim(substr(value, 29, 16)) AS priority
+        |  FROM lines)
+        |SELECT status, priority, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM p GROUP BY 1, 2""".stripMargin
   )
 }

@@ -139,6 +139,19 @@ object ChillPipeline {
     require(columns.nonEmpty,
       "sliceLines needs explicit columns; header derivation (empty raw_columns) " +
         "is resolved by rawCsv from the files, which a line-set source cannot do")
+    val kept = slicedBody(lines, skipHeader, skipFooter, ignoreLines)
+    val parts = split(col("value"), java.util.regex.Pattern.quote(delimiter))
+    columns.zipWithIndex.foldLeft(kept) { case (acc, (c, i)) =>
+      acc.withColumn(c, parts.getItem(i))
+    }.drop("value")
+  }
+
+  /** The valid-lines slice + ignore-lines filter shared by the
+    * delimiter ([[sliceLines]]) and positional ([[sliceFixedWidth]])
+    * parsers, over any `(_file, value)` line set.
+    */
+  def slicedBody(lines: DataFrame, skipHeader: Int, skipFooter: Int,
+                 ignoreLines: Set[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val body =
       if (skipHeader <= 0 && skipFooter <= 0) lines
@@ -172,10 +185,41 @@ object ChillPipeline {
           .filter(col("_ln") > skipHeader && col("_ln") <= col("_s_tot") - skipFooter)
           .select(col("_file"), col("value"))
       }
-    val kept = body.filter(!col("value").isin(ignoreLines.toSeq: _*))
-    val parts = split(col("value"), java.util.regex.Pattern.quote(delimiter))
-    columns.zipWithIndex.foldLeft(kept) { case (acc, (c, i)) =>
-      acc.withColumn(c, parts.getItem(i))
+    body.filter(!col("value").isin(ignoreLines.toSeq: _*))
+  }
+
+  /** A positional (fixed-width) column: `start` is 1-based, `len` in
+    * characters; `trimmed` strips the space padding fixed-width
+    * feeds carry (numeric fields are typically left-padded, text
+    * right-padded — both trim to the payload).
+    */
+  case class FixedWidthCol(name: String, start: Int, len: Int,
+                           trimmed: Boolean = true)
+
+  /** Fixed-width (positional) raw source — the other classic telecom
+    * feed layout next to delimiter CSV (the reference's raw reader is
+    * delimiter-driven, Partrans.py:222-236; positional layouts come
+    * from the same mediation stacks). Same valid-lines slice /
+    * ignore-lines controls as [[rawCsv]]; each column is a pure
+    * `substring` projection inside the scan stage — no split, no
+    * regex, codegen'd, nothing shuffles.
+    */
+  def rawFixedWidth(spark: SparkSession, path: String,
+                    columns: Seq[FixedWidthCol], skipHeader: Int,
+                    skipFooter: Int, ignoreLines: Set[String]): DataFrame =
+    sliceFixedWidth(
+      spark.read.text(path).select(input_file_name().as("_file"), col("value")),
+      columns, skipHeader, skipFooter, ignoreLines)
+
+  /** [[rawFixedWidth]] over an existing `(_file, value)` line set. */
+  def sliceFixedWidth(lines: DataFrame, columns: Seq[FixedWidthCol],
+                      skipHeader: Int, skipFooter: Int,
+                      ignoreLines: Set[String]): DataFrame = {
+    require(columns.nonEmpty, "sliceFixedWidth needs at least one column spec")
+    val kept = slicedBody(lines, skipHeader, skipFooter, ignoreLines)
+    columns.foldLeft(kept) { case (acc, c) =>
+      val sliced = substring(col("value"), c.start, c.len)
+      acc.withColumn(c.name, if (c.trimmed) trim(sliced) else sliced)
     }.drop("value")
   }
 

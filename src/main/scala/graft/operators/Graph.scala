@@ -394,4 +394,61 @@ object Graph {
     e.unpersist(); ed.unpersist(); nodes.unpersist()
     ranks.select(col("node"), col("rank"))
   }
+
+  /** Fixed-round Markov stationary mass over a transition-count table
+    * `(prev_type, event_type, n_transitions)` — where does user
+    * activity settle if the observed transition frequencies keep
+    * driving it? `iters` power-iteration rounds from a uniform start
+    * of `init` per state, all in BIGINT fixed-point:
+    * mass'(j) = Σ_i (mass(i) * n_ij) div r_i, where r_i is state i's
+    * outgoing total; a state with no out-transitions keeps its mass
+    * (an explicit self-loop), so total mass only shrinks by the
+    * integer-division rounding and every step is bit-deterministic —
+    * same discipline as [[pageRank]].
+    *
+    * Scale shape: the feed collapses to the |types|² transition table
+    * in ONE map-side-combined pass (the caller's transitionMatrix);
+    * every iteration after that moves only dimension-sized tables.
+    * Headroom contract: init * max row-count must fit in a long —
+    * init 10^12 leaves room for ~9·10^6-row transition cells.
+    * `share` is mass over the surviving total, one double division
+    * per state at the very end.
+    */
+  def markovStationary(transitions: DataFrame, iters: Int,
+                       init: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "at least one power-iteration round")
+    val c = transitions.select(col("prev_type").as("i"),
+        col("event_type").as("j"), col("n_transitions").as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val r = c.groupBy(col("i")).agg(sum(col("n")).as("rt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cd = c.join(r, "i").persist(StorageLevel.MEMORY_AND_DISK)
+    val states = c.select(col("i").as("state"))
+      .unionByName(c.select(col("j").as("state")))
+      .distinct()
+      .join(r.select(col("i").as("state"), col("rt")), Seq("state"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var mass = states.select(col("state"), lit(init).as("mass"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val gathered = cd
+        .join(mass.select(col("state").as("i"), col("mass")), "i")
+        .select(col("j").as("state"), expr("(mass * n) div rt").as("m"))
+        .groupBy(col("state")).agg(sum(col("m")).as("in_mass"))
+      mass = states
+        .join(gathered, Seq("state"), "left")
+        .join(mass.withColumnRenamed("mass", "prev_mass"), Seq("state"))
+        .select(col("state"),
+          (coalesce(col("in_mass"), lit(0L)) +
+            when(col("rt").isNull, col("prev_mass")).otherwise(lit(0L)))
+            .as("mass"))
+        .localCheckpoint()
+    }
+    c.unpersist(); r.unpersist(); cd.unpersist(); states.unpersist()
+    val total = mass.agg(sum(col("mass")).as("total_mass"))
+    mass.crossJoin(broadcast(total))
+      .select(col("state"), col("mass"),
+        (col("mass").cast("double") / col("total_mass").cast("double"))
+          .as("share"))
+  }
 }

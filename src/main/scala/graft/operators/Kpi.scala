@@ -33,6 +33,42 @@ object Kpi {
         percentile(col("value"), lit(0.9)).as("p90"),
         max(col("value")).as("max_value"))
 
+  /** Winsorized daily mean per (type, day): clip each value to the
+    * type's global [pLo, pHi] percentile band, then average — the
+    * robust daily KPI that a handful of fat-finger readings cannot
+    * drag (plain mean moves arbitrarily; the winsorized one is
+    * bounded by the band). Two passes by construction (the band is a
+    * GLOBAL order statistic): pass 1 reduces to |types| rows of
+    * exact percentiles (B9 parity — `approx_percentile` at 100 TB),
+    * broadcast back onto pass 2, whose aggregate is map-side
+    * combined. Sums travel as round-half-up cents (BIGINT, order-
+    * independent); each mean is one double division at the end.
+    */
+  def winsorizedDailyMean(events: DataFrame, pLo: Double = 0.05,
+                          pHi: Double = 0.95): DataFrame = {
+    val bounds = events
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(pLo)).as("lo_bound"),
+        percentile(col("value"), lit(pHi)).as("hi_bound"))
+    events
+      .join(broadcast(bounds), "event_type")
+      .withColumn("clip",
+        least(greatest(col("value"), col("lo_bound")), col("hi_bound")))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("raw_cents"),
+        sum(floor(col("clip") * 100.0 + 0.5).cast("long")).as("win_cents"),
+        min(col("lo_bound")).as("lo_bound"),
+        max(col("hi_bound")).as("hi_bound"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        (col("raw_cents").cast("double") / (col("n_events") * 100.0))
+          .as("raw_avg"),
+        (col("win_cents").cast("double") / (col("n_events") * 100.0))
+          .as("winsorized_avg"),
+        col("lo_bound"), col("hi_bound"))
+  }
+
   /** Attach KPI columns to an aggregated frame. */
   def withKpis(agg: DataFrame, kpis: Seq[(String, Column)]): DataFrame =
     kpis.foldLeft(agg) { case (df, (name, expr)) => df.withColumn(name, expr) }

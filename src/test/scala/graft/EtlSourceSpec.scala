@@ -54,6 +54,36 @@ class EtlSourceSpec extends AnyFunSuite {
     assert(df.filter(col("id") === "7").select("cnt1").collect().head.getString(0) == "70")
   }
 
+  test("rawFixedWidth: positional slice, trim, valid-line controls") {
+    val d = java.nio.file.Files.createTempDirectory("fwpm")
+    // layout: id 1-4 (left-padded), name 5-12 (right-padded), qty 13-18
+    java.nio.file.Files.writeString(d.resolve("FEED_20240107.dat"),
+      """HEADER 2024-01-07
+        |0001alpha   000042
+        |0002beta    000007
+        |SKIPME
+        |0003gamma       99
+        |TRAILER 3 RECORDS""".stripMargin)
+    val df = ChillPipeline.rawFixedWidth(spark, d.toString + "/*.dat",
+      Seq(ChillPipeline.FixedWidthCol("id", 1, 4),
+        ChillPipeline.FixedWidthCol("name", 5, 8),
+        ChillPipeline.FixedWidthCol("qty", 13, 6)),
+      skipHeader = 1, skipFooter = 1, ignoreLines = Set("SKIPME"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("id")).toSeq == Seq("0001", "0002", "0003"))
+    // right-padded text trims to the payload; left-padded numerics
+    // keep their zeros (they are characters, not padding spaces)
+    assert(rows.map(_.getAs[String]("name")).toSeq ==
+      Seq("alpha", "beta", "gamma"))
+    assert(rows.map(_.getAs[String]("qty")).toSeq ==
+      Seq("000042", "000007", "99"))
+    // trimmed=false keeps the raw slice, padding and all
+    val raw = ChillPipeline.rawFixedWidth(spark, d.toString + "/*.dat",
+      Seq(ChillPipeline.FixedWidthCol("name", 5, 8, trimmed = false)),
+      skipHeader = 1, skipFooter = 1, ignoreLines = Set("SKIPME"))
+    assert(raw.orderBy("name").collect().head.getAs[String]("name") == "alpha   ")
+  }
+
   test("slicing is exact when one file spans many splits") {
     // force multi-split reads so the per-split offset arithmetic is
     // exercised across chunk boundaries (at 100 TB every big file is

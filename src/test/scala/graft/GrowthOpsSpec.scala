@@ -131,6 +131,38 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(r2 == Map("s" -> 15L, "a" -> 12L, "b" -> 72L))
   }
 
+  test("markov stationary: hand-computed mass, absorbing state keeps its own") {
+    // a -> b, b -> a (1/2), b -> c (1/2), c absorbing; init = 100
+    val trans = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L))
+      .toDF("prev_type", "event_type", "n_transitions")
+    // r1: a <- 100//2 = 50, b <- 100, c <- 50 + own 100 = 150
+    // r2: a <- 100//2 = 50, b <- 50, c <- 50 + own 150 = 200
+    val out = Graph.markovStationary(trans, 2, 100L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.view.mapValues(_._1).toMap ==
+      Map("a" -> 50L, "b" -> 50L, "c" -> 200L))
+    // exact divisions here: mass is conserved, shares sum to 1
+    assert(out("c")._2 == 200.0 / 300.0)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
+  test("winsorized mean: the clip band bounds what an outlier can do") {
+    val ev = Seq(0.0, 10.0, 10.0, 10.0, 100.0)
+      .map(v => ("x", "2024-01-01 10:00:00", v))
+      .toDF("event_type", "tss", "value")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val r = graft.operators.Kpi.winsorizedDailyMean(ev).collect().head
+    // p05 = 0 + 0.2*(10-0) = 2.0; p95 = 10 + 0.8*(100-10) ≈ 82 (the
+    // 0.95*4 = 3.8 fraction is inexact in IEEE — DuckDB's
+    // quantile_cont computes the identical value, which is the point)
+    assert(r.getAs[Double]("lo_bound") == 2.0)
+    assert(math.abs(r.getAs[Double]("hi_bound") - 82.0) < 1e-9)
+    // raw cents 13000 / 500; clipped 200+3000+8200 = 11400 / 500
+    assert(r.getAs[Double]("raw_avg") == 26.0)
+    assert(r.getAs[Double]("winsorized_avg") == 22.8)
+    assert(r.getAs[Long]("n_events") == 5L)
+  }
+
   test("nearest as-of: closest side wins, backward breaks ties") {
     def df(rows: Seq[(Long, Long, String)], v: String) =
       rows.toDF("event_id", "user_id", "tss")
