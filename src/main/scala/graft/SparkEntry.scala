@@ -1230,6 +1230,34 @@ object SparkEntry {
         .groupBy(col("status"), col("priority"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("cents").cast("long")).as("sum_cents"))
+    }),
+    // D70: per-source Flesch readability bands (vowel-run syllable
+    // proxy; fixed-order double arithmetic, deterministic banding)
+    "q_readability" -> ((s, dir) =>
+      TextOps.readabilityBands(Tables.documents(s, dir))),
+    // D71: encoding-artifact QA — mojibake markers, U+FFFD, control
+    // chars; corruption injected deterministically (doc_id mod), the
+    // q_corpus_diff pattern, so the detector has something to find
+    "q_encoding_qa" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        when(col("doc_id") % 13 === 0, expr("replace(text, 'a ', 'Ã¡ ')"))
+          .when(col("doc_id") % 17 === 0, concat(col("text"), lit(" �")))
+          .otherwise(col("text")).as("text"))
+      TextOps.encodingQa(docs)
+    }),
+    // B27: capacity forecast — days until the fitted OLS volume line
+    // crosses 2x today's peak day, all-BIGINT (-1 = never on this fit)
+    "q_capacity_forecast" -> ((s, dir) =>
+      Analytics.capacityForecast(Tables.events(s, dir), 2L, 1L)),
+    // D72: product-quantization ANN — PQ codes + ADC top-k (rows-only
+    // by design like the other sketch searches; recall + compression
+    // are spec-pinned against the exact scan)
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Ann.fitPq(emb, 8, 16, 2)
+      Ann.pqSearch(model, Ann.pqEncode(emb, model),
+        emb.filter(col("vec_id") < 5), 10)
     })
   )
 
@@ -3892,6 +3920,79 @@ object SparkEntry {
         |  FROM lines)
         |SELECT status, priority, CAST(count(*) AS BIGINT) AS n_orders,
         | CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM p GROUP BY 1, 2""".stripMargin
+        |FROM p GROUP BY 1, 2""".stripMargin,
+    // identical fixed-order float formula; banding compares the same
+    // per-doc double on both sides
+    "q_readability" ->
+      """WITH r AS (SELECT source,
+        |   len(string_split(text, ' ')) AS w,
+        |   GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+        |   len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS syl
+        |  FROM documents),
+        |f AS (SELECT source,
+        |   206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+        |     - 84.6 * (CAST(syl AS DOUBLE) / w) AS flesch
+        |  FROM r)
+        |SELECT source,
+        | CASE WHEN flesch >= 60.0 THEN 'easy'
+        |      WHEN flesch >= 30.0 THEN 'standard'
+        |      ELSE 'hard' END AS band,
+        | CAST(count(*) AS BIGINT) AS n_docs
+        |FROM f GROUP BY 1, 2""".stripMargin,
+    // same deterministic corruption (doc_id mod ladder) + the same
+    // three artifact regex classes replayed in RE2
+    "q_encoding_qa" ->
+      """WITH d AS (SELECT source,
+        |   CASE WHEN doc_id % 13 = 0 THEN replace(text, 'a ', 'Ã¡ ')
+        |        WHEN doc_id % 17 = 0 THEN text || ' �'
+        |        ELSE text END AS text
+        |  FROM documents),
+        |m AS (SELECT source,
+        |   CAST(len(regexp_extract_all(text, '[ÃÂ]')) AS BIGINT) AS n_moji,
+        |   CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_repl,
+        |   CAST(len(regexp_extract_all(text,
+        |     '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_ctrl
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN n_moji + n_repl + n_ctrl > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_flagged,
+        | CAST(SUM(n_moji) AS BIGINT) AS mojibake_chars,
+        | CAST(SUM(n_repl) AS BIGINT) AS replacement_chars,
+        | CAST(SUM(n_ctrl) AS BIGINT) AS control_chars,
+        | CAST(SUM(CASE WHEN n_moji + n_repl + n_ctrl > 0 THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*) AS flagged_rate
+        |FROM m GROUP BY 1""".stripMargin,
+    // B15's integer-moment discipline; ceil-division runs on
+    // positives only so // == div; -1 = never on this fit
+    "q_capacity_forecast" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |   CAST(MAX(date_diff('day', d0.d0, day)) AS BIGINT) AS last_x,
+        |   CAST(MAX(y) AS BIGINT) AS peak_y,
+        |   CAST(SUM(date_diff('day', d0.d0, day)) AS BIGINT) AS sx,
+        |   CAST(SUM(CAST(date_diff('day', d0.d0, day) AS BIGINT)
+        |     * date_diff('day', d0.d0, day)) AS BIGINT) AS sxx,
+        |   CAST(SUM(y) AS BIGINT) AS sy,
+        |   CAST(SUM(date_diff('day', d0.d0, day) * y) AS BIGINT) AS sxy
+        |  FROM daily, d0 GROUP BY 1 HAVING count(*) >= 2),
+        |t AS (SELECT event_type, n_days, peak_y, last_x, sx, sy,
+        |   peak_y * 2 AS threshold,
+        |   n_days * sxy - sx * sy AS b_num,
+        |   n_days * sxx - sx * sx AS b_den
+        |  FROM m),
+        |u AS (SELECT *,
+        |   threshold * n_days * b_den - sy * b_den + b_num * sx AS p,
+        |   n_days * b_num AS q
+        |  FROM t)
+        |SELECT event_type, n_days, peak_y, threshold,
+        | CAST(b_num AS DOUBLE) / CAST(b_den AS DOUBLE) AS slope_per_day,
+        | CAST(CASE WHEN b_num <= 0 THEN -1
+        |      WHEN p <= 0 THEN 0
+        |      ELSE GREATEST(0, (p + q - 1) // q - last_x) END AS BIGINT)
+        |   AS days_to_threshold
+        |FROM u""".stripMargin
   )
 }

@@ -898,4 +898,127 @@ object Ann {
         min(col("norm")).as("min_norm"),
         percentile(col("norm"), lit(0.5)).as("p50_norm"),
         max(col("norm")).as("max_norm"))
+
+  // ---- product quantization (PQ) ------------------------------------
+
+  private final case class PqWord(j: Int, c_emb: Seq[Float])
+
+  /** A fitted product quantizer: `m` subspaces of `subDim` dims, `k`
+    * codewords each — `codebooks(s)(j)` is subspace s's j-th codeword.
+    * Codes are m small ints per vector (m bytes at k ≤ 256 on disk),
+    * a 64× compression of a 64-dim float corpus; like [[IvfModel]]
+    * this is plain immutable data so one fit amortizes over searches.
+    */
+  final case class PqModel(m: Int, k: Int, subDim: Int,
+                           codebooks: Seq[Seq[Seq[Float]]]) {
+    def isEmpty: Boolean = codebooks.isEmpty
+  }
+
+  /** Squared L2 through the same codegen'd dot kernel (fixed
+    * evaluation order: |a|² − 2a·b + |b|²). */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  private def pqSub(embCol: Column, s: Int, subDim: Int): Column =
+    slice(embCol, s * subDim + 1, subDim)
+
+  /** Codewords of one subspace ranked by (distance asc, j asc) — the
+    * deterministic argmin, [[rankedCells]]'s form. */
+  private def bestCode(cbLit: Column, embCol: Column, s: Int, subDim: Int): Column =
+    element_at(array_sort(transform(cbLit, w =>
+      struct(l2sq(pqSub(embCol, s, subDim), w.getField("c_emb")).as("d"),
+        w.getField("j").as("j")))), 1).getField("j")
+
+  /** Fit a product quantizer: split each vector into `m` equal
+    * subspaces, k-means each subspace independently. Seeds are the
+    * `k` lowest-id vectors' slices (deterministic, [[fitIvf]]'s
+    * rule); `iters` Lloyd rounds refine ALL subspaces in one corpus
+    * pass each — assignment is a scan projection against the literal
+    * codebooks (zero shuffle) and the per-(subspace, code, dim) mean
+    * combines map-side to ≤ m·k·subDim rows. Codewords that lose all
+    * members keep their previous value. Driver state is m·k·subDim
+    * floats — broadcast-dimension footprint.
+    */
+  def fitPq(corpus: DataFrame, m: Int, k: Int, iters: Int = 0): PqModel = {
+    require(m >= 1 && k >= 2, "need m >= 1 subspaces and k >= 2 codewords")
+    val seeds = seedCentroids(corpus, k)
+    if (seeds.isEmpty) return PqModel(m, k, 0, Seq.empty)
+    val dims = seeds.head._2.length
+    require(dims % m == 0, s"embedding dims $dims not divisible by m=$m")
+    val subDim = dims / m
+    var cb: Seq[Seq[Seq[Float]]] = (0 until m).map(s =>
+      seeds.map(_._2.slice(s * subDim, (s + 1) * subDim)))
+    for (_ <- 0 until iters) {
+      val lits = cb.map(words => typedLit(words.zipWithIndex.map {
+        case (w, j) => PqWord(j, w) }))
+      val subs = array((0 until m).map(s => struct(
+        lit(s).as("s"),
+        bestCode(lits(s), col("embedding"), s, subDim).as("j"),
+        pqSub(col("embedding"), s, subDim).as("sub"))): _*)
+      val means = corpus
+        .select(explode(subs).as("a"))
+        .select(col("a.s").as("s"), col("a.j").as("j"), posexplode(col("a.sub")))
+        .groupBy(col("s"), col("j"), col("pos"))
+        .agg(avg(col("col")).as("mean"))
+        .collect() // ≤ m·k·subDim rows
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq }
+      cb = cb.zipWithIndex.map { case (words, s) =>
+        words.zipWithIndex.map { case (w, j) => means.getOrElse((s, j), w) } }
+    }
+    PqModel(m, k, subDim, cb)
+  }
+
+  /** Encode the corpus to PQ codes: per row, `m` deterministic
+    * argmins against the literal codebooks — a pure scan projection,
+    * zero shuffle, and the downstream tables carry m ints instead of
+    * the float vector.
+    */
+  def pqEncode(corpus: DataFrame, model: PqModel): DataFrame = {
+    val lits = model.codebooks.map(words => typedLit(words.zipWithIndex.map {
+      case (w, j) => PqWord(j, w) }))
+    corpus.select(col("vec_id"),
+      array((0 until model.m).map(s =>
+        bestCode(lits(s), col("embedding"), s, model.subDim)): _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query
+    * precomputes its m×k lookup table of exact subspace distances in
+    * one projection (the only float math), then every corpus row
+    * costs m array lookups instead of a dims-wide multiply — and the
+    * corpus side that moves is the m-int code table, 64× less scan
+    * traffic than raw vectors. Queries broadcast; per-query top-k
+    * finishes in the bounded heap (distance asc, neighbor asc).
+    * Approximate by construction — recall against the exact scan is
+    * spec-pinned, the classic IVF/PQ serving trade.
+    */
+  def pqSearch(model: PqModel, codes: DataFrame, queries: DataFrame,
+               kTop: Int): DataFrame = {
+    if (model.isEmpty) {
+      import codes.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "neighbor_id", "rnk", "adc_dist")
+    }
+    val lutCols = for (s <- 0 until model.m; j <- 0 until model.k) yield
+      l2sq(pqSub(col("embedding"), s, model.subDim),
+        typedLit(model.codebooks(s)(j)))
+    val q = queries.select(col("vec_id").as("query_id"),
+      array(lutCols: _*).as("lut"))
+    val kLit = lit(model.k)
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(col("lut"),
+            (s * kLit + element_at(col("codes"), s + 1) + 1).cast("int")))
+          .as("adc_dist"))
+    // the shared heap ranks by (score desc, neighbor asc) — negate to
+    // rank by distance ascending
+    topKPerQuery(
+      scored.select(col("query_id"), col("neighbor_id"),
+        negate(col("adc_dist")).as("cos_sim")), kTop)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        negate(col("cos_sim")).as("adc_dist"))
+  }
 }

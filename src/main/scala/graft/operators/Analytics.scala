@@ -489,6 +489,57 @@ object Analytics {
           100.0).as("slope"))
   }
 
+  /** Capacity forecast per type: in how many days does the fitted
+    * OLS daily-volume line cross `factorNum/factorDen ×` today's peak
+    * day? The planning question behind every trend chart, answered
+    * without ever leaving integers: B15's BIGINT moments give the
+    * line, the threshold test `fitted(x) ≥ T` is cross-multiplied
+    * through the (positive) denominators to
+    * `x ≥ (T·n·b_den − sy·b_den + b_num·sx) / (n·b_num)`, and the
+    * ceiling division `(p + q − 1) div q` runs on positives only —
+    * so the reported day count is bit-deterministic (floor-vs-
+    * truncate division never sees a negative). Flat or falling
+    * trends report −1 ("never" on this fit — a sentinel, not NULL,
+    * so the column stays a non-null BIGINT). One feed scan to the
+    * dimension-sized daily table; headroom contract: T·n·b_den must
+    * fit a long (fine for millions-of-events days over years —
+    * rescale y to thousands beyond that).
+    */
+  def capacityForecast(events: DataFrame, factorNum: Long = 2L,
+                       factorDen: Long = 1L): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // span + moments both consume it: one feed scan
+    val firstDay = daily.agg(min(col("day")).as("d0"))
+    daily.crossJoin(broadcast(firstDay))
+      .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("x")).as("last_x"),
+        max(col("y")).as("peak_y"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n_days") >= 2)
+      .withColumn("b_num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("b_den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("threshold", expr(s"(peak_y * $factorNum) div $factorDen"))
+      .withColumn("p",
+        col("threshold") * col("n_days") * col("b_den")
+          - col("sy") * col("b_den") + col("b_num") * col("sx"))
+      .withColumn("q", col("n_days") * col("b_num"))
+      .withColumn("days_to_threshold",
+        when(col("b_num") <= 0, lit(-1L))
+          .when(col("p") <= 0, lit(0L))
+          .otherwise(greatest(lit(0L),
+            expr("(p + q - 1) div q") - col("last_x"))))
+      .select(col("event_type"), col("n_days"), col("peak_y"),
+        col("threshold"),
+        (col("b_num").cast("double") / col("b_den").cast("double"))
+          .as("slope_per_day"),
+        col("days_to_threshold"))
+  }
+
   /** CUSUM-style change-point locator per type: the day where the
     * cumulative daily count deviates most from the uniform ramp —
     * where a level shift happened. The statistic is kept integer by

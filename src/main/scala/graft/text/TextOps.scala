@@ -68,6 +68,73 @@ object TextOps {
         keep.map(col): _*)
   }
 
+  /** Flesch-style readability per document: vowel-group runs proxy
+    * syllables, `[.!?]+` runs close sentences (floored at 1 so
+    * punctuation-free feeds stay defined), and the classic
+    * 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word) score
+    * is two single divisions and fixed-order double arithmetic —
+    * IEEE-identical across engines. Pure scan projections; `keep`
+    * carries grouping columns through for rollups.
+    */
+  def readability(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val nWords = size(split(col("text"), " "))
+    val nSent = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+    val nSyll = regexp_count(col("text"), lit("[aeiouyAEIOUY]+"))
+    docs.select(
+      col("doc_id") +:
+        nWords.cast("long").as("n_words") +:
+        nSent.cast("long").as("n_sentences") +:
+        nSyll.cast("long").as("n_syllables") +:
+        (lit(206.835)
+          - lit(1.015) * (nWords.cast("double") / nSent)
+          - lit(84.6) * (nSyll.cast("double") / nWords)).as("flesch") +:
+        keep.map(col): _*)
+  }
+
+  /** Per-source readability-band profile: each doc lands in an
+    * easy/standard/hard band by its Flesch score (band edges compare
+    * the identical per-doc double, so banding is deterministic), and
+    * the rollup is one map-side-combined count per (source, band) —
+    * |sources|×3 rows out of any corpus size.
+    */
+  def readabilityBands(docs: DataFrame): DataFrame =
+    readability(docs, keep = Seq("source"))
+      .select(col("source"),
+        when(col("flesch") >= 60.0, "easy")
+          .when(col("flesch") >= 30.0, "standard")
+          .otherwise("hard").as("band"))
+      .groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Encoding-artifact QA per source: UTF-8-decoded-as-CP1252
+    * mojibake markers (the 'Ã'/'Â' lead bytes every such double
+    * decode produces), U+FFFD replacement chars (a decoder already
+    * gave up), and C0 control characters that never belong in text.
+    * All three are codegen'd regex counts in the scan projection;
+    * the rollup is map-side combined to |sources| rows and the rate
+    * is one double division. The screen a corpus ingest runs before
+    * any tokenizer sees the bytes.
+    */
+  def encodingQa(docs: DataFrame): DataFrame = {
+    val nMoji = regexp_count(col("text"), lit("[ÃÂ]"))
+    val nRepl = regexp_count(col("text"), lit("�"))
+    val nCtrl = regexp_count(col("text"),
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+    docs
+      .select(col("source"), nMoji.cast("long").as("n_moji"),
+        nRepl.cast("long").as("n_repl"), nCtrl.cast("long").as("n_ctrl"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_moji") + col("n_repl") + col("n_ctrl") > 0, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        sum(col("n_moji")).as("mojibake_chars"),
+        sum(col("n_repl")).as("replacement_chars"),
+        sum(col("n_ctrl")).as("control_chars"))
+      .withColumn("flagged_rate",
+        col("n_flagged").cast("double") / col("n_docs"))
+  }
+
   /** Language ID via stopword-profile scoring: count hits against a
     * tiny per-language function-word profile, predict the argmax with
     * a fixed tie-break order (en > es > de > fr > und).

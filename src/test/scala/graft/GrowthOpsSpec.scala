@@ -131,6 +131,61 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(r2 == Map("s" -> 15L, "a" -> 12L, "b" -> 72L))
   }
 
+  test("readability: hand-counted syllables/sentences, floor at one sentence") {
+    val docs = Seq(
+      (1L, "the cat sat. it sat well!", "s1"),
+      (2L, "go", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.readability(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1: 6 words, 2 sentences, vowel runs: e,a,a,i,a,e = 6
+    val (w1, s1, y1, f1) = out(1L)
+    assert((w1, s1, y1) == (6L, 2L, 6L))
+    assert(math.abs(f1 - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9)
+    // doc 2: no sentence punctuation → floor at 1 keeps it defined
+    assert(out(2L)._2 == 1L)
+  }
+
+  test("encoding qa: artifact classes count and flag per source") {
+    val docs = Seq(
+      (1L, "clean text", "a"),
+      (2L, "mojibake Ã¡ and Â here", "a"),
+      (3L, "lost � char � twice", "a"),
+      (4L, "control\u0001char", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.encodingQa(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("n_flagged") == 2L)
+    assert(a.getAs[Long]("mojibake_chars") == 2L)
+    assert(a.getAs[Long]("replacement_chars") == 2L)
+    assert(a.getAs[Double]("flagged_rate") == 2.0 / 3)
+    assert(out("b").getAs[Long]("control_chars") == 1L)
+  }
+
+  test("capacity forecast: exact ramp crosses 2x peak on schedule, " +
+    "flat series never does") {
+    // type r: counts 1,2,3 on days 0,1,2 → fit y = 1 + x exactly;
+    // threshold 6 is reached at x = 5 → 3 days past the last day
+    val ev = events(
+      Seq(("r", "2024-01-01 00:00:00")) ++
+      Seq.fill(2)(("r", "2024-01-02 00:00:00")) ++
+      Seq.fill(3)(("r", "2024-01-03 00:00:00")) ++
+      Seq.fill(2)(("f", "2024-01-01 00:00:00")) ++
+      Seq.fill(2)(("f", "2024-01-02 00:00:00")))
+    val out = Analytics.capacityForecast(ev, 2L, 1L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val r = out("r")
+    assert(r.getAs[Long]("peak_y") == 3L)
+    assert(r.getAs[Long]("threshold") == 6L)
+    assert(r.getAs[Double]("slope_per_day") == 1.0)
+    assert(r.getAs[Long]("days_to_threshold") == 3L)
+    // flat: slope 0 → never (-1 sentinel)
+    assert(out("f").getAs[Long]("days_to_threshold") == -1L)
+  }
+
   test("markov stationary: hand-computed mass, absorbing state keeps its own") {
     // a -> b, b -> a (1/2), b -> c (1/2), c absorbing; init = 100
     val trans = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L))

@@ -353,6 +353,46 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq: seed codebooks are vector slices, ADC is exact on codeword-" +
+    "aligned corpora, ordering matches true distance") {
+    // 4 dims, m=2 subspaces of 2; k=2 codewords seeded from vecs 0,1
+    val corpus = embDf(Seq(
+      0L -> Seq(1f, 0f, 0f, 1f), 1L -> Seq(0f, 1f, 1f, 0f)))
+    val model = Ann.fitPq(corpus, m = 2, k = 2)
+    assert(model.subDim == 2)
+    assert(model.codebooks == Seq(
+      Seq(Seq(1f, 0f), Seq(0f, 1f)), Seq(Seq(0f, 1f), Seq(1f, 0f))))
+    // each corpus vector IS its codeword → codes (0,0) and (1,1), and
+    // ADC distance equals the true squared L2 to that vector
+    val codes = Ann.pqEncode(corpus, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == Map(0L -> Seq(0, 0), 1L -> Seq(1, 1)))
+    val q = embDf(Seq(7L -> Seq(1f, 0f, 0.5f, 0.5f)))
+    val out = Ann.pqSearch(model, Ann.pqEncode(corpus, model), q, 2)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    // true L2²(q, v0) = 0.25+0.25 = 0.5; L2²(q, v1) = 1+1+0.5 = 2.5
+    assert(out.map(_._1).toSeq == Seq(0L, 1L))
+    assert(math.abs(out(0)._2 - 0.5) < 1e-6)
+    assert(math.abs(out(1)._2 - 2.5) < 1e-6)
+  }
+
+  test("pq: Lloyd rounds converge subspace codewords to cluster means " +
+    "and top-k recalls the query's cluster") {
+    // two 1-D clusters {0, 1} and {10, 11}; m=1 so the subspace IS the
+    // vector — after 3 rounds the codewords are the cluster means
+    val corpus = embDf(Seq(
+      0L -> Seq(0f), 1L -> Seq(1f), 2L -> Seq(10f), 3L -> Seq(11f)))
+    val model = Ann.fitPq(corpus, m = 1, k = 2, iters = 3)
+    assert(model.codebooks.head.map(_.head).sorted == Seq(0.5f, 10.5f))
+    // a query at 10.2 retrieves the high cluster first — both its
+    // members quantize to 10.5, so the tie breaks by neighbor id
+    val q = embDf(Seq(9L -> Seq(10.2f)))
+    val out = Ann.pqSearch(model, Ann.pqEncode(corpus, model), q, 2)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(out == Seq(2L, 3L))
+  }
+
   test("random projection: exact sign formula, full output, deterministic") {
     val df = Seq((0L, Seq(127f, -127f))).toDF("vec_id", "embedding")
     // quantizes to (127, -127); sign(j,k) from the fixed hash
