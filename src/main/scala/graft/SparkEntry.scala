@@ -1250,6 +1250,15 @@ object SparkEntry {
     // crosses 2x today's peak day, all-BIGINT (-1 = never on this fit)
     "q_capacity_forecast" -> ((s, dir) =>
       Analytics.capacityForecast(Tables.events(s, dir), 2L, 1L)),
+    // D73: bottom-k minwise vocabulary sketches → pairwise source
+    // Jaccard estimates at k-longs-per-source cost (D25's question
+    // at sketch cost; portable gram hashes, bounded-heap bottom-k)
+    "q_vocab_jaccard" -> ((s, dir) =>
+      TextOps.vocabJaccardSketch(Tables.documents(s, dir), 32)),
+    // B28: day-of-week-adjusted volume anomalies — per-(type, dow)
+    // median baseline, MAD threshold, integer cross-multiplied flag
+    "q_dow_anomalies" -> ((s, dir) =>
+      Analytics.dowAdjustedAnomalies(Tables.events(s, dir), 3L, 1L)),
     // D72: product-quantization ANN — PQ codes + ADC top-k (rows-only
     // by design like the other sketch searches; recall + compression
     // are spec-pinned against the exact scan)
@@ -3993,6 +4002,58 @@ object SparkEntry {
         |      WHEN p <= 0 THEN 0
         |      ELSE GREATEST(0, (p + q - 1) // q - last_x) END AS BIGINT)
         |   AS days_to_threshold
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+    // the fingerprint family's portable hash fold; bottom-k via
+    // row_number (the heap and the rank agree on distinct values)
+    "q_vocab_jaccard" ->
+      """WITH wh AS (SELECT source,
+        |  list_transform(string_split(text, ' '),
+        |    w -> list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(list_filter(string_split(w, ''), ch -> ch <> ''),
+        |        ch -> unicode(ch)::BIGINT)),
+        |      (a, c) -> (a*127 + c) % 2147483647)) AS wh
+        |  FROM documents),
+        |g AS (SELECT DISTINCT source, gh FROM (
+        |  SELECT source, unnest(list_transform(
+        |    generate_series(1, len(wh) - 1),
+        |    i -> (wh[i]*131 + wh[i+1]) % 2147483647)) AS gh
+        |  FROM wh WHERE len(wh) >= 2)),
+        |rk AS (SELECT source, gh,
+        |   row_number() OVER (PARTITION BY source ORDER BY gh) AS rn FROM g),
+        |sk AS (SELECT source, list_sort(list(gh)) AS sk
+        |  FROM rk WHERE rn <= 32 GROUP BY source),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+        |   a.sk AS ska, b.sk AS skb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |u AS (SELECT source_a, source_b,
+        |   list_sort(list_distinct(list_concat(ska, skb)))[1:32] AS uk,
+        |   list_intersect(ska, skb) AS ab
+        |  FROM pr)
+        |SELECT source_a, source_b,
+        | CAST(len(uk) AS BIGINT) AS k_used,
+        | CAST(len(list_intersect(uk, ab)) AS BIGINT) AS shared,
+        | CAST(len(list_intersect(uk, ab)) AS DOUBLE) / len(uk) AS jaccard_est
+        |FROM u""".stripMargin,
+    // medians of integers land on .0/.5 — doubling restores BIGINT;
+    // the flag is the same cross-multiplied integer test
+    "q_dow_anomalies" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT *, CAST(date_part('dow', day) AS INT) AS dow FROM daily),
+        |med AS (SELECT event_type, dow,
+        |   CAST(2 * quantile_cont(n, 0.5) AS BIGINT) AS med2
+        |  FROM dw GROUP BY 1, 2),
+        |r AS (SELECT dw.event_type, dw.day, dw.n, med.med2,
+        |   2 * dw.n - med.med2 AS r2
+        |  FROM dw JOIN med USING (event_type, dow)),
+        |mad AS (SELECT event_type,
+        |   CAST(2 * quantile_cont(abs(r2), 0.5) AS BIGINT) AS mad4
+        |  FROM r GROUP BY 1)
+        |SELECT r.event_type, r.day, r.n AS n_events,
+        | CAST(med2 AS DOUBLE) / 2.0 AS dow_median,
+        | CAST(abs(r2) AS DOUBLE) / 2.0 AS deviation,
+        | 2 * abs(r2) * 1 > 3 * mad4 AS is_anomaly
+        |FROM r JOIN mad USING (event_type)""".stripMargin
   )
 }

@@ -489,6 +489,45 @@ object Analytics {
           100.0).as("slope"))
   }
 
+  /** Day-of-week-adjusted volume anomalies: B11 flags days against a
+    * flat per-type median, which mis-fires on any feed with a weekly
+    * rhythm (every Sunday looks like an outage). Here the baseline is
+    * the per-(type, day-of-week) MEDIAN daily count and the threshold
+    * is `kNum/kDen ×` the per-type MAD of residuals — the robust
+    * seasonal screen. Integer-exact throughout: medians of integers
+    * land on .0/.5, so doubling them (med2, and mad4 at residual
+    * scale) restores BIGINT, and the flag test cross-multiplies
+    * `2·|r2|·kDen > kNum·mad4` — no division anywhere near the
+    * verdict. A degenerate MAD of 0 (constant weekly pattern) flags
+    * every nonzero deviation, the standard MAD convention. All
+    * windows/medians consume the dimension-sized daily table; the
+    * two report divisions are display-only.
+    */
+  def dowAdjustedAnomalies(events: DataFrame, kNum: Long = 3L,
+                           kDen: Long = 1L): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("day")) - 1)
+      .localCheckpoint() // baseline + residuals: one feed scan
+    val med = daily
+      .groupBy(col("event_type"), col("dow"))
+      .agg((percentile(col("n"), lit(0.5)) * 2.0).cast("long").as("med2"))
+    val resid = daily
+      .join(broadcast(med), Seq("event_type", "dow"))
+      .withColumn("r2", lit(2L) * col("n") - col("med2"))
+    val mad = resid
+      .groupBy(col("event_type"))
+      .agg((percentile(abs(col("r2")), lit(0.5)) * 2.0).cast("long").as("mad4"))
+    resid
+      .join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("n").as("n_events"),
+        (col("med2").cast("double") / 2.0).as("dow_median"),
+        (abs(col("r2")).cast("double") / 2.0).as("deviation"),
+        (lit(2L) * abs(col("r2")) * lit(kDen) > lit(kNum) * col("mad4"))
+          .as("is_anomaly"))
+  }
+
   /** Capacity forecast per type: in how many days does the fitted
     * OLS daily-volume line cross `factorNum/factorDen ×` today's peak
     * day? The planning question behind every trend chart, answered

@@ -350,6 +350,54 @@ object TextOps {
         i => concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Bottom-k minwise vocabulary sketches + the pairwise Jaccard
+    * estimate between every two sources' bigram vocabularies — the
+    * sketch-cost answer to "which sources share a vocabulary?"
+    * (D25's exact overlap matrix scans every gram posting; this
+    * moves k longs per source). Grams are portable rolling hashes
+    * (the fingerprint family's fold, oracle-replayable); per source
+    * the k SMALLEST distinct gram hashes form the sketch via the
+    * bounded-heap aggregate (map-side combined — k rows per source
+    * per partition cross the shuffle, never the vocabulary). The
+    * estimator is the classic one-permutation bottom-k:
+    * J ≈ |bottom_k(A ∪ B) ∩ A ∩ B| / |bottom_k(A ∪ B)| — one double
+    * division; k_used < k flags sketches that captured a whole
+    * (tiny) vocabulary, where the estimate is exact.
+    */
+  def vocabJaccardSketch(docs: DataFrame, k: Int = 32): DataFrame = {
+    def bind(value: Column)(body: Column => Column): Column =
+      element_at(transform(array(value), body), 1)
+    val grams = bind(portableWordHashes(col("text"))) { h =>
+      when(size(h) >= 2,
+        transform(sequence(lit(1), size(h) - 1), i =>
+          (element_at(h, i) * lit(131L) + element_at(h, i + 1)) % FpP))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val sketches = docs
+      .select(col("source"), explode(grams).as("gh"))
+      .distinct()
+      .groupBy(col("source"))
+      .agg(sort_array(transform(
+        graft.functions.TopKFunctions.topK(
+          negate(col("gh").cast("double")), col("gh"), k),
+        t => t.getField("tie"))).as("sk"))
+    val a = sketches.select(col("source").as("source_a"), col("sk").as("ska"))
+    val b = sketches.select(col("source").as("source_b"), col("sk").as("skb"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        bind(slice(array_sort(array_union(col("ska"), col("skb"))), 1, k)) {
+          uk =>
+            bind(size(array_intersect(uk,
+              array_intersect(col("ska"), col("skb"))))) { shared =>
+              struct(size(uk).cast("long").as("k_used"),
+                shared.cast("long").as("shared"),
+                (shared.cast("double") / size(uk)).as("jaccard_est"))
+            }
+        }.as("r"))
+      .select(col("source_a"), col("source_b"), col("r.k_used"),
+        col("r.shared"), col("r.jaccard_est"))
+  }
+
   /** Repetition / boilerplate quality metrics (the Gopher-rule
     * family): duplicate-word fraction, duplicate-bigram fraction, and
     * symbol-to-word ratio, plus the keep verdict a filtering pass

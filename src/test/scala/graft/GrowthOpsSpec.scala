@@ -186,6 +186,43 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(out("f").getAs[Long]("days_to_threshold") == -1L)
   }
 
+  test("vocab sketch: whole-vocab sketches estimate exactly, small k caps") {
+    // A and B share 2 of their 3+3 bigrams' union... construct:
+    // A: "x y z" → bigrams (x y), (y z); B: "x y w" → (x y), (y w)
+    // exact J = 1/3; k=32 captures both whole vocabs → estimate exact
+    val docs = Seq(
+      (1L, "x y z", "A"), (2L, "x y w", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.vocabJaccardSketch(docs, 32).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == ("A", "B"))
+    assert(r.getAs[Long]("k_used") == 3L) // |union| = 3 < k
+    assert(r.getAs[Long]("shared") == 1L)
+    assert(r.getAs[Double]("jaccard_est") == 1.0 / 3)
+    // k=2 caps the sketch at 2 hashes per source
+    val capped = TextOps.vocabJaccardSketch(docs, 2).collect().head
+    assert(capped.getAs[Long]("k_used") == 2L)
+  }
+
+  test("dow anomalies: weekly rhythm is baseline, only the spike flags") {
+    // Mondays run at 10, Tuesdays at 2 — a flat median would flag
+    // every Monday; the dow baseline flags only the 100-spike Monday
+    val ev = events(
+      Seq("2024-01-01", "2024-01-08", "2024-01-15")
+        .flatMap(d => Seq.fill(10)(("m", s"$d 10:00:00"))) ++
+      Seq.fill(100)(("m", "2024-01-22 10:00:00")) ++
+      Seq("2024-01-02", "2024-01-09", "2024-01-16")
+        .flatMap(d => Seq.fill(2)(("m", s"$d 10:00:00"))))
+    val out = Analytics.dowAdjustedAnomalies(ev, 3L, 1L).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Double]("dow_median"), r.getAs[Boolean]("is_anomaly"))).toMap
+    assert(out.size == 7)
+    assert(out("2024-01-22") == (10.0, true))
+    assert(out.filter(_._2._2).keySet == Set("2024-01-22"))
+    assert(out("2024-01-02")._1 == 2.0)
+  }
+
   test("markov stationary: hand-computed mass, absorbing state keeps its own") {
     // a -> b, b -> a (1/2), b -> c (1/2), c absorbing; init = 100
     val trans = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L))
