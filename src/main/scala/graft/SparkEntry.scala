@@ -1259,6 +1259,23 @@ object SparkEntry {
     // median baseline, MAD threshold, integer cross-multiplied flag
     "q_dow_anomalies" -> ((s, dir) =>
       Analytics.dowAdjustedAnomalies(Tables.events(s, dir), 3L, 1L)),
+    // C11: column-statistics drift between two snapshots — one
+    // tableProfile scan per side, broadcast diff of |cols|-row
+    // reports; perturbation injected deterministically (mod ladder)
+    "q_profile_diff" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      val l = Tables.orders(s, dir)
+      val r = l.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 101 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+      Reconcile.profileDiff(l, r, cols)
+    }),
+    // E63: daily trending top-10 actors with day-over-day rank moves
+    // (bounded-heap per day; yesterday's board re-joins by date shift)
+    "q_trending" -> ((s, dir) =>
+      Analytics.trendingTopK(Tables.events(s, dir), 10)),
     // D72: product-quantization ANN — PQ codes + ADC top-k (rows-only
     // by design like the other sketch searches; recall + compression
     // are spec-pinned against the exact scan)
@@ -4054,6 +4071,51 @@ object SparkEntry {
         | CAST(med2 AS DOUBLE) / 2.0 AS dow_median,
         | CAST(abs(r2) AS DOUBLE) / 2.0 AS deviation,
         | 2 * abs(r2) * 1 > 3 * mad4 AS is_anomaly
-        |FROM r JOIN mad USING (event_type)""".stripMargin
+        |FROM r JOIN mad USING (event_type)""".stripMargin,
+    // q_table_profile's per-column union, once per side, joined
+    "q_profile_diff" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      def prof(src: String) = cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | count(*) - count($c) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_str,
+           | CAST(max($c) AS VARCHAR) AS max_str
+           |FROM $src""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH rsrc AS (SELECT o_orderkey, o_custkey,
+         |  CASE WHEN o_orderkey % 101 = 0 THEN NULL
+         |       ELSE o_orderstatus END AS o_orderstatus,
+         |  o_orderpriority
+         | FROM orders WHERE o_orderkey % 97 <> 0),
+         |lp AS (${prof("orders")}),
+         |rp AS (${prof("rsrc")})
+         |SELECT lp.col_name,
+         | CAST(lp.n_rows AS BIGINT) AS l_rows,
+         | CAST(rp.n_rows AS BIGINT) AS r_rows,
+         | CAST(rp.n_rows - lp.n_rows AS BIGINT) AS rows_delta,
+         | CAST(rp.n_nulls - lp.n_nulls AS BIGINT) AS nulls_delta,
+         | CAST(rp.n_distinct - lp.n_distinct AS BIGINT) AS distinct_delta,
+         | lp.min_str IS DISTINCT FROM rp.min_str AS min_changed,
+         | lp.max_str IS DISTINCT FROM rp.max_str AS max_changed
+         |FROM lp JOIN rp USING (col_name)""".stripMargin
+    },
+    // row_number replays the heap's (count desc, user asc) order;
+    // yesterday's board joins by a one-day shift
+    "q_trending" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, user_id,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER
+        |   (PARTITION BY day ORDER BY n_events DESC, user_id) AS rnk
+        |  FROM daily),
+        |top AS (SELECT day, user_id, CAST(rnk AS BIGINT) AS rnk, n_events
+        |  FROM rk WHERE rnk <= 10)
+        |SELECT t.day, t.user_id, t.rnk, t.n_events,
+        | CAST(COALESCE(p.rnk - t.rnk, 0) AS BIGINT) AS rank_change,
+        | p.rnk IS NULL AS is_new
+        |FROM top t LEFT JOIN top p
+        |  ON p.user_id = t.user_id AND p.day = t.day - 1""".stripMargin
   )
 }

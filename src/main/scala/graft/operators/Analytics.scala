@@ -489,6 +489,36 @@ object Analytics {
           100.0).as("slope"))
   }
 
+  /** Daily trending top-k actors with day-over-day rank movement —
+    * the "trending" leaderboard (who is climbing?). The feed reduces
+    * once to (day, user) counts (map-side combined); each day's
+    * top-k rides the bounded-heap aggregate (count desc, user asc —
+    * k rows per day per partition cross the shuffle, never the user
+    * dimension), and yesterday's board joins back by a one-day date
+    * shift on the days×k result (broadcast). `rank_change` is
+    * positive for climbers, 0 for holds and new entrants (`is_new`
+    * disambiguates) so every column stays non-null.
+    */
+  def trendingTopK(events: DataFrame, k: Int): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val top = daily
+      .groupBy(col("day"))
+      .agg(graft.functions.TopKFunctions.topK(
+        col("n_events").cast("double"), col("user_id"), k).as("top"))
+      .select(col("day"), posexplode(col("top")))
+      .select(col("day"), col("col.tie").as("user_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.score").cast("long").as("n_events"))
+    val prev = top.select(date_add(col("day"), 1).as("day"),
+      col("user_id"), col("rnk").as("prev_rnk"))
+    top.join(broadcast(prev), Seq("day", "user_id"), "left")
+      .select(col("day"), col("user_id"), col("rnk"), col("n_events"),
+        coalesce(col("prev_rnk") - col("rnk"), lit(0L)).as("rank_change"),
+        col("prev_rnk").isNull.as("is_new"))
+  }
+
   /** Day-of-week-adjusted volume anomalies: B11 flags days against a
     * flat per-type median, which mis-fires on any feed with a weekly
     * rhythm (every Sunday looks like an outage). Here the baseline is

@@ -257,4 +257,33 @@ object Reconcile {
           + unix_micros(ts) % 1000000007L""").as("h"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+
+  /** Column-statistics drift between two snapshots of a table — the
+    * migration/regression gate that catches what a row-count compare
+    * cannot (a column silently nulling out, a cardinality collapse, a
+    * range shift), without ever joining the fact tables themselves:
+    * each side reduces to its [[tableProfile]] (ONE scan each, all
+    * columns in one aggregation pass, |cols| rows out) and the diff
+    * is a broadcast join of two column-sized reports. Null-safe
+    * min/max compare, signed deltas for count-like stats.
+    */
+  def profileDiff(left: DataFrame, right: DataFrame,
+                  cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, p: String) =
+      tableProfile(df, cols).select(
+        col("col_name"),
+        col("n_rows").as(s"${p}_rows"),
+        col("n_nulls").as(s"${p}_nulls"),
+        col("n_distinct").as(s"${p}_distinct"),
+        col("min_str").as(s"${p}_min"),
+        col("max_str").as(s"${p}_max"))
+    side(left, "l").join(broadcast(side(right, "r")), "col_name")
+      .select(col("col_name"),
+        col("l_rows"), col("r_rows"),
+        (col("r_rows") - col("l_rows")).as("rows_delta"),
+        (col("r_nulls") - col("l_nulls")).as("nulls_delta"),
+        (col("r_distinct") - col("l_distinct")).as("distinct_delta"),
+        (!(col("l_min") <=> col("r_min"))).as("min_changed"),
+        (!(col("l_max") <=> col("r_max"))).as("max_changed"))
+  }
 }

@@ -223,6 +223,43 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(out("2024-01-02")._1 == 2.0)
   }
 
+  test("profile diff: null growth, cardinality collapse, range shift flag") {
+    val l = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+      .toDF("k", "v")
+    val r = Seq((1L, Some("a")), (2L, None)).toDF("k", "v")
+    val out = graft.operators.Reconcile.profileDiff(l, r, Seq("k", "v"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val v = out("v")
+    assert(v.getAs[Long]("rows_delta") == -1L)
+    assert(v.getAs[Long]("nulls_delta") == 0L)   // 1 null each side
+    assert(v.getAs[Long]("distinct_delta") == -1L) // {a,b} -> {a}
+    assert(!v.getAs[Boolean]("min_changed"))
+    assert(v.getAs[Boolean]("max_changed"))      // b -> a
+    val k = out("k")
+    assert(k.getAs[Long]("rows_delta") == -1L)
+    assert(k.getAs[Boolean]("max_changed"))      // 3 -> 2
+  }
+
+  test("trending: rank moves day-over-day, new entrants flagged") {
+    def day(d: String, pairs: (Long, Int)*) =
+      pairs.flatMap { case (u, n) => Seq.fill(n)((u, s"$d 10:00:00")) }
+    val ev = (day("2024-01-01", 1L -> 3, 2L -> 2, 3L -> 1) ++
+      day("2024-01-02", 2L -> 5, 1L -> 4))
+      .toDF("user_id", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      .withColumn("event_type", lit("t"))
+    val out = Analytics.trendingTopK(ev, 2).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getLong(1)) ->
+        (r.getAs[Long]("rnk"), r.getAs[Long]("rank_change"),
+          r.getAs[Boolean]("is_new"))).toMap
+    assert(out.size == 4) // k=2 per day; user 3 never makes the board
+    assert(out(("2024-01-01", 1L)) == (1L, 0L, true))
+    assert(out(("2024-01-01", 2L)) == (2L, 0L, true))
+    // day 2: B climbs to 1 (+1), A slips to 2 (-1)
+    assert(out(("2024-01-02", 2L)) == (1L, 1L, false))
+    assert(out(("2024-01-02", 1L)) == (2L, -1L, false))
+  }
+
   test("markov stationary: hand-computed mass, absorbing state keeps its own") {
     // a -> b, b -> a (1/2), b -> c (1/2), c absorbing; init = 100
     val trans = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L))

@@ -649,6 +649,73 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("winsorized mean: band broadcasts back, no shuffle join") {
+    val p = plan("q_winsorized")
+    assert(p.contains("BroadcastHashJoin"), "the p05/p95 band must broadcast")
+    assert(!p.contains("SortMergeJoin"), s"band join must not shuffle:\n$p")
+  }
+
+  test("fixed-width parse: one orders scan, aggregation is the only shuffle") {
+    val p = plan("q_fixed_width")
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"positional parsing must stay in the scan stage:\n$p")
+  }
+
+  test("readability + encoding qa: pure scan projections into partial aggs") {
+    for (q <- Seq("q_readability", "q_encoding_qa")) {
+      val p = plan(q)
+      assert("Scan parquet".r.findAllIn(p).length == 1, s"$q re-scans")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q must partial-aggregate map-side")
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"$q needs exactly the rollup shuffle:\n$p")
+    }
+  }
+
+  test("markov stationary: rounds are checkpointed leaves") {
+    val p = plan("q_markov_stationary")
+    assert(p.contains("Scan ExistingRDD"),
+      "per-round mass must come from checkpoint leaves")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dow anomalies: baselines broadcast onto the daily table") {
+    val p = plan("q_dow_anomalies")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"baseline joins must broadcast:\n$p")
+  }
+
+  test("vocab jaccard sketch: bottom-k through the heap, pairs broadcast") {
+    val p = plan("q_vocab_jaccard")
+    assert(p.contains("top_k"), "bottom-k must ride the bounded heap")
+    assert(!p.contains("Window"), s"no window sort in the sketch plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the |sources|-row sketch pair join must broadcast")
+  }
+
+  test("pq adc search: codes + LUT only, heap finish, no window") {
+    val p = plan("q_ann_pq")
+    assert(p.contains("top_k") && !p.contains("Window"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"only the per-query heap may shuffle:\n$p")
+  }
+
+  test("profile diff: one scan per side, report join broadcasts") {
+    val p = plan("q_profile_diff")
+    assert("Scan parquet".r.findAllIn(p).length == 2,
+      s"exactly one profile scan per snapshot:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
+  test("trending: per-day heap, no window over the user dimension") {
+    val p = plan("q_trending")
+    assert(p.contains("top_k"), "daily top-k must ride the bounded heap")
+    assert(!p.contains("Window"), s"window sort crept into trending:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "the days x k board self-join must broadcast")
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
