@@ -1276,6 +1276,31 @@ object SparkEntry {
     // (bounded-heap per day; yesterday's board re-joins by date shift)
     "q_trending" -> ((s, dir) =>
       Analytics.trendingTopK(Tables.events(s, dir), 10)),
+    // A13: quoted-CSV (RFC 4180) source — embedded delimiters and
+    // doubled-quote escapes round-trip through render → parse; the
+    // oracle computes the expected rollup directly from the columns,
+    // so any parse defect breaks the hash
+    "q_csv_quoted" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val payload = concat(col("o_orderstatus"), lit(","),
+        col("o_orderpriority"),
+        when(col("o_orderkey") % 19 === 0, lit("\"x")).otherwise(lit("")))
+      val lines = o.select(concat(
+        col("o_orderkey").cast("string"), lit(","),
+        lit("\""), regexp_replace(payload, "\"", "\"\""), lit("\","),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+          .cast("string")).as("value"))
+        .withColumn("_file", lit("orders.csv"))
+      ChillPipeline.sliceCsvQuoted(lines,
+          Seq("order_key", "payload", "cents"), 0, 0, Set.empty)
+        .groupBy(col("payload"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents").cast("long")).as("sum_cents"))
+    }),
+    // D74: term-frequency cosine pairs (vector-space classic) with
+    // the df-capped exact definition, over bigram terms
+    "q_tf_cosine" -> ((s, dir) =>
+      Dedup.tfCosinePairs(Tables.documents(s, dir), 0.5, 100, 2)),
     // D72: product-quantization ANN — PQ codes + ADC top-k (rows-only
     // by design like the other sketch searches; recall + compression
     // are spec-pinned against the exact scan)
@@ -4116,6 +4141,41 @@ object SparkEntry {
         | CAST(COALESCE(p.rnk - t.rnk, 0) AS BIGINT) AS rank_change,
         | p.rnk IS NULL AS is_new
         |FROM top t LEFT JOIN top p
-        |  ON p.user_id = t.user_id AND p.day = t.day - 1""".stripMargin
+        |  ON p.user_id = t.user_id AND p.day = t.day - 1""".stripMargin,
+    // the expected rollup computed directly from the columns — the
+    // Spark side must round-trip its quoted render to match
+    "q_csv_quoted" ->
+      """WITH p AS (SELECT o_orderstatus || ',' || o_orderpriority ||
+        |   CASE WHEN o_orderkey % 19 = 0 THEN '"x' ELSE '' END AS payload,
+        |   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT payload, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM p GROUP BY 1""".stripMargin,
+    // the capped definition replayed: df <= 100 terms feed the dot,
+    // every term feeds the norms; sqrt divisions last, fixed order
+    "q_tf_cosine" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |     unnest(list_transform(generate_series(1, len(w) - 1),
+        |       i -> array_to_string(w[i:i+1], ' '))) AS term
+        |    FROM w WHERE len(w) >= 2) GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS s2
+        |  FROM tf GROUP BY 1),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        |  FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  JOIN dfx ON dfx.term = a.term AND dfx.df <= 100
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | CAST(dot AS DOUBLE) / sqrt(CAST(na.s2 AS DOUBLE))
+        |   / sqrt(CAST(nb.s2 AS DOUBLE)) AS cos_sim
+        |FROM pairs
+        |JOIN norms na ON na.doc_id = doc_a
+        |JOIN norms nb ON nb.doc_id = doc_b
+        |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.s2 AS DOUBLE))
+        |   / sqrt(CAST(nb.s2 AS DOUBLE)) >= 0.5""".stripMargin
   )
 }

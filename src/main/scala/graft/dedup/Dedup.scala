@@ -650,6 +650,64 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Term-frequency cosine similarity pairs (the SMART/IR vector-
+    * space classic): cos = Σ tf_a·tf_b / (‖a‖·‖b‖) over word counts —
+    * the similarity that sees REPETITION structure where set-Jaccard
+    * sees only membership. Same capped-posting scale design as
+    * [[rarityWeightedPairs]]: terms with df > `dfCap` are excluded
+    * from the dot product (hot terms point every document the same
+    * way — negligible angular evidence per occurrence) but still
+    * count toward each document's norm, so buckets are ≤ dfCap BY
+    * CONSTRUCTION and the capped definition is exact, not an
+    * approximation — the oracle replays it bit-for-bit. Integer dot
+    * products and norms; the two sqrt divisions come last in fixed
+    * order (Ann.cosine's form).
+    */
+  def tfCosinePairs(docs: DataFrame, threshold: Double,
+                    dfCap: Int, n: Int = 1): DataFrame = {
+    val words = split(col("text"), " ")
+    // n >= 2 counts word n-grams — on corpora whose unigram df is
+    // uniformly hot (every word everywhere), grams restore the
+    // df spread the cap needs to discriminate
+    val termsCol =
+      if (n == 1) words
+      else when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", slice(words, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val tf = docs
+      .select(col("doc_id"), explode(termsCol).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // norms + postings: one tokenize pass
+    val norms = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("s2"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val postings = tf
+      .join(broadcast(dfs.filter(col("df") <= dfCap)), "term")
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("tf")))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+    // in-map (a < b) pair expansion with tf products; the sorted
+    // struct array makes doc_a < doc_b by construction
+    val pairProducts = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+        struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
+          (x.getField("tf") * y.getField("tf")).as("prod")))))
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    postings.repartition(width, col("term"))
+      .select(explode(pairProducts).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(sum(col("p.prod")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("s2").as("s2_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("s2").as("s2_b")), "doc_b")
+      .withColumn("cos_sim", col("dot").cast("double") /
+        sqrt(col("s2_a").cast("double")) / sqrt(col("s2_b").cast("double")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cos_sim"))
+  }
+
   /** Duplicate-cluster size histogram over [[components]]' output:
     * how many clusters of each size the dedup found — the shape
     * report that distinguishes "many small twins" (normal crawl

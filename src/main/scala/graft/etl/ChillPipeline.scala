@@ -223,6 +223,41 @@ object ChillPipeline {
     }.drop("value")
   }
 
+  /** Quoted-CSV (RFC 4180) raw source: fields may be wrapped in
+    * `quote` chars to carry embedded delimiters, and a doubled quote
+    * inside a quoted field is a literal quote — the semantics of the
+    * reference's `pd.read_csv` (Partrans.py:222-236), which the
+    * plain [[rawCsv]] split cannot honor. Parsing rides Spark's
+    * native `from_csv` (codegen'd, same parser as the CSV file
+    * source) per already-sliced line, so the valid-lines controls
+    * compose unchanged and nothing shuffles.
+    */
+  def rawCsvQuoted(spark: SparkSession, path: String, columns: Seq[String],
+                   skipHeader: Int, skipFooter: Int,
+                   ignoreLines: Set[String], delimiter: String = ",",
+                   quote: String = "\""): DataFrame =
+    sliceCsvQuoted(
+      spark.read.text(path).select(input_file_name().as("_file"), col("value")),
+      columns, skipHeader, skipFooter, ignoreLines, delimiter, quote)
+
+  /** [[rawCsvQuoted]] over an existing `(_file, value)` line set. */
+  def sliceCsvQuoted(lines: DataFrame, columns: Seq[String],
+                     skipHeader: Int, skipFooter: Int,
+                     ignoreLines: Set[String], delimiter: String = ",",
+                     quote: String = "\""): DataFrame = {
+    require(columns.nonEmpty, "sliceCsvQuoted needs explicit columns")
+    val schema = org.apache.spark.sql.types.StructType(
+      columns.map(c => org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.StringType)))
+    val kept = slicedBody(lines, skipHeader, skipFooter, ignoreLines)
+    // escape == quote → RFC 4180 doubled-quote escaping (pandas'
+    // doublequote=True default), not backslash escaping
+    kept
+      .withColumn("_p", from_csv(col("value"), schema,
+        Map("sep" -> delimiter, "quote" -> quote, "escape" -> quote)))
+      .select(col("_file") +: columns.map(c => col(s"_p.$c").as(c)): _*)
+  }
+
   /** Capture per-file header ("tag") lines for [[FromTag]] rules: for
     * each rule, the first raw line containing its tag is extracted per
     * file (the reference scans the whole file for the tag line,

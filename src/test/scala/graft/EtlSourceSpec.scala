@@ -84,6 +84,26 @@ class EtlSourceSpec extends AnyFunSuite {
     assert(raw.orderBy("name").collect().head.getAs[String]("name") == "alpha   ")
   }
 
+  test("rawCsvQuoted: embedded delimiters, doubled quotes, line controls") {
+    val d = java.nio.file.Files.createTempDirectory("qcsv")
+    java.nio.file.Files.writeString(d.resolve("FEED.csv"),
+      """#header
+        |1,"alpha, beta",10
+        |2,"say ""hi"", now",20
+        |3,plain,30
+        |#trailer""".stripMargin)
+    val df = ChillPipeline.rawCsvQuoted(spark, d.toString + "/*.csv",
+      Seq("id", "payload", "qty"), skipHeader = 1, skipFooter = 1,
+      ignoreLines = Set.empty)
+    val rows = df.orderBy("id").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("payload"),
+        r.getAs[String]("qty")))
+    assert(rows.toSeq == Seq(
+      ("1", "alpha, beta", "10"),
+      ("2", "say \"hi\", now", "20"),
+      ("3", "plain", "30")))
+  }
+
   test("slicing is exact when one file spans many splits") {
     // force multi-split reads so the per-split offset arithmetic is
     // exercised across chunk boundaries (at 100 TB every big file is

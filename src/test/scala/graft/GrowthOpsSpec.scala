@@ -223,6 +223,21 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(out("2024-01-02")._1 == 2.0)
   }
 
+  test("tf cosine: repetition-aware similarity, df cap starves hot terms") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "b c"),            // cos = 1/2 on unigrams
+      (3L, "x x y"), (4L, "x x y"))        // identical → cos 1
+      .toDF("doc_id", "text")
+    val out = Dedup.tfCosinePairs(docs, 0.4, dfCap = 10, n = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // sqrt-division floats: compare to 1e-12, not bit-exact
+    assert(math.abs(out((1L, 2L)) - 0.5) < 1e-12)
+    assert(math.abs(out((3L, 4L)) - 1.0) < 1e-12)
+    // cap at df <= 1: every shared term is starved out of the dot,
+    // no pair survives — but norms still include the hot terms
+    assert(Dedup.tfCosinePairs(docs, 0.01, dfCap = 1, n = 1).count() == 0)
+  }
+
   test("profile diff: null growth, cardinality collapse, range shift flag") {
     val l = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
       .toDF("k", "v")

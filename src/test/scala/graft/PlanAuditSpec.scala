@@ -716,6 +716,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "the days x k board self-join must broadcast")
   }
 
+  test("quoted csv: from_csv parses in the scan stage, one rollup shuffle") {
+    val p = plan("q_csv_quoted")
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"quoted parsing must not shuffle the body:\n$p")
+  }
+
+  test("tf cosine: checkpointed tf table, no cartesian, capped postings") {
+    val p = plan("q_tf_cosine")
+    assert(p.contains("Scan ExistingRDD"),
+      "tf table must be a checkpoint leaf (norms + postings share it)")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
