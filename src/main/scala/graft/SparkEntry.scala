@@ -1301,6 +1301,16 @@ object SparkEntry {
     // the df-capped exact definition, over bigram terms
     "q_tf_cosine" -> ((s, dir) =>
       Dedup.tfCosinePairs(Tables.documents(s, dir), 0.5, 100, 2)),
+    // B32: cumulative-counter deltas with reset detection — the
+    // PM-counter semantics under the reference's feeds (negative
+    // jump = restart; post-reset reading is the delta)
+    "q_counter_deltas" -> ((s, dir) =>
+      Rollups.counterDeltas(Tables.events(s, dir))),
+    // E64: interval-union covered days per customer (gaps-and-islands
+    // carry-max over order spans)
+    "q_interval_coverage" -> ((s, dir) =>
+      Analytics.intervalCoverage(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // D72: product-quantization ANN — PQ codes + ADC top-k (rows-only
     // by design like the other sketch searches; recall + compression
     // are spec-pinned against the exact scan)
@@ -4176,6 +4186,46 @@ object SparkEntry {
         |JOIN norms na ON na.doc_id = doc_a
         |JOIN norms nb ON nb.doc_id = doc_b
         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.s2 AS DOUBLE))
-        |   / sqrt(CAST(nb.s2 AS DOUBLE)) >= 0.5""".stripMargin
+        |   / sqrt(CAST(nb.s2 AS DOUBLE)) >= 0.5""".stripMargin,
+    // the same lag-per-entity fold in SQL; cents keep deltas BIGINT
+    "q_counter_deltas" ->
+      """WITH c AS (SELECT event_type, user_id, ts, event_id,
+        |   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (SELECT event_type, ts, cents,
+        |   LAG(cents, 1) OVER (PARTITION BY event_type, user_id
+        |     ORDER BY ts, event_id) AS prev_cents
+        |  FROM c)
+        |SELECT event_type, CAST(ts AS DATE) AS day,
+        | CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(SUM(CASE WHEN prev_cents IS NULL THEN 0
+        |   WHEN cents >= prev_cents THEN cents - prev_cents
+        |   ELSE cents END) AS BIGINT) AS delta_cents,
+        | CAST(SUM(CASE WHEN prev_cents IS NOT NULL AND cents < prev_cents
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+        |FROM l GROUP BY 1, 2""".stripMargin,
+    // identical carry-max islands, ROWS frames spelled out
+    "q_interval_coverage" ->
+      """WITH li AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS e
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (SELECT o_custkey, o_orderkey,
+        |   CAST(o_orderdate AS DATE) AS s, e
+        |  FROM orders JOIN li ON li.l_orderkey = o_orderkey),
+        |x AS (SELECT *, MAX(e) OVER (PARTITION BY o_custkey
+        |   ORDER BY s, e, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |y AS (SELECT *, CASE WHEN pme IS NULL OR s > pme
+        |   THEN 1 ELSE 0 END AS ni FROM x),
+        |z AS (SELECT *, SUM(ni) OVER (PARTITION BY o_custkey
+        |   ORDER BY s, e, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM y),
+        |g AS (SELECT o_custkey, island, MIN(s) AS gs, MAX(e) AS ge,
+        |   count(*) AS n FROM z GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_islands,
+        | CAST(SUM(n) AS BIGINT) AS n_orders,
+        | CAST(SUM(date_diff('day', gs, ge) + 1) AS BIGINT) AS covered_days
+        |FROM g GROUP BY 1""".stripMargin
   )
 }

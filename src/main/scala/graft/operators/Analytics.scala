@@ -489,6 +489,42 @@ object Analytics {
           100.0).as("slope"))
   }
 
+  /** Interval-union coverage per customer (gaps-and-islands with a
+    * carry-max): each order spans [orderdate, last shipdate]; the
+    * report is the union length of those possibly-overlapping spans —
+    * how many distinct days the customer had something in flight,
+    * which double-counts nothing no matter how orders nest. The
+    * classic covered-time operator: intervals sort once per
+    * customer, a running max-end (excluding the current row) flags
+    * island starts, a running sum numbers the islands, and two
+    * map-side-combined rollups finish. All date arithmetic is
+    * integer days; every window consumes the order-dimension table,
+    * never lineitem (which reduces to per-order ship ends first).
+    */
+  def intervalCoverage(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val iv = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("e"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("s")),
+        col("l_orderkey") === col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("s"), col("e"), col("o_orderkey"))
+    iv
+      .withColumn("pme",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pme").isNull || col("s") > col("pme"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(min(col("s")).as("is"), max(col("e")).as("ie"),
+        count(lit(1)).as("n"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("n")).as("n_orders"),
+        sum(datediff(col("ie"), col("is")) + 1).as("covered_days"))
+  }
+
   /** Daily trending top-k actors with day-over-day rank movement —
     * the "trending" leaderboard (who is climbing?). The feed reduces
     * once to (day, user) counts (map-side combined); each day's

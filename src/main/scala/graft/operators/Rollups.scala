@@ -195,6 +195,36 @@ object Rollups {
           .cast("double").as("sum_value"))
 
   /** Daily rollup per user (coarse granularity, calendar-aligned). */
+  /** Cumulative-counter delta extraction with reset detection — the
+    * PM-counter semantics underneath the reference's feeds: network
+    * elements export ever-growing counters that drop to ~0 on
+    * restart, and the usable measure is the per-interval DELTA, with
+    * negative jumps classified as resets (the post-reset reading is
+    * the delta — the counter restarted from zero). One lag window
+    * per (type, user) entity ordered by (ts, event_id), readings in
+    * round-half-up cents so every delta is BIGINT-exact; the daily
+    * rollup partial-aggregates map-side. First reading per entity
+    * has no delta and is excluded (n_samples still counts it).
+    */
+  def counterDeltas(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(when(col("prev_cents").isNull, 0L)
+          .when(col("cents") >= col("prev_cents"),
+            col("cents") - col("prev_cents"))
+          .otherwise(col("cents"))).as("delta_cents"),
+        sum(when(col("prev_cents").isNotNull &&
+            col("cents") < col("prev_cents"), 1L)
+          .otherwise(0L)).as("n_resets"))
+  }
+
   def dailyPerUser(events: DataFrame): DataFrame =
     events
       .groupBy(to_date(col("ts")).as("day"), col("user_id"))

@@ -238,6 +238,43 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(Dedup.tfCosinePairs(docs, 0.01, dfCap = 1, n = 1).count() == 0)
   }
 
+  test("counter deltas: monotone growth sums, a reset restarts from zero") {
+    val ev = Seq(
+      (1L, 10.0, "2024-01-01 10:00:00"), (2L, 15.0, "2024-01-01 11:00:00"),
+      (3L, 3.0, "2024-01-02 10:00:00"), (4L, 4.5, "2024-01-02 11:00:00"))
+      .toDF("event_id", "value", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      .withColumn("event_type", lit("t")).withColumn("user_id", lit(7L))
+    val out = graft.operators.Rollups.counterDeltas(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_samples"), r.getAs[Long]("delta_cents"),
+          r.getAs[Long]("n_resets"))).toMap
+    // day 1: first sample contributes 0, then 15-10 = 5.00
+    assert(out("2024-01-01") == (2L, 500L, 0L))
+    // day 2: 15 -> 3 is a reset (delta = the 3.00 reading), then +1.50
+    assert(out("2024-01-02") == (2L, 450L, 1L))
+  }
+
+  test("interval coverage: overlapping and nested spans union exactly") {
+    val orders = Seq(
+      (1L, 100L, "2024-01-01"), (2L, 100L, "2024-01-03"),
+      (3L, 100L, "2024-01-20"), (4L, 100L, "2024-01-04"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .withColumn("o_orderdate", col("d").cast("date")).drop("d")
+    val li = Seq(
+      (1L, "2024-01-02"), (1L, "2024-01-05"),  // o1 ends Jan 5
+      (2L, "2024-01-07"),                       // o2 [3,7] overlaps o1
+      (3L, "2024-01-21"),                       // o3 [20,21] separate
+      (4L, "2024-01-04"))                       // o4 [4,4] nested in o1∪o2
+      .toDF("l_orderkey", "d")
+      .withColumn("l_shipdate", col("d").cast("date")).drop("d")
+    val r = Analytics.intervalCoverage(orders, li).collect().head
+    assert(r.getAs[Long]("o_custkey") == 100L)
+    assert(r.getAs[Long]("n_islands") == 2L)   // [1..7] and [20..21]
+    assert(r.getAs[Long]("n_orders") == 4L)
+    assert(r.getAs[Long]("covered_days") == 9L) // 7 + 2
+  }
+
   test("profile diff: null growth, cardinality collapse, range shift flag") {
     val l = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
       .toDF("k", "v")

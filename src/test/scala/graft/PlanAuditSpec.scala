@@ -731,6 +731,21 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("counter deltas: one entity window, then a map-side daily rollup") {
+    val p = plan("q_counter_deltas")
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "daily rollup must partial-aggregate after the lag window")
+  }
+
+  test("interval coverage: lineitem reduces before any window") {
+    val p = plan("q_interval_coverage")
+    assert(!p.contains("CartesianProduct"))
+    // the two windows must share one (custkey) sort — not re-sort
+    assert("Window".r.findAllIn(p).length <= 2,
+      s"carry-max and island windows should plan together:\n$p")
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
