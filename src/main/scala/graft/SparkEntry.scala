@@ -1301,6 +1301,28 @@ object SparkEntry {
     // the df-capped exact definition, over bigram terms
     "q_tf_cosine" -> ((s, dir) =>
       Dedup.tfCosinePairs(Tables.documents(s, dir), 0.5, 100, 2)),
+    // A14: JSON-lines source — schema-on-read round-trip (fields
+    // absent from a line surface as NULL and are counted); oracle
+    // computes the expected rollup directly from the columns
+    "q_jsonl" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def obj(withPr: Boolean) = to_json(struct(
+        (Seq(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents")) ++
+          (if (withPr) Seq(col("o_orderpriority").as("pr")) else Nil)): _*))
+      val lines = o.select(
+        when(col("o_orderkey") % 23 === 0, obj(withPr = false))
+          .otherwise(obj(withPr = true)).as("value"))
+        .withColumn("_file", lit("orders.jsonl"))
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL("k BIGINT, st STRING, cents BIGINT, pr STRING")
+      ChillPipeline.sliceJsonLines(lines, schema)
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("sum_cents"),
+          sum(when(col("pr").isNull, 1L).otherwise(0L))
+            .as("n_missing_priority"))
+    }),
     // B32: cumulative-counter deltas with reset detection — the
     // PM-counter semantics under the reference's feeds (negative
     // jump = restart; post-reset reading is the delta)
@@ -4187,6 +4209,17 @@ object SparkEntry {
         |JOIN norms nb ON nb.doc_id = doc_b
         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.s2 AS DOUBLE))
         |   / sqrt(CAST(nb.s2 AS DOUBLE)) >= 0.5""".stripMargin,
+    // expected rollup computed directly — the JSONL render→parse
+    // round-trip (including the missing-field NULLs) must match
+    "q_jsonl" ->
+      """WITH p AS (SELECT o_orderstatus AS st,
+        |   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        |   CASE WHEN o_orderkey % 23 = 0 THEN 1 ELSE 0 END AS miss
+        |  FROM orders)
+        |SELECT st, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents,
+        | CAST(sum(miss) AS BIGINT) AS n_missing_priority
+        |FROM p GROUP BY 1""".stripMargin,
     // the same lag-per-entity fold in SQL; cents keep deltas BIGINT
     "q_counter_deltas" ->
       """WITH c AS (SELECT event_type, user_id, ts, event_id,

@@ -258,6 +258,41 @@ object ChillPipeline {
       .select(col("_file") +: columns.map(c => col(s"_p.$c").as(c)): _*)
   }
 
+  /** JSON-lines raw source: one JSON object per line, parsed with
+    * Spark's native `from_json` inside the scan stage — the modern
+    * mediation format next to the reference's delimiter feeds, with
+    * the same valid-lines slice / ignore-lines controls composing
+    * unchanged. Fields absent from a line surface as NULL (classic
+    * schema-on-read); a line that fails to parse yields a NULL
+    * struct, kept so the caller can count and quarantine rather than
+    * silently drop (`_corrupt` flags it).
+    */
+  def rawJsonLines(spark: SparkSession, path: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   skipHeader: Int = 0, skipFooter: Int = 0,
+                   ignoreLines: Set[String] = Set.empty): DataFrame =
+    sliceJsonLines(
+      spark.read.text(path).select(input_file_name().as("_file"), col("value")),
+      schema, skipHeader, skipFooter, ignoreLines)
+
+  /** [[rawJsonLines]] over an existing `(_file, value)` line set. */
+  def sliceJsonLines(lines: DataFrame,
+                     schema: org.apache.spark.sql.types.StructType,
+                     skipHeader: Int = 0, skipFooter: Int = 0,
+                     ignoreLines: Set[String] = Set.empty): DataFrame = {
+    val kept = slicedBody(lines, skipHeader, skipFooter, ignoreLines)
+    // PERMISSIVE from_json yields an all-null struct for malformed
+    // lines, indistinguishable from legitimately-sparse records — the
+    // corrupt-record column is the reliable flag
+    val withCr = schema.add("_cr", org.apache.spark.sql.types.StringType)
+    kept
+      .withColumn("_p", from_json(col("value"), withCr,
+        Map("columnNameOfCorruptRecord" -> "_cr")))
+      .select(col("_file") +:
+        col("_p._cr").isNotNull.as("_corrupt") +:
+        schema.fieldNames.toSeq.map(f => col(s"_p.$f").as(f)): _*)
+  }
+
   /** Capture per-file header ("tag") lines for [[FromTag]] rules: for
     * each rule, the first raw line containing its tag is extracted per
     * file (the reference scans the whole file for the tag line,

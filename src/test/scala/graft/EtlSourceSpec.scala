@@ -104,6 +104,27 @@ class EtlSourceSpec extends AnyFunSuite {
       ("3", "plain", "30")))
   }
 
+  test("rawJsonLines: schema-on-read, missing fields null, corrupt flagged") {
+    val d = java.nio.file.Files.createTempDirectory("jsonl")
+    java.nio.file.Files.writeString(d.resolve("FEED.jsonl"),
+      """{"id": 1, "name": "a", "qty": 10}
+        |{"id": 2, "qty": 20}
+        |not json at all
+        |{"id": 4, "name": "d", "qty": 40}""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("id BIGINT, name STRING, qty BIGINT")
+    val df = ChillPipeline.rawJsonLines(spark, d.toString + "/*.jsonl", schema)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 4)
+    val corrupt = rows.filter(_.getAs[Boolean]("_corrupt"))
+    assert(corrupt.length == 1)
+    val byId = rows.filterNot(_.getAs[Boolean]("_corrupt"))
+      .map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[String]("name")), r.getAs[Long]("qty"))).toMap
+    assert(byId == Map(1L -> (Some("a"), 10L), 2L -> (None, 20L),
+      4L -> (Some("d"), 40L)))
+  }
+
   test("slicing is exact when one file spans many splits") {
     // force multi-split reads so the per-split offset arithmetic is
     // exercised across chunk boundaries (at 100 TB every big file is
