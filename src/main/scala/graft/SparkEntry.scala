@@ -1328,6 +1328,28 @@ object SparkEntry {
     // jump = restart; post-reset reading is the delta)
     "q_counter_deltas" -> ((s, dir) =>
       Rollups.counterDeltas(Tables.events(s, dir))),
+    // B32b: the same delta machine as keyed streaming state (unified
+    // batch form graded against the SAME oracle as the window form)
+    "q_stream_counter_deltas" -> ((s, dir) => {
+      val readings = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      graft.streaming.EventStream.counterDeltaStream(readings)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(col("delta_cents")).as("delta_cents"),
+          sum(col("is_reset")).as("n_resets"))
+    }),
+    // D77: modality-blind exact binary dedup by content digest —
+    // a deterministic doc_id-mod subset is re-delivered under fresh
+    // ids (the q_corpus_diff pattern) so duplicated bytes exist
+    "q_binary_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val redelivered = docs.filter(col("doc_id") % 50 === 3)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      BinaryPipeline.binaryDedup(
+        BinaryPipeline.toMedia(docs.unionByName(redelivered)))
+    }),
     // E64: interval-union covered days per customer (gaps-and-islands
     // carry-max over order spans)
     "q_interval_coverage" -> ((s, dir) =>
@@ -1432,6 +1454,27 @@ object SparkEntry {
       |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""".stripMargin
 
   // ---- DuckDB oracles -------------------------------------------------
+
+  /** One delta/reset ladder, graded twice: the lag-window batch form
+    * (q_counter_deltas) and the keyed-streaming-state fold
+    * (q_stream_counter_deltas) must both hash-match it.
+    */
+  private val counterDeltaSql =
+    """WITH c AS (SELECT event_type, user_id, ts, event_id,
+      |   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |l AS (SELECT event_type, ts, cents,
+      |   LAG(cents, 1) OVER (PARTITION BY event_type, user_id
+      |     ORDER BY ts, event_id) AS prev_cents
+      |  FROM c)
+      |SELECT event_type, CAST(ts AS DATE) AS day,
+      | CAST(count(*) AS BIGINT) AS n_samples,
+      | CAST(SUM(CASE WHEN prev_cents IS NULL THEN 0
+      |   WHEN cents >= prev_cents THEN cents - prev_cents
+      |   ELSE cents END) AS BIGINT) AS delta_cents,
+      | CAST(SUM(CASE WHEN prev_cents IS NOT NULL AND cents < prev_cents
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+      |FROM l GROUP BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_rollup_5m" ->
@@ -4221,22 +4264,22 @@ object SparkEntry {
         | CAST(sum(miss) AS BIGINT) AS n_missing_priority
         |FROM p GROUP BY 1""".stripMargin,
     // the same lag-per-entity fold in SQL; cents keep deltas BIGINT
-    "q_counter_deltas" ->
-      """WITH c AS (SELECT event_type, user_id, ts, event_id,
-        |   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
-        |  FROM events),
-        |l AS (SELECT event_type, ts, cents,
-        |   LAG(cents, 1) OVER (PARTITION BY event_type, user_id
-        |     ORDER BY ts, event_id) AS prev_cents
-        |  FROM c)
-        |SELECT event_type, CAST(ts AS DATE) AS day,
-        | CAST(count(*) AS BIGINT) AS n_samples,
-        | CAST(SUM(CASE WHEN prev_cents IS NULL THEN 0
-        |   WHEN cents >= prev_cents THEN cents - prev_cents
-        |   ELSE cents END) AS BIGINT) AS delta_cents,
-        | CAST(SUM(CASE WHEN prev_cents IS NOT NULL AND cents < prev_cents
-        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
-        |FROM l GROUP BY 1, 2""".stripMargin,
+    "q_counter_deltas" -> counterDeltaSql,
+    // the streaming state machine grades against the SAME ladder —
+    // batch window and keyed-state fold must agree exactly
+    "q_stream_counter_deltas" -> counterDeltaSql,
+    // md5 of the identical utf-8 bytes on both engines; the same
+    // re-delivered subset unioned in
+    "q_binary_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents
+        |  WHERE doc_id % 50 = 3)
+        |SELECT md5(text) AS content_hash,
+        | CAST(count(*) AS BIGINT) AS n_copies,
+        | CAST(min(doc_id) AS BIGINT) AS keep_id,
+        | CAST(min(octet_length(encode(text))) AS BIGINT) AS n_bytes
+        |FROM d GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     // identical carry-max islands, ROWS frames spelled out
     "q_interval_coverage" ->
       """WITH li AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS e

@@ -94,4 +94,22 @@ object BinaryPipeline {
       col("meta.mime").as("media_type"),
       length(col("payload")).cast("long").as("n_bytes"),
       graft.functions.BinaryFunctions.byteStats(col("payload")).as("features"))
+
+  /** Exact binary dedup by content digest — the modality-blind first
+    * pass of any multimodal dedup (identical bytes are identical
+    * media regardless of what decodes them): md5 the payload in the
+    * scan projection (so only the 32-hex digest crosses the shuffle,
+    * never the payload), group, keep the lowest id per content. Only
+    * duplicated contents are reported; the 16-byte digest makes
+    * collisions ignorable at any corpus size.
+    */
+  def binaryDedup(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"), md5(col("payload")).as("content_hash"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("keep_id"),
+        min(col("n_bytes")).as("n_bytes"))
+      .filter(col("n_copies") >= 2)
 }

@@ -181,6 +181,47 @@ object EventStream {
       .withColumn("day", col("day").cast("date"))
   }
 
+  /** Streaming cumulative-counter deltas (B32's semantics as keyed
+    * state): one last-reading Long per (type, entity) carries across
+    * micro-batches, each batch folds its readings in (ts, event_id)
+    * order, negative jumps classify as resets with the post-reset
+    * reading as the delta. In batch mode the same code sees each
+    * group once and reproduces the window form exactly (one oracle
+    * covers both); in streaming mode the carried reading is what the
+    * window cannot do — deltas stay correct across batch boundaries.
+    */
+  def counterDeltaStream(readings: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = readings.sparkSession
+    import spark.implicits._
+    readings
+      .selectExpr("event_type", "user_id", "unix_micros(ts) AS us",
+        "event_id", "cents")
+      .as[(String, Long, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, Long, Long, Long)],
+         state: GroupState[Long]) =>
+          var prev: Option[Long] = state.getOption
+          val out = rows.toSeq.sortBy(r => (r._3, r._4)).map {
+            case (_, _, us, _, c) =>
+              val (delta, reset) = prev match {
+                case None => (0L, 0L)
+                case Some(p) if c >= p => (c - p, 0L)
+                case Some(_) => (c, 1L)
+              }
+              prev = Some(c)
+              (key._1, key._2, us, c, delta, reset)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+      .toDF("event_type", "user_id", "us", "cents", "delta_cents", "is_reset")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+  }
+
   /** Streaming Count-Min sketch: the CMS counters
     * ([[graft.functions.CmsBuffer]]) as keyed streaming state — the
     * continuous any-key frequency monitor next to

@@ -210,6 +210,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming counter deltas carry the last reading across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, String, Long, Long)]
+    val readings = ms.toDF.toDF("event_type", "user_id", "tss", "event_id", "cents")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val q = streaming.EventStream.counterDeltaStream(readings)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_cdelta").start()
+    try {
+      // batch 1: first reading (no delta), then +500
+      ms.addData(("t", 1L, "2024-01-01 10:00:00", 1L, 1000L),
+        ("t", 1L, "2024-01-01 11:00:00", 2L, 1500L))
+      q.processAllAvailable()
+      // batch 2: 1500 -> 300 is a reset ONLY if the 1500 carried
+      // across the batch boundary; then +150
+      ms.addData(("t", 1L, "2024-01-02 10:00:00", 3L, 300L),
+        ("t", 1L, "2024-01-02 11:00:00", 4L, 450L))
+      q.processAllAvailable()
+      val rows = spark.table("stream_cdelta").collect()
+        .map(r => r.getAs[Long]("cents") ->
+          (r.getAs[Long]("delta_cents"), r.getAs[Long]("is_reset"))).toMap
+      assert(rows == Map(1000L -> (0L, 0L), 1500L -> (500L, 0L),
+        300L -> (300L, 1L), 450L -> (150L, 0L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate event_ids") {
     val dir = streamDir
     val stream = streaming.EventStream.readEventStream(spark, dir)
