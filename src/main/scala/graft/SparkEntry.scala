@@ -1340,6 +1340,62 @@ object SparkEntry {
           sum(col("delta_cents")).as("delta_cents"),
           sum(col("is_reset")).as("n_resets"))
     }),
+    // E21b (TPC-H Q6 shape): revenue effect of a discount band —
+    // tight scan-stage filter, decimal-exact one-row answer
+    "q_tpch_q6" -> ((s, dir) => {
+      def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) >= lit("1997-01-01") &&
+          to_date(col("l_shipdate")) < lit("1998-01-01") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+          col("l_quantity") < 24)
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast("decimal(38,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    // E21c (TPC-H Q3 shape): top-10 open revenue in a market segment
+    // — TakeOrderedAndProject bounded heap, never a full sort
+    "q_tpch_q3" -> ((s, dir) => {
+      def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      val rev = dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec2(col("l_discount")))
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .filter(to_date(col("o_orderdate")) < lit("1999-06-30"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .filter(to_date(col("l_shipdate")) > lit("1999-06-30"))
+        .groupBy(col("l_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(rev).cast("decimal(38,4)").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    // E21d (TPC-H Q4 shape): order-priority check via EXISTS — a
+    // left-semi join (one pass over lineitem, no fact duplication)
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val late = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      o.join(late,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("sd") > date_add(to_date(col("o_orderdate")), 60),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+    // B33: zone-map skipping advisor — is a re-sort worth it? The
+    // user_id layout skips almost everything for user probes, the
+    // time layout almost nothing (both graded)
+    "q_zonemap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val probes = Seq(5L, 50L, 500L)
+      graft.operators.Layout
+        .zoneMapAdvisor(ev, Seq("user_id", "event_id"), "user_id",
+          4096, probes, "by_user")
+        .unionByName(graft.operators.Layout
+          .zoneMapAdvisor(ev, Seq("ts", "event_id"), "user_id",
+            4096, probes, "by_time"))
+    }),
     // D77: modality-blind exact binary dedup by content digest —
     // a deterministic doc_id-mod subset is re-delivered under fresh
     // ids (the q_corpus_diff pattern) so duplicated bytes exist
@@ -4268,6 +4324,59 @@ object SparkEntry {
     // the streaming state machine grades against the SAME ladder —
     // batch window and keyed-state fold must agree exactly
     "q_stream_counter_deltas" -> counterDeltaSql,
+    // the q_revenue_by_nation decimal discipline, one output row
+    "q_tpch_q6" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))
+        |   AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.05
+        |  AND l_quantity < 24""".stripMargin,
+    // identical decimal revenue; deterministic (revenue desc, key)
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |   AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1999-06-30'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1999-06-30'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60)
+        |GROUP BY 1""".stripMargin,
+    // both layouts replayed with the identical row_number blocks
+    "q_zonemap" -> {
+      def side(order: String, label: String) =
+        s"""o_$label AS (SELECT user_id,
+           |  row_number() OVER (ORDER BY $order) AS rn FROM events),
+           |b_$label AS (SELECT (rn - 1) // 4096 AS blk,
+           |  min(user_id) AS mn, max(user_id) AS mx
+           | FROM o_$label GROUP BY 1),
+           |r_$label AS (SELECT '$label' AS layout, probe,
+           |  CAST(count(*) AS BIGINT) AS n_blocks,
+           |  CAST(SUM(CASE WHEN mn <= probe AND probe <= mx
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned
+           | FROM b_$label, p GROUP BY 1, 2)""".stripMargin
+      s"""WITH p AS (SELECT CAST(unnest([5, 50, 500]) AS BIGINT) AS probe),
+         |${side("user_id, event_id", "by_user")},
+         |${side("ts, event_id", "by_time")},
+         |u AS (SELECT * FROM r_by_user UNION ALL SELECT * FROM r_by_time)
+         |SELECT layout, probe, n_blocks, n_scanned,
+         | 1.0 - CAST(n_scanned AS DOUBLE) / n_blocks AS skip_rate
+         |FROM u""".stripMargin
+    },
     // md5 of the identical utf-8 bytes on both engines; the same
     // re-delivered subset unioned in
     "q_binary_dedup" ->

@@ -121,6 +121,44 @@ object Layout {
         col("raw_bytes").cast("double") / col("varint_bytes"))
   }
 
+  /** Zone-map (min/max footer stats) effectiveness advisor: under a
+    * candidate physical sort order, how many `blockRows`-row blocks
+    * could a point predicate on `probeCol` actually skip? Blocks are
+    * row_number ranges of the sorted table (a parquet row group / a
+    * file, to first order); each block reduces to its (min, max) of
+    * the probe column and every probe tests containment against the
+    * blocks-sized stats table — so the answer to "is re-sorting this
+    * 100 TB table worth it?" costs one sort of the advised SAMPLE,
+    * never a rewrite. `sortCols` must totally order the rows (append
+    * a unique id) or block boundaries are nondeterministic. Global
+    * row_number is the advisor's sequential frame: run it on a
+    * sample or per range-partition at open scale.
+    */
+  def zoneMapAdvisor(df: DataFrame, sortCols: Seq[String], probeCol: String,
+                     blockRows: Int, probes: Seq[Long],
+                     label: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(sortCols.map(col): _*)
+    val blocks = df
+      .select((probeCol +: sortCols).distinct.map(col): _*)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("blk", expr(s"(rn - 1) div $blockRows"))
+      .groupBy(col("blk"))
+      .agg(min(col(probeCol)).as("mn"), max(col(probeCol)).as("mx"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probeDf = probes.toDF("probe")
+    blocks.crossJoin(broadcast(probeDf))
+      .groupBy(col("probe"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("mn") <= col("probe") && col("probe") <= col("mx"), 1L)
+          .otherwise(0L)).as("n_scanned"))
+      .select(lit(label).as("layout"), col("probe"), col("n_blocks"),
+        col("n_scanned"),
+        (lit(1.0) - col("n_scanned").cast("double") / col("n_blocks"))
+          .as("skip_rate"))
+  }
+
   def compactionPlan(events: DataFrame, targetBytes: Long): DataFrame =
     events
       .select(to_date(col("ts")).as("day"),

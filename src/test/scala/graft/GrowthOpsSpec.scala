@@ -275,6 +275,24 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("covered_days") == 9L) // 7 + 2
   }
 
+  test("zone map advisor: clustered layout skips, interleaved cannot") {
+    // physical order by `pos` interleaves the value ranges so every
+    // early block straddles the probe; order by `v` isolates it
+    val rows = Seq((1L, 1L), (8L, 2L), (2L, 3L), (7L, 4L),
+      (3L, 5L), (6L, 6L), (4L, 7L), (5L, 8L)).toDF("v", "pos")
+    def run(sortCols: Seq[String], label: String) =
+      graft.operators.Layout
+        .zoneMapAdvisor(rows, sortCols, "v", 2, Seq(3L), label)
+        .collect().head
+    val clustered = run(Seq("v"), "by_v")
+    assert(clustered.getAs[Long]("n_blocks") == 4L)
+    assert(clustered.getAs[Long]("n_scanned") == 1L)
+    assert(clustered.getAs[Double]("skip_rate") == 0.75)
+    // blocks {1,8},{2,7},{3,6},{4,5}: probe 3 inside three ranges
+    val interleaved = run(Seq("pos"), "by_pos")
+    assert(interleaved.getAs[Long]("n_scanned") == 3L)
+  }
+
   test("profile diff: null growth, cardinality collapse, range shift flag") {
     val l = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
       .toDF("k", "v")

@@ -746,6 +746,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"carry-max and island windows should plan together:\n$p")
   }
 
+  test("tpch q3: top-10 through a bounded heap, never a global sort") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan the bounded heap:\n$p")
+  }
+
+  test("tpch q4: EXISTS plans as a left-semi join") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), s"expected a semi join:\n$p")
+  }
+
+  test("tpch q6: band filters push to the parquet scan") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("PushedFilters: [IsNotNull"),
+      s"discount/quantity filters must push down:\n$p")
+    assert(!p.contains("l_orderkey"), "unused columns must prune")
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
