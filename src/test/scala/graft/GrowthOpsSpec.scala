@@ -330,6 +330,36 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(out(("2024-01-02", 1L)) == (2L, -1L, false))
   }
 
+  test("session-2 operators tolerate empty inputs") {
+    val emptyEvents = Seq.empty[(Long, Long, String, java.sql.Timestamp, Double)]
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    assert(graft.operators.Kpi.winsorizedDailyMean(emptyEvents).count() == 0)
+    assert(Analytics.capacityForecast(emptyEvents).count() == 0)
+    assert(Analytics.dowAdjustedAnomalies(emptyEvents).count() == 0)
+    assert(Analytics.trendingTopK(emptyEvents, 5).count() == 0)
+    assert(graft.operators.Rollups.counterDeltas(emptyEvents).count() == 0)
+    assert(graft.operators.Layout.zoneMapAdvisor(
+      emptyEvents, Seq("event_id"), "user_id", 4, Seq(1L), "x").count() == 0)
+    val emptyTrans = Seq.empty[(String, String, Long)]
+      .toDF("prev_type", "event_type", "n_transitions")
+    assert(Graph.markovStationary(emptyTrans, 2).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(TextOps.readabilityBands(emptyDocs).count() == 0)
+    assert(TextOps.encodingQa(emptyDocs).count() == 0)
+    assert(TextOps.vocabJaccardSketch(emptyDocs, 8).count() == 0)
+    assert(Dedup.tfCosinePairs(emptyDocs, 0.5, 10).count() == 0)
+    val emptyEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val m = graft.ann.Ann.fitPq(emptyEmb, 2, 2)
+    assert(m.isEmpty)
+    assert(graft.ann.Ann.pqSearch(m, emptyEmb, emptyEmb, 3).count() == 0)
+    val emptyOrders = Seq.empty[(Long, Long, java.sql.Date)]
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val emptyLi = Seq.empty[(Long, java.sql.Date)]
+      .toDF("l_orderkey", "l_shipdate")
+    assert(Analytics.intervalCoverage(emptyOrders, emptyLi).count() == 0)
+  }
+
   test("markov stationary: hand-computed mass, absorbing state keeps its own") {
     // a -> b, b -> a (1/2), b -> c (1/2), c absorbing; init = 100
     val trans = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L))
