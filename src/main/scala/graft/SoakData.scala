@@ -47,8 +47,20 @@ object SoakData {
     writeEmbeddings(spark, srcDir, outDir, mult)
     writeEvents(spark, srcDir, outDir, mult)
     writeFacts(spark, srcDir, outDir, mult)
+    copyDims(spark, srcDir, outDir)
     spark.stop()
   }
+
+  /** Dimension tables pass through unscaled — the star-schema
+    * property: a 10× busier feed joins the same customers/parts.
+    * Copying them keeps every query runnable against the soak dir.
+    */
+  private def copyDims(spark: SparkSession, srcDir: String,
+                       outDir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      Tables.load(spark, srcDir, t)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
 
   private def replicas(df: DataFrame, mult: Int): DataFrame =
     df.withColumn("r", explode(sequence(lit(0L), lit(mult - 1L))))

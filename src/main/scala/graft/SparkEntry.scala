@@ -1396,6 +1396,21 @@ object SparkEntry {
           .zoneMapAdvisor(ev, Seq("ts", "event_id"), "user_id",
             4096, probes, "by_time"))
     }),
+    // D78: BPE tokenizer training — 8 merge rounds over the
+    // vocabulary-sized (word, count) state (rows-only by design:
+    // iterative regex rewrites have no SQL replay; the classic hand
+    // example is spec-pinned)
+    "q_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      TextOps.bpeTrain(Tables.documents(s, dir), 8)
+        .toDF("rank", "left", "right", "pair_count")
+    }),
+    // D78b: encode the corpus with the learned merges — the
+    // fertility-vs-merges number a tokenizer evaluation tracks
+    "q_bpe_encode" -> ((s, dir) => {
+      val merges = TextOps.bpeTrain(Tables.documents(s, dir), 8)
+      TextOps.bpeEncode(Tables.documents(s, dir), merges)
+    }),
     // D77: modality-blind exact binary dedup by content digest —
     // a deterministic doc_id-mod subset is re-delivered under fresh
     // ids (the q_corpus_diff pattern) so duplicated bytes exist

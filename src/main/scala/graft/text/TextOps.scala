@@ -398,6 +398,100 @@ object TextOps {
         col("r.shared"), col("r.jaccard_est"))
   }
 
+  /** Train a byte-pair-encoding merge table: `nMerges` rounds of
+    * "count adjacent symbol pairs, merge the most frequent". The
+    * scale design is the classic one — the corpus collapses ONCE to
+    * the (word, count) vocabulary table and every round runs over
+    * that dimension-sized state: one map-side-combined pair count,
+    * a driver argmax of ONE row (freq desc, then pair asc — fully
+    * deterministic), and a projection that rewrites the symbol
+    * column. Merging uses the spaced-symbol string form with a
+    * left-to-right non-overlapping regex replace, which IS the BPE
+    * greedy convention ("a a a" merges to "aa a"). Returns
+    * (rank, left, right, pair_count) — the artifact a tokenizer
+    * ships. Rows-only by design (the oracle cannot replay an
+    * iterative regex rewrite); the classic hand example is
+    * spec-pinned.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    require(nMerges >= 1)
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      // spaced-symbol form: "hug" -> "h u g"
+      .select(concat_ws(" ",
+        filter(split(col("w"), ""), ch => ch =!= "")).as("s"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 0
+    var done = false
+    while (r < nMerges && !done) {
+      val syms = split(col("s"), " ")
+      val pairs = vocab
+        .select(col("n"), explode(
+          when(size(syms) >= 2,
+            transform(sequence(lit(1), size(syms) - 1), i =>
+              struct(element_at(syms, i).as("a"),
+                element_at(syms, i + 1).as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+        .groupBy(col("p.a"), col("p.b"))
+        .agg(sum(col("n")).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (pairs.isEmpty) done = true
+      else {
+        val best = pairs.head
+        val (a, b, f) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((r + 1, a, b, f))
+        val q = java.util.regex.Pattern.quote _
+        vocab = vocab
+          .select(regexp_replace(col("s"),
+            "(?<=^|\\s)" + q(a) + " " + q(b) + "(?=\\s|$)",
+            // $ and \ in the replacement are regex metacharacters
+            java.util.regex.Matcher.quoteReplacement(a + b)).as("s"), col("n"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply a learned merge table: each document's words rewrite
+    * through the merges in rank order (a driver-held chain of
+    * projections — the merge list is tokenizer-sized, never data),
+    * then the report compares whitespace words to post-merge symbol
+    * counts per source. `fertility` = symbols per word after
+    * merging — the number a tokenizer evaluation actually tracks
+    * as merges accumulate.
+    */
+  def bpeEncode(docs: DataFrame,
+                merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val spacedWords = transform(
+      filter(split(col("text"), " "), w => w =!= ""),
+      w => concat_ws(" ", filter(split(w, ""), ch => ch =!= "")))
+    val q = java.util.regex.Pattern.quote _
+    val mergedWords = merges.sortBy(_._1).foldLeft(spacedWords) {
+      case (acc, (_, a, b, _)) =>
+        transform(acc, s => regexp_replace(s,
+          "(?<=^|\\s)" + q(a) + " " + q(b) + "(?=\\s|$)",
+          java.util.regex.Matcher.quoteReplacement(a + b)))
+    }
+    docs
+      .select(col("source"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("n_words"),
+        aggregate(mergedWords, lit(0L),
+          (acc, s) => acc + size(split(s, " "))).as("n_symbols"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_symbols")).as("n_symbols"))
+      .withColumn("fertility",
+        col("n_symbols").cast("double") / col("n_words"))
+  }
+
   /** Repetition / boilerplate quality metrics (the Gopher-rule
     * family): duplicate-word fraction, duplicate-bigram fraction, and
     * symbol-to-word ratio, plus the keep verdict a filtering pass

@@ -360,6 +360,25 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(Analytics.intervalCoverage(emptyOrders, emptyLi).count() == 0)
   }
 
+  test("bpe train: the classic hand example, greedy left-to-right merges") {
+    // word frequencies: hug x10, pug x5, pun x12, bun x4, hugs x5
+    val text = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs"))
+      .mkString(" ")
+    val docs = Seq((1L, text, "s")).toDF("doc_id", "text", "source")
+    val merges = TextOps.bpeTrain(docs, 3)
+    // r1: (u,g) 20 > (p,u) 17 > (u,n) 16; r2: (u,n) 16; r3: (h,ug) 15
+    assert(merges == Seq((1, "u", "g", 20L), (2, "u", "n", 16L),
+      (3, "h", "ug", 15L)))
+    val enc = TextOps.bpeEncode(
+      Seq((1L, "hug pun hugs", "s")).toDF("doc_id", "text", "source"),
+      merges).collect().head
+    // hug -> 1 symbol, pun -> "p un" = 2, hugs -> "hug s" = 2
+    assert(enc.getAs[Long]("n_words") == 3L)
+    assert(enc.getAs[Long]("n_symbols") == 5L)
+    assert(enc.getAs[Double]("fertility") == 5.0 / 3)
+  }
+
   test("markov stationary: hand-computed mass, absorbing state keeps its own") {
     // a -> b, b -> a (1/2), b -> c (1/2), c absorbing; init = 100
     val trans = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L))
