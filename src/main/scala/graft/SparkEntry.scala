@@ -157,6 +157,20 @@ object SparkEntry {
       Reconcile.valueDiffsMulti(keyed, perturbed, "line_key",
         Seq("l_quantity", "l_extendedprice", "l_discount"), 0.000001)
     }),
+    // C13: the 100 TB compare mode — both sides sample the SAME
+    // key-mod slice before joining (pairs every sampled key; the
+    // predicate pushes into both scans)
+    "q_recon_sampled" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val keyed = li.withColumn("line_key",
+        col("l_orderkey") * 10 + col("l_linenumber"))
+      val perturbed = keyed
+        .withColumn("l_quantity",
+          when(col("l_linenumber") === 1, col("l_quantity") + 1)
+            .otherwise(col("l_quantity")))
+      Reconcile.sampledValueDiffs(keyed, perturbed, "line_key",
+        Seq("l_quantity", "l_extendedprice"), 0.000001, 16)
+    }),
     // skew-salted aggregation (equivalent to direct groupBy agg)
     "q_skew_agg" -> ((s, dir) =>
       graft.operators.Skew.saltedAggregate(Tables.events(s, dir), "event_type", "value", 32)),
@@ -4339,6 +4353,28 @@ object SparkEntry {
     // the streaming state machine grades against the SAME ladder —
     // batch window and keyed-state fold must agree exactly
     "q_stream_counter_deltas" -> counterDeltaSql,
+    // the diffs-multi ladder restricted to the same key-mod slice
+    "q_recon_sampled" ->
+      """WITH l AS (SELECT l_orderkey*10 + l_linenumber AS line_key,
+        |    l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |  WHERE (l_orderkey*10 + l_linenumber) % 16 = 0),
+        |r AS (SELECT line_key,
+        |   CASE WHEN l_linenumber = 1 THEN l_quantity + 1
+        |        ELSE l_quantity END AS l_quantity,
+        |   l_extendedprice
+        |  FROM l),
+        |u AS (
+        |  SELECT l.line_key, 'l_quantity' AS counter,
+        |   l.l_quantity AS val_left, r.l_quantity AS val_right
+        |  FROM l JOIN r ON l.line_key = r.line_key
+        |  UNION ALL
+        |  SELECT l.line_key, 'l_extendedprice', l.l_extendedprice,
+        |   r.l_extendedprice
+        |  FROM l JOIN r ON l.line_key = r.line_key)
+        |SELECT line_key, counter, val_left, val_right,
+        | val_left - val_right AS diff,
+        | CAST(16 AS BIGINT) AS sample_modulus
+        |FROM u WHERE abs(val_left - val_right) > 0.000001""".stripMargin,
     // the q_revenue_by_nation decimal discipline, one output row
     "q_tpch_q6" ->
       """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -258,6 +258,24 @@ object Reconcile {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
 
+  /** Deterministic key-sampled reconciliation — the 100 TB compare
+    * mode: both sides filter to the SAME `key mod modulus == residue`
+    * slice before any join, so the sample predicate pushes into both
+    * scans and the compare touches 1/modulus of each system while
+    * still pairing every sampled key with its counterpart (a random
+    * sample would pair almost nothing). Any keyed compare composes
+    * downstream; this wires the multi-counter diff. The report notes
+    * the sampled universe so a 0-diff result is read as "clean at
+    * 1/modulus coverage", not "clean".
+    */
+  def sampledValueDiffs(left: DataFrame, right: DataFrame, key: String,
+                        counters: Seq[String], tolerance: Double,
+                        modulus: Int, residue: Int = 0): DataFrame = {
+    def sample(df: DataFrame) = df.filter(col(key) % modulus === residue)
+    valueDiffsMulti(sample(left), sample(right), key, counters, tolerance)
+      .withColumn("sample_modulus", lit(modulus.toLong))
+  }
+
   /** Column-statistics drift between two snapshots of a table — the
     * migration/regression gate that catches what a row-count compare
     * cannot (a column silently nulling out, a cardinality collapse, a

@@ -764,6 +764,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("l_orderkey"), "unused columns must prune")
   }
 
+  test("sampled reconcile: the key-mod slice filters before the join") {
+    val p = plan("q_recon_sampled")
+    // both sides must reduce to the sample before joining — the
+    // filter sits under the join, not above it
+    assert("Filter .*%.*16.*= 0".r.findAllIn(p).length >= 2 ||
+      "\\(.*% 16\\) = 0".r.findAllIn(p).length >= 2,
+      s"sample predicate must apply on both sides pre-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
