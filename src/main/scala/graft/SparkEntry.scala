@@ -157,6 +157,15 @@ object SparkEntry {
       Reconcile.valueDiffsMulti(keyed, perturbed, "line_key",
         Seq("l_quantity", "l_extendedprice", "l_discount"), 0.000001)
     }),
+    // C14: rollup-cascade integrity audit — daily-direct must equal
+    // daily-via-5M exactly (the decimal cascade makes it equality,
+    // not tolerance); compare_data pointed at the warehouse itself
+    "q_rollup_audit" -> ((s, dir) =>
+      Reconcile.rollupAudit(Tables.events(s, dir))),
+    // D84: next-word suggestion table (bigram-LM artifact) — top-3
+    // continuations per word with conditional probability
+    "q_next_word" -> ((s, dir) =>
+      TextOps.nextWordTable(Tables.documents(s, dir), 3)),
     // C13: the 100 TB compare mode — both sides sample the SAME
     // key-mod slice before joining (pairs every sampled key; the
     // predicate pushes into both scans)
@@ -4353,6 +4362,53 @@ object SparkEntry {
     // the streaming state machine grades against the SAME ladder —
     // batch window and keyed-state fold must agree exactly
     "q_stream_counter_deltas" -> counterDeltaSql,
+    // both paths replayed with the identical decimal discipline;
+    // FULL OUTER catches buckets one path dropped
+    "q_rollup_audit" ->
+      """WITH f AS (SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS b5,
+        |   event_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |     AS DOUBLE) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT (b5 // 86400) * 86400 AS bucket_start, event_type,
+        |   CAST(SUM(n) AS BIGINT) AS n_cascaded,
+        |   CAST(CAST(SUM(CAST(sv AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |     AS DOUBLE) AS sum_cascaded
+        |  FROM f GROUP BY 1, 2),
+        |d AS (SELECT CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT)
+        |     AS bucket_start, event_type,
+        |   CAST(count(*) AS BIGINT) AS n_direct,
+        |   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |     AS DOUBLE) AS sum_direct
+        |  FROM events GROUP BY 1, 2)
+        |SELECT COALESCE(d.bucket_start, c.bucket_start) AS bucket_start,
+        | COALESCE(d.event_type, c.event_type) AS event_type,
+        | COALESCE(n_direct, 0) AS n_direct,
+        | COALESCE(n_cascaded, 0) AS n_cascaded,
+        | COALESCE(sum_direct, 0.0) AS sum_direct,
+        | COALESCE(sum_cascaded, 0.0) AS sum_cascaded,
+        | COALESCE(n_direct, 0) = COALESCE(n_cascaded, 0)
+        |   AND COALESCE(sum_direct, 0.0) = COALESCE(sum_cascaded, 0.0)
+        |   AS is_match
+        |FROM d FULL OUTER JOIN c
+        |  ON d.bucket_start = c.bucket_start
+        |  AND d.event_type = c.event_type""".stripMargin,
+    // row_number replays the (count desc, w2) heap order; the per-w1
+    // total rides the same partition
+    "q_next_word" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> {'w1': w[i], 'w2': w[i+1]}), recursive := true)
+        |  FROM w WHERE len(w) >= 2) GROUP BY 1, 2),
+        |r AS (SELECT w1, w2, n_pairs,
+        |   row_number() OVER (PARTITION BY w1
+        |     ORDER BY n_pairs DESC, w2) AS rnk,
+        |   SUM(n_pairs) OVER (PARTITION BY w1) AS w1_total
+        |  FROM p)
+        |SELECT w1, CAST(rnk AS BIGINT) AS rnk, w2, n_pairs,
+        | CAST(n_pairs AS DOUBLE) / w1_total AS prob
+        |FROM r WHERE rnk <= 3""".stripMargin,
     // the diffs-multi ladder restricted to the same key-mod slice
     "q_recon_sampled" ->
       """WITH l AS (SELECT l_orderkey*10 + l_linenumber AS line_key,

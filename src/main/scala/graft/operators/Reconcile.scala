@@ -258,6 +258,33 @@ object Reconcile {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
 
+  /** Rollup-cascade integrity audit — the reference's compare_data
+    * spirit pointed at the warehouse's own aggregates: the daily
+    * rollup computed DIRECTLY from raw must equal the daily rollup
+    * re-aggregated from the 5-minute cascade, bucket for bucket.
+    * Because the cascade carries sums through DECIMAL, equality is
+    * exact (not tolerance-based); a full-outer join catches buckets
+    * one path dropped entirely. The continuous-monitoring query a
+    * warehouse runs after every maintenance cycle.
+    */
+  def rollupAudit(events: DataFrame): DataFrame = {
+    val direct = Rollups.perType(events, 86400)
+      .select(col("bucket_start"), col("event_type"),
+        col("n_events").as("n_direct"), col("sum_value").as("sum_direct"))
+    val cascaded = Rollups.coarsen(Rollups.fiveMinute(events), 86400)
+      .select(col("bucket_start"), col("event_type"),
+        col("n_events").as("n_cascaded"), col("sum_value").as("sum_cascaded"))
+    direct.join(cascaded, Seq("bucket_start", "event_type"), "full_outer")
+      .select(col("bucket_start"), col("event_type"),
+        coalesce(col("n_direct"), lit(0L)).as("n_direct"),
+        coalesce(col("n_cascaded"), lit(0L)).as("n_cascaded"),
+        coalesce(col("sum_direct"), lit(0.0)).as("sum_direct"),
+        coalesce(col("sum_cascaded"), lit(0.0)).as("sum_cascaded"))
+      .withColumn("is_match",
+        col("n_direct") === col("n_cascaded") &&
+          col("sum_direct") === col("sum_cascaded"))
+  }
+
   /** Deterministic key-sampled reconciliation — the 100 TB compare
     * mode: both sides filter to the SAME `key mod modulus == residue`
     * slice before any join, so the sample predicate pushes into both

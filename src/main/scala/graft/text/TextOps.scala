@@ -492,6 +492,36 @@ object TextOps {
         col("n_symbols").cast("double") / col("n_words"))
   }
 
+  /** Next-word suggestion table: top-k continuations per word with
+    * conditional probability — the autocomplete / bigram-LM artifact.
+    * The feed collapses to the (w1, w2) count table first (map-side
+    * combined, vocab²-bounded), then the per-w1 total and the
+    * deterministic (count desc, w2 asc) rank share one
+    * vocabulary-sized window sort; prob is one division.
+    */
+  def nextWordTable(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(col("text"), " ")
+    val pairs = docs
+      .select(explode(
+        when(size(words) >= 2,
+          transform(sequence(lit(1), size(words) - 1), i =>
+            struct(element_at(words, i).as("w1"),
+              element_at(words, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy(col("w1"))
+    val ord = w.orderBy(col("n_pairs").desc, col("w2"))
+    pairs
+      .withColumn("rnk", row_number().over(ord))
+      .withColumn("w1_total", sum(col("n_pairs")).over(w))
+      .filter(col("rnk") <= k)
+      .select(col("w1"), col("rnk").cast("long").as("rnk"), col("w2"),
+        col("n_pairs"),
+        (col("n_pairs").cast("double") / col("w1_total")).as("prob"))
+  }
+
   /** Repetition / boilerplate quality metrics (the Gopher-rule
     * family): duplicate-word fraction, duplicate-bigram fraction, and
     * symbol-to-word ratio, plus the keep verdict a filtering pass

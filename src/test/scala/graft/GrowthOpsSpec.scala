@@ -360,6 +360,33 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(Analytics.intervalCoverage(emptyOrders, emptyLi).count() == 0)
   }
 
+  test("rollup audit: direct and cascaded daily rollups agree exactly") {
+    val ev = Seq(
+      ("a", "2024-01-01 00:02:00", 1.25), ("a", "2024-01-01 13:07:00", 2.50),
+      ("a", "2024-01-02 08:00:00", 0.75), ("b", "2024-01-01 23:59:00", 9.99))
+      .toDF("event_type", "tss", "value")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = graft.operators.Reconcile.rollupAudit(ev).collect()
+    assert(out.length == 3) // (a, 2 days) + (b, 1 day)
+    assert(out.forall(_.getAs[Boolean]("is_match")),
+      "decimal cascade must re-aggregate exactly")
+    val a1 = out.find(r => r.getString(1) == "a" &&
+      r.getLong(0) == 1704067200L).get
+    assert(a1.getAs[Long]("n_direct") == 2L)
+    assert(a1.getAs[Double]("sum_direct") == 3.75)
+  }
+
+  test("next word: deterministic top-k continuations with probabilities") {
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = TextOps.nextWordTable(docs, 2).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rnk")) ->
+        (r.getString(2), r.getAs[Long]("n_pairs"), r.getAs[Double]("prob")))
+      .toMap
+    assert(out(("a", 1L)) == ("b", 2L, 2.0 / 3))
+    assert(out(("a", 2L)) == ("c", 1L, 1.0 / 3))
+    assert(out(("b", 1L)) == ("a", 2L, 1.0))
+  }
+
   test("bpe train: the classic hand example, greedy left-to-right merges") {
     // word frequencies: hug x10, pug x5, pun x12, bun x4, hugs x5
     val text = (Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
