@@ -166,6 +166,25 @@ object SparkEntry {
     // continuations per word with conditional probability
     "q_next_word" -> ((s, dir) =>
       TextOps.nextWordTable(Tables.documents(s, dir), 3)),
+    // D85: k-anonymity risk over (lang, source, length-bucket)
+    // quasi-identifiers — the dataset-release governance gate
+    "q_k_anonymity" -> ((s, dir) =>
+      Analytics.kAnonymityReport(
+        Tables.documents(s, dir)
+          .withColumn("len_bucket", expr("n_chars div 100")),
+        Seq("lang", "source", "len_bucket"), 5L)),
+    // D86: PII surface report — same class regexes as the redactor;
+    // PII injected deterministically so the counters have positives
+    "q_pii_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" contact bob@example.com")))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" from 10.1.2.3")))
+          .otherwise(col("text")).as("text"))
+      TextOps.piiReport(docs)
+    }),
     // C13: the 100 TB compare mode — both sides sample the SAME
     // key-mod slice before joining (pairs every sampled key; the
     // predicate pushes into both scans)
@@ -4409,6 +4428,47 @@ object SparkEntry {
         |SELECT w1, CAST(rnk AS BIGINT) AS rnk, w2, n_pairs,
         | CAST(n_pairs AS DOUBLE) / w1_total AS prob
         |FROM r WHERE rnk <= 3""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, n_chars // 100 AS len_bucket,
+        |    CAST(count(*) AS BIGINT) AS gn
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT CAST(5 AS BIGINT) AS k,
+        | CAST(SUM(gn) AS BIGINT) AS n_rows,
+        | CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(SUM(CASE WHEN gn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_singletons,
+        | CAST(SUM(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS BIGINT)
+        |   AS n_rows_below_k,
+        | CAST(MIN(gn) AS BIGINT) AS min_group,
+        | CAST(SUM(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS DOUBLE)
+        |   / SUM(gn) AS at_risk_rate
+        |FROM g""".stripMargin,
+    // the redactor's class regexes replayed in RE2 over the same
+    // injected corpus
+    "q_pii_report" ->
+      """WITH d AS (SELECT source,
+        |   CASE WHEN doc_id % 11 = 0 THEN text || ' contact bob@example.com'
+        |        WHEN doc_id % 13 = 0 THEN text || ' from 10.1.2.3'
+        |        ELSE text END AS text
+        |  FROM documents),
+        |m AS (SELECT source,
+        |   CAST(len(regexp_extract_all(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |     AS n_email,
+        |   CAST(len(regexp_extract_all(text,
+        |     '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip,
+        |   CAST(len(regexp_extract_all(text,
+        |     '\+?\d[\d() -]{6,}\d')) AS BIGINT) AS n_num
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(CASE WHEN n_email + n_ip + n_num > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_flagged,
+        | CAST(SUM(n_email) AS BIGINT) AS emails,
+        | CAST(SUM(n_ip) AS BIGINT) AS ips,
+        | CAST(SUM(n_num) AS BIGINT) AS numbers,
+        | CAST(SUM(CASE WHEN n_email + n_ip + n_num > 0 THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*) AS flagged_rate
+        |FROM m GROUP BY 1""".stripMargin,
     // the diffs-multi ladder restricted to the same key-mod slice
     "q_recon_sampled" ->
       """WITH l AS (SELECT l_orderkey*10 + l_linenumber AS line_key,

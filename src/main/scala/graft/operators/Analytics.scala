@@ -489,6 +489,32 @@ object Analytics {
           100.0).as("slope"))
   }
 
+  /** K-anonymity risk report over a quasi-identifier combination:
+    * group sizes of the quasi-id tuple, and what fraction of rows
+    * sit in groups smaller than `k` (re-identifiable under the
+    * standard model). One map-side-combined pass to the
+    * combination-bounded group table, then a second tiny rollup to
+    * ONE report row — the governance gate a dataset release runs.
+    * All counts BIGINT; the two rates are single divisions.
+    */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+                       k: Long): DataFrame = {
+    val groups = df
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("gn"))
+    groups
+      .agg(
+        sum(col("gn")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("gn") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("gn") < k, col("gn")).otherwise(0L)).as("n_rows_below_k"),
+        min(col("gn")).as("min_group"))
+      .select(lit(k).as("k"), col("n_rows"), col("n_groups"),
+        col("n_singletons"), col("n_rows_below_k"), col("min_group"),
+        (col("n_rows_below_k").cast("double") / col("n_rows"))
+          .as("at_risk_rate"))
+  }
+
   /** Interval-union coverage per customer (gaps-and-islands with a
     * carry-max): each order spans [orderdate, last shipdate]; the
     * report is the union length of those possibly-overlapping spans —

@@ -297,13 +297,43 @@ object TextOps {
     docs.select(col("doc_id"), redactText(col("text")).as("text"))
 
   /** The redaction chain as a column expression, for composition. */
+  /** One definition per PII class, shared by the redactor and the
+    * surface report so the two can never disagree about what counts.
+    */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRx = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val NumRx = "\\+?\\d[\\d() -]{6,}\\d"
+
   def redactText(text: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(text,
-          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-        "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"),
-      "\\+?\\d[\\d() -]{6,}\\d", "<NUM>")
+        regexp_replace(text, EmailRx, "<EMAIL>"),
+        IpRx, "<IP>"),
+      NumRx, "<NUM>")
+
+  /** PII surface report per source: how much would the redactor
+    * touch, per class — the measurement a governance review reads
+    * BEFORE deciding redaction policy (D15 scrubs; this counts).
+    * The same three class regexes as [[redactText]] (shared
+    * constants — the report and the scrub cannot drift), counted as
+    * codegen'd scan projections into one map-side-combined rollup;
+    * rates are single divisions.
+    */
+  def piiReport(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        regexp_count(col("text"), lit(EmailRx)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(IpRx)).cast("long").as("n_ip"),
+        regexp_count(col("text"), lit(NumRx)).cast("long").as("n_num"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_ip") + col("n_num") > 0, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        sum(col("n_email")).as("emails"),
+        sum(col("n_ip")).as("ips"),
+        sum(col("n_num")).as("numbers"))
+      .withColumn("flagged_rate",
+        col("n_flagged").cast("double") / col("n_docs"))
 
   /** Deterministic document fingerprint: a rolling polynomial hash
     * mod p = 2^31-1 over per-word rolling character hashes. Two

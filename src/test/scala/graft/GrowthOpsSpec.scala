@@ -360,6 +360,42 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(Analytics.intervalCoverage(emptyOrders, emptyLi).count() == 0)
   }
 
+  test("k-anonymity: singles and small groups price the risk") {
+    // groups: (en,a) x3, (en,b) x1, (de,a) x1 — with k=3 the two
+    // singletons are below k: 2 of 5 rows at risk
+    val df = Seq(("en", "a"), ("en", "a"), ("en", "a"), ("en", "b"),
+      ("de", "a")).toDF("lang", "source")
+    val r = Analytics.kAnonymityReport(df, Seq("lang", "source"), 3L)
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 5L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_singletons") == 2L)
+    assert(r.getAs[Long]("n_rows_below_k") == 2L)
+    assert(r.getAs[Long]("min_group") == 1L)
+    assert(r.getAs[Double]("at_risk_rate") == 0.4)
+  }
+
+  test("pii report counts exactly what the redactor would touch") {
+    val docs = Seq(
+      (1L, "mail me at a.b@x.co and c@y.org", "s"),
+      (2L, "server 10.0.0.1 and phone +1 (555) 123-4567", "s"),
+      (3L, "nothing sensitive here", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = TextOps.piiReport(docs).collect().head
+    assert(r.getAs[Long]("emails") == 2L)
+    assert(r.getAs[Long]("ips") == 1L)
+    assert(r.getAs[Long]("numbers") == 1L)
+    assert(r.getAs[Long]("n_flagged") == 2L)
+    // the redactor scrubs every counted span — report/scrub parity
+    val scrubbed = docs.select(TextOps.redactText(col("text")).as("t"))
+      .collect().map(_.getString(0))
+    assert(TextOps.piiReport(
+      docs.select(col("doc_id"), col("source"),
+        TextOps.redactText(col("text")).as("text")))
+      .collect().head.getAs[Long]("n_flagged") == 0L)
+    assert(scrubbed.exists(_.contains("<EMAIL>")))
+  }
+
   test("rollup audit: direct and cascaded daily rollups agree exactly") {
     val ev = Seq(
       ("a", "2024-01-01 00:02:00", 1.25), ("a", "2024-01-01 13:07:00", 2.50),
