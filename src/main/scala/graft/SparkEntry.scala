@@ -166,6 +166,13 @@ object SparkEntry {
     // continuations per word with conditional probability
     "q_next_word" -> ((s, dir) =>
       TextOps.nextWordTable(Tables.documents(s, dir), 3)),
+    // E65: HyperBall 2-hop neighborhood sizes over the directed
+    // trading graph (rows-only by design: HLL registers have no SQL
+    // replay; the accuracy envelope is spec-pinned vs exact BFS)
+    "q_neighborhood" -> ((s, dir) =>
+      Graph.neighborhoodSize(
+        Graph.tradingEdgesDirected(
+          Tables.lineitem(s, dir), Tables.orders(s, dir)), 2)),
     // D85: k-anonymity risk over (lang, source, length-bucket)
     // quasi-identifiers — the dataset-release governance gate
     "q_k_anonymity" -> ((s, dir) =>

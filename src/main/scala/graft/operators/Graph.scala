@@ -395,6 +395,46 @@ object Graph {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** HyperBall neighborhood function (Boldi–Vigna 2013): per-node
+    * estimates of how many nodes are reachable within `rounds` hops,
+    * via mergeable HLL registers — the ONLY way the neighborhood
+    * function is computable at 100 TB graph scale (exact per-node
+    * reach sets are quadratic in the worst case; sketches make each
+    * round a union of fixed-size registers). Round r: every node
+    * merges its own sketch with its out-neighbors' round-(r−1)
+    * sketches — one narrow shuffle of (node, 2^p bytes) rows against
+    * the once-partitioned edge list, exactly pageRank's data motion
+    * with registers in place of ranks. Deterministic by construction
+    * (fixed hash, max-merge), so estimates are bit-reproducible;
+    * accuracy is the standard HLL envelope, spec-pinned against
+    * exact BFS reach on a known graph.
+    */
+  def neighborhoodSize(edges: DataFrame, rounds: Int, p: Int = 12): DataFrame = {
+    require(rounds >= 1, "at least one expansion round")
+    import graft.functions.HllFunctions._
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(width, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var sk = nodes.groupBy(col("node"))
+      .agg(hllSketch(col("node"), p).as("sk"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val contrib = e.join(sk.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("sk"))
+      sk = sk.unionByName(contrib)
+        .groupBy(col("node"))
+        .agg(hllMerge(col("sk")).as("sk"))
+        .localCheckpoint()
+    }
+    e.unpersist(); nodes.unpersist()
+    sk.select(col("node"), hllEstimate(col("sk")).as("reach_est"))
+  }
+
   /** Fixed-round Markov stationary mass over a transition-count table
     * `(prev_type, event_type, n_transitions)` — where does user
     * activity settle if the observed transition frequencies keep

@@ -360,6 +360,26 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(Analytics.intervalCoverage(emptyOrders, emptyLi).count() == 0)
   }
 
+  test("hyperball: sketch reach tracks exact BFS reach within the " +
+    "small-set envelope, monotone in rounds") {
+    // path a -> b -> c -> d plus a -> c shortcut
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+      .toDF("src", "dst")
+    def reach(rounds: Int) = Graph.neighborhoodSize(edges, rounds)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r1 = reach(1); val r2 = reach(2)
+    // exact 1-hop (incl. self): a:3 {a,b,c}, b:2, c:2, d:1
+    // exact 2-hop: a:4 {a,b,c,d}, b:3, c:2, d:1
+    val exact1 = Map("a" -> 3.0, "b" -> 2.0, "c" -> 2.0, "d" -> 1.0)
+    val exact2 = Map("a" -> 4.0, "b" -> 3.0, "c" -> 2.0, "d" -> 1.0)
+    for ((n, x) <- exact1) assert(math.abs(r1(n) - x) < 0.05, s"r1 $n")
+    for ((n, x) <- exact2) assert(math.abs(r2(n) - x) < 0.05, s"r2 $n")
+    // reach never shrinks as rounds grow (register max-merge)
+    for (n <- r1.keys) assert(r2(n) >= r1(n) - 1e-9)
+    // bit-reproducible
+    assert(reach(2) == r2)
+  }
+
   test("k-anonymity: singles and small groups price the risk") {
     // groups: (en,a) x3, (en,b) x1, (de,a) x1 — with k=3 the two
     // singletons are below k: 2 of 5 rows at risk
