@@ -665,16 +665,17 @@ object Dedup {
     */
   def tfCosinePairs(docs: DataFrame, threshold: Double,
                     dfCap: Int, n: Int = 1): DataFrame = {
-    val words = split(col("text"), " ")
     // n >= 2 counts word n-grams — on corpora whose unigram df is
     // uniformly hot (every word everywhere), grams restore the
-    // df spread the cap needs to discriminate
+    // df spread the cap needs to discriminate. The split binds once
+    // (HOF lambdas have no CSE; unbound it re-splits per gram).
     val termsCol =
-      if (n == 1) words
-      else when(size(words) >= n,
-        transform(sequence(lit(1), size(words) - (n - 1)),
-          i => concat_ws(" ", slice(words, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+      if (n == 1) split(col("text"), " ")
+      else element_at(transform(array(split(col("text"), " ")), w =>
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", slice(w, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))), 1)
     val tf = docs
       .select(col("doc_id"), explode(termsCol).as("term"))
       .groupBy(col("doc_id"), col("term"))

@@ -457,14 +457,15 @@ object TextOps {
     var r = 0
     var done = false
     while (r < nMerges && !done) {
-      val syms = split(col("s"), " ")
+      // bound split (no per-element re-split; see nextWordTable)
+      val pairsArr = element_at(transform(array(split(col("s"), " ")), sy =>
+        when(size(sy) >= 2,
+          transform(sequence(lit(1), size(sy) - 1), i =>
+            struct(element_at(sy, i).as("a"),
+              element_at(sy, i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))), 1)
       val pairs = vocab
-        .select(col("n"), explode(
-          when(size(syms) >= 2,
-            transform(sequence(lit(1), size(syms) - 1), i =>
-              struct(element_at(syms, i).as("a"),
-                element_at(syms, i + 1).as("b"))))
-            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+        .select(col("n"), explode(pairsArr).as("p"))
         .groupBy(col("p.a"), col("p.b"))
         .agg(sum(col("n")).as("freq"))
         .orderBy(col("freq").desc, col("a"), col("b"))
@@ -531,14 +532,17 @@ object TextOps {
     */
   def nextWordTable(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = split(col("text"), " ")
+    // bind the split ONCE — HOF lambdas have no runtime CSE, so an
+    // unbound `words` would re-split the text per element access
+    // (O(len²) per doc; 9× at the 10× soak before this bind)
+    val pairsArr = element_at(transform(array(split(col("text"), " ")), w =>
+      when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1), i =>
+          struct(element_at(w, i).as("w1"),
+            element_at(w, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))), 1)
     val pairs = docs
-      .select(explode(
-        when(size(words) >= 2,
-          transform(sequence(lit(1), size(words) - 1), i =>
-            struct(element_at(words, i).as("w1"),
-              element_at(words, i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(explode(pairsArr).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n_pairs"))
     val w = Window.partitionBy(col("w1"))
