@@ -166,6 +166,21 @@ object SparkEntry {
     // continuations per word with conditional probability
     "q_next_word" -> ((s, dir) =>
       TextOps.nextWordTable(Tables.documents(s, dir), 3)),
+    // E66: interval-overlap pairs — concurrent same-nation order
+    // spans via the grid-cell equi-join (no inequality nested loop)
+    "q_interval_overlap" -> ((s, dir) => {
+      val spans = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("e"))
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("key"), col("o_orderkey").as("id"),
+          to_date(col("o_orderdate")).as("s"), col("e"))
+      Analytics.intervalOverlapPairs(spans, 30)
+    }),
     // E65: HyperBall 2-hop neighborhood sizes over the directed
     // trading graph (rows-only by design: HLL registers have no SQL
     // replay; the accuracy envelope is spec-pinned vs exact BFS)
@@ -4435,6 +4450,25 @@ object SparkEntry {
         |SELECT w1, CAST(rnk AS BIGINT) AS rnk, w2, n_pairs,
         | CAST(n_pairs AS DOUBLE) / w1_total AS prob
         |FROM r WHERE rnk <= 3""".stripMargin,
+    // the plain inequality join the grid plan must agree with
+    "q_interval_overlap" ->
+      """WITH li AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS e
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (SELECT n_name AS key, o_orderkey AS id,
+        |   CAST(o_orderdate AS DATE) AS s, e
+        |  FROM orders
+        |  JOIN li ON li.l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |p AS (SELECT a.key, a.id AS a_id, b.id AS b_id,
+        |   date_diff('day', GREATEST(a.s, b.s), LEAST(a.e, b.e)) + 1
+        |     AS overlap_days
+        |  FROM iv a JOIN iv b
+        |    ON a.key = b.key AND a.id < b.id
+        |   AND a.s <= b.e AND b.s <= a.e)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(SUM(overlap_days) AS BIGINT) AS total_overlap_days
+        |FROM p GROUP BY 1""".stripMargin,
     "q_k_anonymity" ->
       """WITH g AS (SELECT lang, source, n_chars // 100 AS len_bucket,
         |    CAST(count(*) AS BIGINT) AS gn

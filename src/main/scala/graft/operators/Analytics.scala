@@ -515,6 +515,42 @@ object Analytics {
           .as("at_risk_rate"))
   }
 
+  /** Interval-overlap pair mining between intervals sharing a key —
+    * the large×large interval JOIN (E15's range join binds a point
+    * to an interval; this binds intervals to intervals), planned the
+    * scalable way: each interval explodes to its covered
+    * `bucketDays`-wide grid cells (fan-out = span/bucketDays, the
+    * knob), candidates equi-join on (key, cell) — never an
+    * inequality nested loop — then exact overlap filters and a
+    * distinct collapses multi-cell duplicates BEFORE measuring.
+    * Integer day arithmetic throughout. Input `iv`: (key, id, s, e)
+    * with s <= e; output per key: overlapping pair count and total
+    * overlap days.
+    */
+  def intervalOverlapPairs(iv: DataFrame, bucketDays: Int): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val cells = iv.select(col("key"), col("id"), col("s"), col("e"),
+      explode(sequence(
+        floor(datediff(col("s"), epoch) / bucketDays).cast("long"),
+        floor(datediff(col("e"), epoch) / bucketDays).cast("long"))).as("cell"))
+    val l = cells.select(col("key"), col("cell"), col("id").as("a_id"),
+      col("s").as("a_s"), col("e").as("a_e"))
+    val r = cells.select(col("key"), col("cell"), col("id").as("b_id"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    l.join(r, Seq("key", "cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("key"), col("a_id"), col("b_id"),
+        col("a_s"), col("a_e"), col("b_s"), col("b_e"))
+      .distinct()
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .withColumn("overlap_days",
+        datediff(least(col("a_e"), col("b_e")),
+          greatest(col("a_s"), col("b_s"))) + 1)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("overlap_days").cast("long")).as("total_overlap_days"))
+  }
+
   /** Interval-union coverage per customer (gaps-and-islands with a
     * carry-max): each order spans [orderdate, last shipdate]; the
     * report is the union length of those possibly-overlapping spans —

@@ -380,6 +380,23 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(reach(2) == r2)
   }
 
+  test("interval overlap: grid cells dedup, exact overlap days, " +
+    "keys isolate") {
+    def d(x: String) = java.sql.Date.valueOf(x)
+    val iv = Seq(
+      ("k", 1L, d("2024-01-01"), d("2024-01-10")),
+      ("k", 2L, d("2024-01-05"), d("2024-01-20")),  // overlaps 1 by 6d
+      ("k", 3L, d("2024-02-01"), d("2024-02-02")),  // disjoint
+      ("j", 4L, d("2024-01-01"), d("2024-01-10")))  // other key
+      .toDF("key", "id", "s", "e")
+    // bucketDays = 2: the pair (1,2) shares several grid cells — the
+    // distinct must collapse them to ONE measured pair
+    val out = Analytics.intervalOverlapPairs(iv, 2).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("total_overlap_days"))).toMap
+    assert(out == Map("k" -> (1L, 6L)))
+  }
+
   test("k-anonymity: singles and small groups price the risk") {
     // groups: (en,a) x3, (en,b) x1, (de,a) x1 — with k=3 the two
     // singletons are below k: 2 of 5 rows at risk
