@@ -166,6 +166,38 @@ object SparkEntry {
     // continuations per word with conditional probability
     "q_next_word" -> ((s, dir) =>
       TextOps.nextWordTable(Tables.documents(s, dir), 3)),
+    // C9b: CDC apply — latest change per key wins; U overridden by a
+    // later U, D beats earlier U, I lands new keys (all mod-derived)
+    "q_cdc_apply" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      def ch(cond: org.apache.spark.sql.Column, op: String, seq: Int,
+             st: org.apache.spark.sql.Column,
+             keyExpr: org.apache.spark.sql.Column) =
+        base.filter(cond).select(keyExpr.as("k"), st.as("status"),
+          col("cents"), lit(op).as("op"), lit(seq).as("change_seq"))
+      val changes =
+        ch(col("k") % 7 === 0, "U", 1, lit("U1"), col("k"))
+          .unionByName(ch(col("k") % 21 === 0, "U", 2, lit("U2"), col("k")))
+          .unionByName(ch(col("k") % 11 === 0, "D", 3, col("status"), col("k")))
+          .unionByName(ch(col("k") % 13 === 0, "I", 1, lit("N"),
+            col("k") + 5000000L))
+      Maintenance.applyCdc(base, changes, "k", Seq("change_seq"))
+    }),
+    // B34: reverse referential check — dimension rows no fact uses
+    // (facts restricted to the big-ticket slice so the check has
+    // positives at every SF — the "active subset" a migration loads)
+    "q_unused_dims" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_totalprice") > 200000.0)
+            .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_unused_customers"))),
     // E66: interval-overlap pairs — concurrent same-nation order
     // spans via the grid-cell equi-join (no inequality nested loop)
     "q_interval_overlap" -> ((s, dir) => {
@@ -4450,6 +4482,34 @@ object SparkEntry {
         |SELECT w1, CAST(rnk AS BIGINT) AS rnk, w2, n_pairs,
         | CAST(n_pairs AS DOUBLE) / w1_total AS prob
         |FROM r WHERE rnk <= 3""".stripMargin,
+    // the same change ladder + row_number latest-wins in SQL
+    "q_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |ch AS (
+        |  SELECT k, 'U1' AS status, cents, 'U' AS op, 1 AS change_seq
+        |  FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, 'U2', cents, 'U', 2 FROM base WHERE k % 21 = 0
+        |  UNION ALL
+        |  SELECT k, status, cents, 'D', 3 FROM base WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT k + 5000000, 'N', cents, 'I', 1 FROM base WHERE k % 13 = 0),
+        |latest AS (SELECT * FROM (SELECT ch.*,
+        |   row_number() OVER (PARTITION BY k ORDER BY change_seq DESC) AS rn
+        |  FROM ch) WHERE rn = 1)
+        |SELECT b.k, b.status, b.cents FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.k = b.k)
+        |UNION ALL
+        |SELECT k, status, cents FROM latest WHERE op <> 'D'""".stripMargin,
+    "q_unused_dims" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_unused_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        |GROUP BY 1""".stripMargin,
     // the plain inequality join the grid plan must agree with
     "q_interval_overlap" ->
       """WITH li AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS e

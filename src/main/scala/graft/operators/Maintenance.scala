@@ -57,6 +57,31 @@ object Maintenance {
       .join(incoming.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
       .unionByName(incoming)
 
+  /** CDC apply — C9's upsert completed with DELETE markers and
+    * change ordering (the shape every log-based replication feed
+    * delivers): `changes` carries the base's payload columns plus an
+    * `op` ∈ I/U/D and ordering columns; per key the LATEST change
+    * wins (one window over the changes table only — the base never
+    * sorts), a winning D removes the key, a winning I/U replaces its
+    * row, untouched base keys pass through an anti-join (AQE
+    * broadcasts small change batches). Output is exactly the base
+    * schema — apply is idempotent for a fixed change set.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, key: String,
+               ordCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key))
+      .orderBy(ordCols.map(c => col(c).desc): _*)
+    val latest = changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    base
+      .join(changes.select(col(key)).distinct(), Seq(key), "left_anti")
+      .unionByName(
+        latest.filter(col("op") =!= "D")
+          .select(base.columns.map(col): _*))
+  }
+
   /** Physical idempotent reload: write `incoming` into a
     * `partitionCol`-partitioned parquet table with dynamic partition
     * overwrite — only the partitions present in `incoming` are

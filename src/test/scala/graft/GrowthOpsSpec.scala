@@ -397,6 +397,24 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(out == Map("k" -> (1L, 6L)))
   }
 
+  test("cdc apply: latest wins, deletes remove, inserts land, " +
+    "untouched keys pass through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "u1", "U", 1), (1L, "u2", "U", 2),  // later U wins
+      (2L, "x", "U", 1), (2L, "x", "D", 2),    // D beats earlier U
+      (9L, "new", "I", 1))                      // insert
+      .toDF("k", "v", "op", "change_seq")
+    val out = graft.operators.Maintenance.applyCdc(base, changes, "k",
+      Seq("change_seq")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "u2", 3L -> "c", 9L -> "new"))
+    // idempotent for a fixed change set
+    val again = graft.operators.Maintenance.applyCdc(base, changes, "k",
+      Seq("change_seq")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
   test("k-anonymity: singles and small groups price the risk") {
     // groups: (en,a) x3, (en,b) x1, (de,a) x1 — with k=3 the two
     // singletons are below k: 2 of 5 rows at risk
