@@ -191,13 +191,26 @@ object SparkEntry {
     "q_unused_dims" -> ((s, dir) =>
       Tables.customer(s, dir)
         .join(Tables.orders(s, dir)
-            .filter(col("o_totalprice") > 200000.0)
+            .filter(col("o_totalprice") > 300000.0)
             .select(col("o_custkey")).distinct(),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .join(broadcast(Tables.nation(s, dir)),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_unused_customers"))),
+    // E67: Herfindahl supplier concentration per nation (by line
+    // count — counts keep the squared sums in BIGINT at any SF)
+    "q_hhi" -> ((s, dir) =>
+      Analytics.hhiConcentration(
+        Tables.lineitem(s, dir)
+          .join(Tables.supplier(s, dir),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey")),
+        "n_name", "s_suppkey")),
+    // E68: retention half-life per cohort day (-1 = never halves)
+    "q_retention_halflife" -> ((s, dir) =>
+      Analytics.retentionHalfLife(Tables.events(s, dir))),
     // E66: interval-overlap pairs — concurrent same-nation order
     // spans via the grid-cell equi-join (no inequality nested loop)
     "q_interval_overlap" -> ((s, dir) => {
@@ -4508,8 +4521,34 @@ object SparkEntry {
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    "q_hhi" ->
+      """WITH m AS (SELECT n_name, s_suppkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_members,
+        | CAST(SUM(n) AS BIGINT) AS n_total,
+        | CAST(SUM(n * n) AS DOUBLE)
+        |   / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS hhi
+        |FROM m GROUP BY 1""".stripMargin,
+    "q_retention_halflife" ->
+      """WITH r AS (SELECT cohort_day,
+        |   date_diff('day', cohort_day, day) AS day_offset,
+        |   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM (SELECT user_id, CAST(ts AS DATE) AS day,
+        |     MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+        |    FROM events) GROUP BY 1, 2),
+        |b AS (SELECT cohort_day, n_users AS cohort_size FROM r
+        |  WHERE day_offset = 0)
+        |SELECT r.cohort_day,
+        | CAST(MIN(b.cohort_size) AS BIGINT) AS cohort_size,
+        | CAST(COALESCE(MIN(CASE WHEN r.day_offset > 0
+        |     AND r.n_users * 2 <= b.cohort_size
+        |   THEN r.day_offset END), -1) AS BIGINT) AS halflife_days
+        |FROM r JOIN b USING (cohort_day) GROUP BY 1""".stripMargin,
     // the plain inequality join the grid plan must agree with
     "q_interval_overlap" ->
       """WITH li AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS e

@@ -515,6 +515,46 @@ object Analytics {
           .as("at_risk_rate"))
   }
 
+  /** Herfindahl–Hirschman market concentration per group: Σ share²
+    * of each member's activity — the antitrust-style concentration
+    * index (1/n for perfectly even, 1.0 for a monopoly). Shares stay
+    * rational until the end: Σ n_i² and N are BIGINT sums (one
+    * map-side pass to the member dimension), hhi is the single
+    * division Σn²/N² — so the index is bit-deterministic.
+    */
+  def hhiConcentration(df: DataFrame, groupCol: String,
+                       memberCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(memberCol))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n")).as("n_total"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(col(groupCol), col("n_members"), col("n_total"),
+        (col("sum_sq").cast("double") /
+          (col("n_total").cast("double") * col("n_total").cast("double")))
+          .as("hhi"))
+
+  /** Cohort retention half-life: the first day offset at which a
+    * cohort's active-user count drops to half its day-0 size (or -1
+    * if it never does inside the observed window) — the single
+    * number a retention curve is usually summarized to. Integer
+    * cross-multiplied compare (2·n ≤ base), earliest offset wins;
+    * consumes the dimension-sized cohortRetention table.
+    */
+  def retentionHalfLife(events: DataFrame): DataFrame = {
+    val ret = cohortRetention(events)
+    val base = ret.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    ret.join(broadcast(base), "cohort_day")
+      .groupBy(col("cohort_day"))
+      .agg(min(col("cohort_size")).as("cohort_size"),
+        coalesce(
+          min(when(col("day_offset") > 0 &&
+            col("n_users") * 2 <= col("cohort_size"), col("day_offset"))),
+          lit(-1L)).as("halflife_days"))
+  }
+
   /** Interval-overlap pair mining between intervals sharing a key —
     * the large×large interval JOIN (E15's range join binds a point
     * to an interval; this binds intervals to intervals), planned the

@@ -415,6 +415,31 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("hhi: even split vs monopoly, exact rational shares") {
+    val df = Seq(("g1", "a"), ("g1", "b"), ("g1", "c"), ("g1", "d"),
+      ("g2", "x"), ("g2", "x"), ("g2", "x")).toDF("grp", "m")
+    val out = Analytics.hhiConcentration(df, "grp", "m").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("hhi")).toMap
+    assert(out("g1") == 0.25) // 4 even members -> 1/4
+    assert(out("g2") == 1.0)  // monopoly
+  }
+
+  test("retention half-life: first halving offset, -1 when it never halves") {
+    // cohort Jan-1: 4 users day0; day1 3 (not half), day2 2 (half)
+    // cohort Jan-5: 1 user who stays every day -> never halves
+    val ev = (Seq(1L, 2L, 3L, 4L).map(u => (u, "2024-01-01")) ++
+      Seq(1L, 2L, 3L).map(u => (u, "2024-01-02")) ++
+      Seq(1L, 2L).map(u => (u, "2024-01-03")) ++
+      Seq((9L, "2024-01-05"), (9L, "2024-01-06")))
+      .toDF("user_id", "d")
+      .withColumn("ts", col("d").cast("timestamp")).drop("d")
+    val out = Analytics.retentionHalfLife(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("cohort_day").toString ->
+        (r.getAs[Long]("cohort_size"), r.getAs[Long]("halflife_days"))).toMap
+    assert(out("2024-01-01") == (4L, 2L))
+    assert(out("2024-01-05") == (1L, -1L))
+  }
+
   test("k-anonymity: singles and small groups price the risk") {
     // groups: (en,a) x3, (en,b) x1, (de,a) x1 — with k=3 the two
     // singletons are below k: 2 of 5 rows at risk
