@@ -223,8 +223,14 @@ object SparkEntry {
         .join(broadcast(Tables.nation(s, dir)),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name").as("key"), col("o_orderkey").as("id"),
-          to_date(col("o_orderdate")).as("s"), col("e"))
-      Analytics.intervalOverlapPairs(spans, 30)
+          to_date(col("o_orderdate")).as("s"),
+          // the feed contains inverted spans (last ship before order
+          // date); clamp to zero-length — the s <= e contract both
+          // overlap forms require
+          greatest(col("e"), to_date(col("o_orderdate"))).as("e"))
+      // the sweep-line aggregate form: same report as the pair miner
+      // without materializing the quadratic pair stream (20× at sf0.1)
+      Analytics.intervalOverlapStats(spans)
     }),
     // E65: HyperBall 2-hop neighborhood sizes over the directed
     // trading graph (rows-only by design: HLL registers have no SQL
@@ -4554,7 +4560,8 @@ object SparkEntry {
       """WITH li AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS e
         |  FROM lineitem GROUP BY 1),
         |iv AS (SELECT n_name AS key, o_orderkey AS id,
-        |   CAST(o_orderdate AS DATE) AS s, e
+        |   CAST(o_orderdate AS DATE) AS s,
+        |   GREATEST(e, CAST(o_orderdate AS DATE)) AS e
         |  FROM orders
         |  JOIN li ON li.l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey

