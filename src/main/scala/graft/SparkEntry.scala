@@ -198,6 +198,32 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_unused_customers"))),
+    // D90: Borda rank-ensemble of three quality signals — rank sums
+    // are outlier-immune where score averages are not
+    "q_rank_ensemble" -> ((s, dir) =>
+      TextOps.bordaEnsemble(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_words"),
+            regexp_count(col("text"),
+              lit("\\b(the|a|an|of|and|in|to|is)\\b")).cast("long")
+              .as("n_stop")),
+        "doc_id",
+        Seq(("chars", col("n_chars"), true),
+          ("words", col("n_words"), true),
+          ("stop", col("n_stop"), false)))
+        .filter(col("final_rank") <= 50)),
+    // E69: two-proportion A/B evaluation — deterministic z statistic
+    // (variant = user parity, success = a big-ticket purchase)
+    "q_ab_test" -> ((s, dir) => {
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 150.0, 1L).otherwise(0L)).as("success"))
+        .select((col("user_id") % 2).cast("int").as("variant"),
+          col("success"))
+      Analytics.abTest(users)
+    }),
     // E67: Herfindahl supplier concentration per nation (by line
     // count — counts keep the squared sums in BIGINT at any SF)
     "q_hhi" -> ((s, dir) =>
@@ -2099,7 +2125,8 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day,
         | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
         | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
-        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1""".stripMargin,
@@ -2669,7 +2696,8 @@ object SparkEntry {
         | max(CAST(ts AS DATE)) AS last_day,
         | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
         | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        | CAST(sum(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
         | CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value,
@@ -4529,6 +4557,57 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    // three row_number windows replay the rank signals; borda sums
+    "q_rank_ensemble" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |   CAST(len(regexp_extract_all(text,
+        |     '\b(the|a|an|of|and|in|to|is)\b')) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |   CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        |     AS BIGINT) AS rank_chars,
+        |   CAST(row_number() OVER (ORDER BY n_words DESC, doc_id)
+        |     AS BIGINT) AS rank_words,
+        |   CAST(row_number() OVER (ORDER BY n_stop ASC, doc_id)
+        |     AS BIGINT) AS rank_stop
+        |  FROM d),
+        |b AS (SELECT *, rank_chars + rank_words + rank_stop AS borda FROM r),
+        |f AS (SELECT *, CAST(row_number() OVER (ORDER BY borda, doc_id)
+        |    AS BIGINT) AS final_rank FROM b)
+        |SELECT doc_id, rank_chars, rank_words, rank_stop, borda, final_rank
+        |FROM f WHERE final_rank <= 50""".stripMargin,
+    // identical operation sequence: each division and the sqrt are
+    // correctly rounded, so z and the verdict replay bit-exactly
+    "q_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |   CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |     THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS success
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT CAST(user_id % 2 AS INT) AS variant,
+        |   CAST(count(*) AS BIGINT) AS n, CAST(SUM(success) AS BIGINT) AS conv
+        |  FROM u GROUP BY 1),
+        |a AS (SELECT n AS n_a, conv AS conv_a FROM g WHERE variant = 0),
+        |b AS (SELECT n AS n_b, conv AS conv_b FROM g WHERE variant = 1)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        | CAST(conv_a AS DOUBLE) / n_a AS p_a,
+        | CAST(conv_b AS DOUBLE) / n_b AS p_b,
+        | CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |   AS p_pool,
+        | (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |   / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+        |       / CAST(n_a + n_b AS DOUBLE))
+        |     * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |       / CAST(n_a + n_b AS DOUBLE))
+        |     * (1.0 / n_a + 1.0 / n_b)) AS z,
+        | abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |   / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+        |       / CAST(n_a + n_b AS DOUBLE))
+        |     * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |       / CAST(n_a + n_b AS DOUBLE))
+        |     * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant_95
+        |FROM a, b""".stripMargin,
     "q_hhi" ->
       """WITH m AS (SELECT n_name, s_suppkey, CAST(count(*) AS BIGINT) AS n
         |  FROM lineitem

@@ -515,6 +515,37 @@ object Analytics {
           .as("at_risk_rate"))
   }
 
+  /** Two-proportion A/B evaluation: conversion rate per variant, the
+    * pooled two-proportion z statistic, and the |z| > 1.96 verdict.
+    * All counts reduce map-side to ONE row per variant; the z
+    * expression is a FIXED sequence of IEEE operations (each
+    * division and the sqrt are correctly rounded), so the statistic
+    * — and therefore the verdict — is bit-deterministic and
+    * oracle-replayable. Variant assignment and the success predicate
+    * are the caller's columns, so any experiment maps on.
+    */
+  def abTest(users: DataFrame): DataFrame = {
+    // users: (variant: int 0/1, success: 1L/0L per user)
+    val agg = users
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("success")).as("conv"))
+    val a = agg.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = agg.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("p_a", col("conv_a").cast("double") / col("n_a"))
+      .withColumn("p_b", col("conv_b").cast("double") / col("n_b"))
+      .withColumn("p_pool",
+        (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z",
+        (col("p_a") - col("p_b")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .withColumn("significant_95", abs(col("z")) > 1.96)
+  }
+
   /** Herfindahl–Hirschman market concentration per group: Σ share²
     * of each member's activity — the antitrust-style concentration
     * index (1/n for perfectly even, 1.0 for a monopoly). Shares stay

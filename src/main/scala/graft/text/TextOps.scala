@@ -523,6 +523,34 @@ object TextOps {
         col("n_symbols").cast("double") / col("n_words"))
   }
 
+  /** Borda rank-ensemble: combine several quality signals into one
+    * robust ordering by SUMMING each document's rank under every
+    * signal — rank aggregation is immune to the scale/outlier
+    * problems of averaging raw scores (a single exploded score
+    * cannot dominate; only orderings matter). Each signal costs one
+    * window rank over the doc dimension with a deterministic id
+    * tie-break; the final order is (borda asc, id asc). `signals`
+    * maps name → (column, descending?).
+    */
+  def bordaEnsemble(df: DataFrame, idCol: String,
+                    signals: Seq[(String, Column, Boolean)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = signals.foldLeft(df) { case (acc, (name, c, desc)) =>
+      val ord = if (desc) Seq(c.desc, col(idCol)) else Seq(c.asc, col(idCol))
+      acc.withColumn(s"rank_$name",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+    }
+    val borda = signals.map(s => col(s"rank_${s._1}"))
+      .reduce(_ + _)
+    ranked
+      .withColumn("borda", borda)
+      .withColumn("final_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("borda"), col(idCol))).cast("long"))
+      .select(col(idCol) +: signals.map(s => col(s"rank_${s._1}")) :+
+        col("borda") :+ col("final_rank"): _*)
+  }
+
   /** Next-word suggestion table: top-k continuations per word with
     * conditional probability — the autocomplete / bigram-LM artifact.
     * The feed collapses to the (w1, w2) count table first (map-side

@@ -427,6 +427,42 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("borda ensemble: rank sums resist the outlier a mean cannot") {
+    // doc 1 wins chars by a huge margin but is last on words; doc 2
+    // is consistently second — rank aggregation puts 2 first, while
+    // a score average would be dragged to 1 by the outlier
+    val df = Seq((1L, 1000000L, 1L), (2L, 90L, 80L), (3L, 100L, 70L))
+      .toDF("doc_id", "chars", "words")
+    val out = TextOps.bordaEnsemble(df, "doc_id",
+      Seq(("c", col("chars"), true), ("w", col("words"), true)))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("borda"), r.getAs[Long]("final_rank"))).toMap
+    // ranks: chars 1,3,2; words 3,1,2 → borda 4,4,4?? compute:
+    // doc1: c1 + w3 = 4; doc2: c3 + w1 = 4; doc3: c2 + w2 = 4 —
+    // all tie; tie-break by id: 1,2,3
+    assert(out(1L) == (4L, 1L) && out(2L) == (4L, 2L) && out(3L) == (4L, 3L))
+    // break the tie: doc 2 takes words AND is second on chars over 3
+    val df2 = Seq((1L, 1000000L, 1L), (2L, 90L, 80L), (3L, 80L, 70L))
+      .toDF("doc_id", "chars", "words")
+    val out2 = TextOps.bordaEnsemble(df2, "doc_id",
+      Seq(("c", col("chars"), true), ("w", col("words"), true)))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("final_rank")).toMap
+    assert(out2 == Map(2L -> 1L, 1L -> 2L, 3L -> 3L))
+  }
+
+  test("ab test: hand-computed two-proportion z, verdict at 95%") {
+    val users = (Seq.fill(60)((0, 1L)) ++ Seq.fill(40)((0, 0L)) ++
+      Seq.fill(40)((1, 1L)) ++ Seq.fill(60)((1, 0L)))
+      .toDF("variant", "success")
+    val r = Analytics.abTest(users).collect().head
+    assert(r.getAs[Double]("p_a") == 0.6 && r.getAs[Double]("p_b") == 0.4)
+    assert(r.getAs[Double]("p_pool") == 0.5)
+    // z = 0.2 / sqrt(0.25 * 0.02) = 2.8284...
+    assert(math.abs(r.getAs[Double]("z") - 0.2 / math.sqrt(0.005)) < 1e-12)
+    assert(r.getAs[Boolean]("significant_95"))
+  }
+
   test("hhi: even split vs monopoly, exact rational shares") {
     val df = Seq(("g1", "a"), ("g1", "b"), ("g1", "c"), ("g1", "d"),
       ("g2", "x"), ("g2", "x"), ("g2", "x")).toDF("grp", "m")
