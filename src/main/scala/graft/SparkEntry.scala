@@ -198,6 +198,14 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_unused_customers"))),
+    // D92: word burstiness — occurrences per containing doc, the
+    // topical-vs-function-word lens (min df 5, top 20)
+    "q_burstiness" -> ((s, dir) =>
+      TextOps.burstiness(Tables.documents(s, dir), 5L, 20)),
+    // E70: additive seasonal decomposition (centered 7-day trend +
+    // rational dow component + residual), full windows only
+    "q_seasonal_decomp" -> ((s, dir) =>
+      Analytics.seasonalDecompose(Tables.events(s, dir))),
     // D90: Borda rank-ensemble of three quality signals — rank sums
     // are outlier-immune where score averages are not
     "q_rank_ensemble" -> ((s, dir) =>
@@ -4557,6 +4565,45 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    "q_burstiness" ->
+      """WITH t AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf_doc
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY 1, 2),
+        |v AS (SELECT word, CAST(count(*) AS BIGINT) AS df,
+        |   CAST(SUM(tf_doc) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1)
+        |SELECT word, df, tf, CAST(tf AS DOUBLE) / df AS burstiness
+        |FROM v WHERE df >= 5
+        |ORDER BY burstiness DESC, word LIMIT 20""".stripMargin,
+    // RANGE window on the day index, full windows only; the dow
+    // component's numerator stays BIGINT so no double sum exists
+    "q_seasonal_decomp" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |idx AS (SELECT daily.*,
+        |   CAST(date_diff('day', d0.d0, day) AS BIGINT) AS x,
+        |   CAST(date_part('dow', day) AS INT) AS dow
+        |  FROM daily, d0),
+        |f AS (SELECT *,
+        |   CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY x
+        |     RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS sum7,
+        |   CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY x
+        |     RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS cnt7
+        |  FROM idx),
+        |fu AS (SELECT * FROM f WHERE cnt7 = 7),
+        |se AS (SELECT event_type, dow,
+        |   CAST(SUM(7 * n - sum7) AS DOUBLE)
+        |     / (7.0 * count(*)) AS seasonal
+        |  FROM fu GROUP BY 1, 2)
+        |SELECT fu.event_type, fu.day, fu.n,
+        | CAST(sum7 AS DOUBLE) / 7.0 AS trend, se.seasonal,
+        | CAST(fu.n AS DOUBLE) - CAST(sum7 AS DOUBLE) / 7.0 - se.seasonal
+        |   AS residual
+        |FROM fu JOIN se ON fu.event_type = se.event_type
+        |  AND fu.dow = se.dow""".stripMargin,
     // three row_number windows replay the rank signals; borda sums
     "q_rank_ensemble" ->
       """WITH d AS (SELECT doc_id, n_chars,

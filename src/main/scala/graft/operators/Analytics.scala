@@ -515,6 +515,47 @@ object Analytics {
           .as("at_risk_rate"))
   }
 
+  /** Classical additive seasonal decomposition per type:
+    * y = trend + seasonal + residual, with trend a centered 7-day
+    * moving average (gap-safe RANGE frame on the integer day index;
+    * only FULL windows emit, so the trend is always sum7/7 — one
+    * division) and the day-of-week seasonal component kept rational
+    * until the end: Σ(7·y − sum7) over the dow group is BIGINT, the
+    * component is that single division by 7·|group| — so a
+    * partition-order double sum never exists and the decomposition
+    * replays bit-exactly. Windows and rollups consume the
+    * dimension-sized daily table.
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // span + windows: one feed scan
+    val firstDay = daily.agg(min(col("day")).as("d0"))
+    val idx = daily.crossJoin(broadcast(firstDay))
+      .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+      .withColumn("dow", dayofweek(col("day")) - 1)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rangeBetween(-3, 3)
+    val full = idx
+      .withColumn("sum7", sum(col("n")).over(w))
+      .withColumn("cnt7", count(lit(1)).over(w))
+      .filter(col("cnt7") === 7)
+    val seasonal = full
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(lit(7L) * col("n") - col("sum7")).as("num"),
+        count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("dow"),
+        (col("num").cast("double") / (lit(7.0) * col("cnt")))
+          .as("seasonal"))
+    full.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("sum7").cast("double") / 7.0).as("trend"),
+        col("seasonal"),
+        (col("n").cast("double") - col("sum7").cast("double") / 7.0
+          - col("seasonal")).as("residual"))
+  }
+
   /** Two-proportion A/B evaluation: conversion rate per variant, the
     * pooled two-proportion z statistic, and the |z| > 1.96 verdict.
     * All counts reduce map-side to ONE row per variant; the z

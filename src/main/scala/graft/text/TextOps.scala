@@ -523,6 +523,27 @@ object TextOps {
         col("n_symbols").cast("double") / col("n_words"))
   }
 
+  /** Word burstiness (Church–Gale): occurrences-per-containing-doc —
+    * the lexical statistic that separates topical words (bursty:
+    * when they appear, they appear repeatedly) from function words
+    * (spread thin everywhere). One scan to per-(doc, word) counts,
+    * one map-side rollup to the vocabulary table, burst = tf/df a
+    * single division; `minDf` screens flukes and the top-k finishes
+    * in TakeOrderedAndProject (burst desc, word asc).
+    */
+  def burstiness(docs: DataFrame, minDf: Long, topK: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("tf_doc")).as("tf"))
+      .filter(col("df") >= minDf)
+      .withColumn("burstiness", col("tf").cast("double") / col("df"))
+      .orderBy(col("burstiness").desc, col("word"))
+      .limit(topK)
+
   /** Borda rank-ensemble: combine several quality signals into one
     * robust ordering by SUMMING each document's rank under every
     * signal — rank aggregation is immune to the scale/outlier

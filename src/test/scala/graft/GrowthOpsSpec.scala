@@ -463,6 +463,41 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("significant_95"))
   }
 
+  test("burstiness: topical repetition ranks above spread, df screens") {
+    val docs = Seq(
+      (1L, "x x x filler"), (2L, "x x x other"),        // x: tf 6, df 2
+      (3L, "y a"), (4L, "y b"), (5L, "y c"), (6L, "y d"), (7L, "y e"))
+      .toDF("doc_id", "text")
+    val out = TextOps.burstiness(docs, 2L, 10).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("df"),
+        r.getAs[Long]("tf"), r.getAs[Double]("burstiness")))
+    assert(out.head._1 == "x" && out.head._2 == (2L, 6L, 3.0))
+    val y = out.find(_._1 == "y").get._2
+    assert(y == (5L, 5L, 1.0))
+    // df < 2 words (a..e, filler, other) are screened out
+    assert(out.map(_._1).toSet == Set("x", "y"))
+  }
+
+  test("seasonal decomposition: a pure weekly pattern leaves zero residual") {
+    // 21 days, 10/day with a +3 bump every Monday — every full 7-day
+    // window holds exactly one Monday, so trend is flat 73/7 and the
+    // dow component absorbs the bump exactly
+    val days = (0 until 21).map(i =>
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val ev = days.flatMap { d =>
+      val n = if (d.getDayOfWeek == java.time.DayOfWeek.MONDAY) 13 else 10
+      Seq.fill(n)(("s", s"$d 10:00:00"))
+    }
+    val out = Analytics.seasonalDecompose(events(ev)).collect()
+    assert(out.length == 15) // 21 days minus 3 edge days each side
+    assert(out.forall(r => math.abs(r.getAs[Double]("residual")) < 1e-12))
+    assert(out.forall(r =>
+      math.abs(r.getAs[Double]("trend") - 73.0 / 7) < 1e-12))
+    val mon = out.filter(_.getAs[Long]("n") == 13L)
+    assert(mon.nonEmpty &&
+      mon.forall(r => math.abs(r.getAs[Double]("seasonal") - 18.0 / 7) < 1e-12))
+  }
+
   test("hhi: even split vs monopoly, exact rational shares") {
     val df = Seq(("g1", "a"), ("g1", "b"), ("g1", "c"), ("g1", "d"),
       ("g2", "x"), ("g2", "x"), ("g2", "x")).toDF("grp", "m")
