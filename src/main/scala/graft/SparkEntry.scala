@@ -198,6 +198,22 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_unused_customers"))),
+    // E71: peak concurrent open orders per nation + first peak day
+    // (the capacity twin of the overlap report; same clamped spans)
+    "q_peak_concurrency" -> ((s, dir) => {
+      val spans = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("e"))
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("key"),
+          to_date(col("o_orderdate")).as("s"),
+          greatest(col("e"), to_date(col("o_orderdate"))).as("e"))
+      Analytics.peakConcurrency(spans)
+    }),
     // D92: word burstiness — occurrences per containing doc, the
     // topical-vs-function-word lens (min df 5, top 20)
     "q_burstiness" -> ((s, dir) =>
@@ -4564,6 +4580,30 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |GROUP BY 1""".stripMargin,
+    // same per-day delta collapse + prefix sum + earliest-day argmax
+    "q_peak_concurrency" ->
+      """WITH li AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS e
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (SELECT n_name AS key, CAST(o_orderdate AS DATE) AS s,
+        |   GREATEST(e, CAST(o_orderdate AS DATE)) AS e
+        |  FROM orders
+        |  JOIN li ON li.l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |ev AS (SELECT key, d, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+        |  SELECT key, s AS d, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT key, e + 1, -1 FROM iv) GROUP BY 1, 2),
+        |run AS (SELECT key, d,
+        |   CAST(SUM(delta) OVER (PARTITION BY key ORDER BY d
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     AS BIGINT) AS active
+        |  FROM ev),
+        |pk AS (SELECT key, MAX(active) AS peak_active FROM run GROUP BY 1)
+        |SELECT run.key, CAST(MIN(pk.peak_active) AS BIGINT) AS peak_active,
+        | MIN(run.d) AS first_peak_day
+        |FROM run JOIN pk ON run.key = pk.key AND run.active = pk.peak_active
         |GROUP BY 1""".stripMargin,
     "q_burstiness" ->
       """WITH t AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf_doc

@@ -705,6 +705,33 @@ object Analytics {
       .select(col("key"), col("n_pairs"), col("total_overlap_days"))
   }
 
+  /** Peak concurrency per key over an interval set: the maximum
+    * number of simultaneously-active intervals and the FIRST day it
+    * is reached — the capacity-planning twin of the overlap report.
+    * ±1 deltas collapse per (key, day) BEFORE the running sum (so
+    * same-day starts/ends cannot fabricate a transient peak), the
+    * prefix sum runs over the dimension-sized event-day table, and
+    * the argmax breaks ties to the earliest day. All integers.
+    */
+  def peakConcurrency(iv: DataFrame): DataFrame = {
+    val deltas = iv.select(col("key"), col("s").as("d"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("key"),
+        date_add(col("e"), 1).as("d"), lit(-1L).as("delta")))
+      .groupBy(col("key"), col("d"))
+      .agg(sum(col("delta")).as("delta"))
+    val w = Window.partitionBy(col("key")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val running = deltas
+      .withColumn("active", sum(col("delta")).over(w))
+    val peak = running.groupBy(col("key"))
+      .agg(max(col("active")).as("peak_active"))
+    running.join(broadcast(peak), "key")
+      .filter(col("active") === col("peak_active"))
+      .groupBy(col("key"))
+      .agg(min(col("peak_active")).as("peak_active"),
+        min(col("d")).as("first_peak_day"))
+  }
+
   /** Interval-union coverage per customer (gaps-and-islands with a
     * carry-max): each order spans [orderdate, last shipdate]; the
     * report is the union length of those possibly-overlapping spans —

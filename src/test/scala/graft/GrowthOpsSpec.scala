@@ -498,6 +498,26 @@ class GrowthOpsSpec extends AnyFunSuite {
       mon.forall(r => math.abs(r.getAs[Double]("seasonal") - 18.0 / 7) < 1e-12))
   }
 
+  test("peak concurrency: same-day churn cannot fake a peak, " +
+    "earliest peak day wins") {
+    def d(x: String) = java.sql.Date.valueOf(x)
+    val iv = Seq(
+      // two overlapping intervals peak at 2 on Jan 3..5
+      ("k", d("2024-01-01"), d("2024-01-05")),
+      ("k", d("2024-01-03"), d("2024-01-08")),
+      // one interval ENDS Jan 9 as another STARTS Jan 10 — without
+      // the per-day delta collapse a (+1,-1) order could fake 2
+      ("k", d("2024-01-10"), d("2024-01-11")),
+      ("j", d("2024-02-01"), d("2024-02-01")))
+      .toDF("key", "s", "e")
+    val out = Analytics.peakConcurrency(iv).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("peak_active"),
+          r.getAs[java.sql.Date]("first_peak_day").toString)).toMap
+    assert(out("k") == (2L, "2024-01-03"))
+    assert(out("j") == (1L, "2024-02-01"))
+  }
+
   test("hhi: even split vs monopoly, exact rational shares") {
     val df = Seq(("g1", "a"), ("g1", "b"), ("g1", "c"), ("g1", "d"),
       ("g2", "x"), ("g2", "x"), ("g2", "x")).toDF("grp", "m")
