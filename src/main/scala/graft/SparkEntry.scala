@@ -198,6 +198,10 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_unused_customers"))),
+    // B35: counter-type inference — cumulative (delta-roll it) vs
+    // gauge (average it); integer cross-multiplied verdict
+    "q_counter_types" -> ((s, dir) =>
+      Rollups.counterTypeReport(Tables.events(s, dir))),
     // E71: peak concurrent open orders per nation + first peak day
     // (the capacity twin of the overlap report; same clamped spans)
     "q_peak_concurrency" -> ((s, dir) => {
@@ -4579,6 +4583,22 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    "q_counter_types" ->
+      """WITH l AS (SELECT event_type,
+        |   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+        |   LAG(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 1) OVER
+        |     (PARTITION BY event_type, user_id ORDER BY ts, event_id)
+        |     AS prev
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_deltas,
+        | CAST(SUM(CASE WHEN cents < prev THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_neg,
+        | CAST(SUM(CASE WHEN cents < prev THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*) AS neg_rate,
+        | CASE WHEN SUM(CASE WHEN cents < prev THEN 1 ELSE 0 END) * 20
+        |     <= count(*) * 1
+        |   THEN 'cumulative' ELSE 'gauge' END AS kind
+        |FROM l WHERE prev IS NOT NULL GROUP BY 1""".stripMargin,
     // same per-day delta collapse + prefix sum + earliest-day argmax
     "q_peak_concurrency" ->
       """WITH li AS (SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS e

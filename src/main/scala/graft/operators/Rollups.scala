@@ -225,6 +225,34 @@ object Rollups {
           .otherwise(0L)).as("n_resets"))
   }
 
+  /** Counter-type classifier: is a metric a CUMULATIVE counter
+    * (monotone per entity, drops only on reset — roll it up with
+    * [[counterDeltas]]) or a GAUGE (oscillates — average it)? The
+    * HLD declares this by hand per counter; this infers it from the
+    * feed: per (type, entity) lag deltas, and a type whose negative-
+    * delta rate stays under `negNum/negDen` classifies cumulative.
+    * The verdict is an integer cross-multiplication (no division
+    * near the decision); the rate column is display-only. One
+    * window + one map-side rollup to |types| rows.
+    */
+  def counterTypeReport(events: DataFrame, negNum: Long = 1L,
+                        negDen: Long = 20L): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_deltas"),
+        sum(when(col("cents") < col("prev"), 1L).otherwise(0L)).as("n_neg"))
+      .select(col("event_type"), col("n_deltas"), col("n_neg"),
+        (col("n_neg").cast("double") / col("n_deltas")).as("neg_rate"),
+        when(col("n_neg") * negDen <= col("n_deltas") * negNum,
+          "cumulative").otherwise("gauge").as("kind"))
+  }
+
   def dailyPerUser(events: DataFrame): DataFrame =
     events
       .groupBy(to_date(col("ts")).as("day"), col("user_id"))

@@ -238,6 +238,24 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(Dedup.tfCosinePairs(docs, 0.01, dfCap = 1, n = 1).count() == 0)
   }
 
+  test("counter types: monotone-with-reset classifies cumulative, " +
+    "oscillation classifies gauge") {
+    def rows(t: String, vals: Seq[Double]) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (t, 7L, v, i.toLong, f"2024-01-01 10:${i}%02d:00") }
+    // c: 20 monotone steps + 1 reset = 1/20 negatives → cumulative
+    // g: alternating up/down → ~half negative → gauge
+    val ev = (rows("c", (1 to 20).map(_.toDouble) :+ 2.0) ++
+      rows("g", Seq(5.0, 1.0, 6.0, 2.0, 7.0, 3.0)))
+      .toDF("event_type", "user_id", "value", "event_id", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = graft.operators.Rollups.counterTypeReport(ev).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_neg"),
+        r.getAs[String]("kind"))).toMap
+    assert(out("c") == (1L, "cumulative")) // 1 of 20 deltas ≤ 5%
+    assert(out("g") == (3L, "gauge"))
+  }
+
   test("counter deltas: monotone growth sums, a reset restarts from zero") {
     val ev = Seq(
       (1L, 10.0, "2024-01-01 10:00:00"), (2L, 15.0, "2024-01-01 11:00:00"),
