@@ -198,6 +198,15 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_unused_customers"))),
+    // C15: primary-key uniqueness gate — a deterministic slice is
+    // re-delivered (the double-load accident this check exists for)
+    "q_duplicate_keys" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"))
+      Reconcile.duplicateKeys(
+        li.unionByName(li.filter(col("l_orderkey") % 97 === 0)),
+        Seq("l_orderkey", "l_linenumber"))
+    }),
     // B35: counter-type inference — cumulative (delta-roll it) vs
     // gauge (average it); integer cross-multiplied verdict
     "q_counter_types" -> ((s, dir) =>
@@ -4583,6 +4592,13 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |GROUP BY 1""".stripMargin,
+    "q_duplicate_keys" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber FROM lineitem
+        |  WHERE l_orderkey % 97 = 0)
+        |SELECT l_orderkey, l_linenumber, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM d GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q_counter_types" ->
       """WITH l AS (SELECT event_type,
         |   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,

@@ -258,6 +258,18 @@ object Reconcile {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
 
+  /** Primary-key uniqueness check: every key tuple appearing more
+    * than once, with its multiplicity — the load-gate every
+    * DBLoader-style pipeline runs before an idempotent reload
+    * (duplicate keys break delete-by-key semantics silently). One
+    * map-side-combined count per key; only violations survive, so
+    * the output is empty on a healthy table at any scale.
+    */
+  def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+
   /** Rollup-cascade integrity audit — the reference's compare_data
     * spirit pointed at the warehouse's own aggregates: the daily
     * rollup computed DIRECTLY from raw must equal the daily rollup

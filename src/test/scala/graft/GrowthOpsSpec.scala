@@ -311,6 +311,14 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(interleaved.getAs[Long]("n_scanned") == 3L)
   }
 
+  test("duplicate keys: only violations survive, multiplicity exact") {
+    val df = Seq((1L, 1), (1L, 1), (1L, 1), (1L, 2), (2L, 1))
+      .toDF("k1", "k2")
+    val out = graft.operators.Reconcile.duplicateKeys(df, Seq("k1", "k2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 1) -> 3L))
+  }
+
   test("profile diff: null growth, cardinality collapse, range shift flag") {
     val l = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
       .toDF("k", "v")
