@@ -558,7 +558,7 @@ object Analytics {
 
   /** Two-proportion A/B evaluation: conversion rate per variant, the
     * pooled two-proportion z statistic, and the |z| > 1.96 verdict.
-    * All counts reduce map-side to ONE row per variant; the z
+    * All counts reduce map-side to ONE output row; the z
     * expression is a FIXED sequence of IEEE operations (each
     * division and the sqrt are correctly rounded), so the statistic
     * — and therefore the verdict — is bit-deterministic and
@@ -566,15 +566,18 @@ object Analytics {
     * are the caller's columns, so any experiment maps on.
     */
   def abTest(users: DataFrame): DataFrame = {
-    // users: (variant: int 0/1, success: 1L/0L per user)
-    val agg = users
-      .groupBy(col("variant"))
-      .agg(count(lit(1)).as("n"), sum(col("success")).as("conv"))
-    val a = agg.filter(col("variant") === 0)
-      .select(col("n").as("n_a"), col("conv").as("conv_a"))
-    val b = agg.filter(col("variant") === 1)
-      .select(col("n").as("n_b"), col("conv").as("conv_b"))
-    a.crossJoin(broadcast(b))
+    // users: (variant: int 0/1, success: 1L/0L per user). ONE
+    // conditional aggregation row, not a per-variant crossJoin — so
+    // an experiment with an absent variant still surfaces as a row
+    // with n=0 and NULL rate/z (visible degeneracy) instead of
+    // silently vanishing, and the plan is a single map-side-combined
+    // pass with no join at all.
+    users
+      .agg(
+        coalesce(sum(when(col("variant") === 0, 1L).otherwise(0L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("variant") === 0, col("success")).otherwise(0L)), lit(0L)).as("conv_a"),
+        coalesce(sum(when(col("variant") === 1, 1L).otherwise(0L)), lit(0L)).as("n_b"),
+        coalesce(sum(when(col("variant") === 1, col("success")).otherwise(0L)), lit(0L)).as("conv_b"))
       .withColumn("p_a", col("conv_a").cast("double") / col("n_a"))
       .withColumn("p_b", col("conv_b").cast("double") / col("n_b"))
       .withColumn("p_pool",
@@ -636,8 +639,10 @@ object Analytics {
     * inequality nested loop — then exact overlap filters and a
     * distinct collapses multi-cell duplicates BEFORE measuring.
     * Integer day arithmetic throughout. Input `iv`: (key, id, s, e)
-    * with s <= e; output per key: overlapping pair count and total
-    * overlap days.
+    * with s <= e and each (key, id) appearing ONCE (the `a_id <
+    * b_id` self-pair filter and [[intervalOverlapStats]]'s identity
+    * form agree only under unique ids — dedupe upstream otherwise);
+    * output per key: overlapping pair count and total overlap days.
     */
   def intervalOverlapPairs(iv: DataFrame, bucketDays: Int): DataFrame = {
     val epoch = lit("1970-01-01").cast("date")
@@ -671,10 +676,19 @@ object Analytics {
     * n_pairs = C(n,2) − #{(i,j): e_i < s_j} — the non-overlapping
     * count falls out of ONE per-key sort of start/end events (ends
     * after starts at equal value keeps the strict inequality); and
-    * Σ_pairs overlap_days = Σ_days C(active_d, 2) — the day
-    * explosion is bounded by span length (fan-out = days per
-    * interval; aggregate to a coarser unit first for multi-year
-    * intervals). All BIGINT.
+    * Σ_pairs overlap_days = Σ_days C(active_d, 2), evaluated by a
+    * BOUNDARY sweep: the active count only changes at a start or an
+    * end+1 day, so between consecutive boundary days it is constant
+    * and the run contributes `gap · C(active, 2)` in one row. Work
+    * is O(intervals log intervals) per key — a multi-year interval
+    * costs exactly two boundary events, never a per-day fan-out.
+    * All BIGINT.
+    *
+    * Precondition (shared with [[intervalOverlapPairs]], which
+    * excludes self-pairs via `a_id < b_id`): each (key, id) appears
+    * ONCE. A duplicated id would count here as two distinct
+    * intervals but self-pair-filter out of the pairs form — dedupe
+    * ids upstream if the feed can repeat them.
     */
   def intervalOverlapStats(iv: DataFrame): DataFrame = {
     val starts = iv.select(col("key"), col("s").as("val"), lit(0).as("typ"))
@@ -691,15 +705,27 @@ object Analytics {
         (col("n_iv") * (col("n_iv") - 1L) / 2L - col("n_disjoint"))
           .cast("long").as("n_pairs"))
     val epoch = lit("1970-01-01").cast("date")
+    // ±1 deltas at s and e+1, collapsed per (key, day); the running
+    // sum and the next-boundary lead share ONE sort. Every gap·a(a−1)
+    // term is even, so the summed total halves exactly with an
+    // integral div — no double arithmetic anywhere.
+    val wOrd = Window.partitionBy(col("key")).orderBy(col("d"))
     val overlapDays = iv
-      .select(col("key"), explode(sequence(
-        datediff(col("s"), epoch).cast("long"),
-        datediff(col("e"), epoch).cast("long"))).as("d"))
+      .select(col("key"), datediff(col("s"), epoch).cast("long").as("d"),
+        lit(1L).as("delta"))
+      .unionByName(iv.select(col("key"),
+        (datediff(col("e"), epoch) + 1).cast("long").as("d"),
+        lit(-1L).as("delta")))
       .groupBy(col("key"), col("d"))
-      .agg(count(lit(1)).as("a"))
+      .agg(sum(col("delta")).as("delta"))
+      .withColumn("active",
+        sum(col("delta")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("next_d", lead(col("d"), 1).over(wOrd))
+      .filter(col("next_d").isNotNull)
       .groupBy(col("key"))
-      .agg(sum(col("a") * (col("a") - 1L) / 2L).cast("long")
-        .as("total_overlap_days"))
+      .agg(sum((col("next_d") - col("d")) * col("active")
+        * (col("active") - 1L)).as("_twice"))
+      .select(col("key"), expr("_twice div 2").as("total_overlap_days"))
     nonOverlap.join(overlapDays, Seq("key"))
       .filter(col("n_pairs") > 0)
       .select(col("key"), col("n_pairs"), col("total_overlap_days"))
@@ -849,9 +875,12 @@ object Analytics {
     * truncate division never sees a negative). Flat or falling
     * trends report −1 ("never" on this fit — a sentinel, not NULL,
     * so the column stays a non-null BIGINT). One feed scan to the
-    * dimension-sized daily table; headroom contract: T·n·b_den must
-    * fit a long (fine for millions-of-events days over years —
-    * rescale y to thousands beyond that).
+    * dimension-sized daily table. The crossing's cross-multiplied
+    * terms (T·n·b_den, with b_den ≈ n⁴/12) leave BIGINT range long
+    * before the inputs do — peak 1e6/day over ~3 years already
+    * reaches ~2.6e20 — so the crossing arithmetic runs in
+    * DECIMAL(38,0): exact integer math to 38 digits, same rounding
+    * discipline, headroom to ~1e9-event days over a century.
     */
   def capacityForecast(events: DataFrame, factorNum: Long = 2L,
                        factorDen: Long = 1L): DataFrame = {
@@ -872,15 +901,24 @@ object Analytics {
       .withColumn("b_num", col("n_days") * col("sxy") - col("sx") * col("sy"))
       .withColumn("b_den", col("n_days") * col("sxx") - col("sx") * col("sx"))
       .withColumn("threshold", expr(s"(peak_y * $factorNum) div $factorDen"))
+      // DECIMAL(38,0) for the cross-multiplication: T·n·b_den is
+      // ~n⁴·T/12 and silently wraps BIGINT on realistic inputs;
+      // decimal keeps it exact (scale-0 products/sums are integer
+      // arithmetic) and `div` on decimals is the same floor-on-
+      // positives integral divide
       .withColumn("p",
-        col("threshold") * col("n_days") * col("b_den")
-          - col("sy") * col("b_den") + col("b_num") * col("sx"))
-      .withColumn("q", col("n_days") * col("b_num"))
+        col("threshold").cast("decimal(20,0)")
+          * col("n_days").cast("decimal(20,0)")
+          * col("b_den").cast("decimal(20,0)")
+          - col("sy").cast("decimal(20,0)") * col("b_den").cast("decimal(20,0)")
+          + col("b_num").cast("decimal(20,0)") * col("sx").cast("decimal(20,0)"))
+      .withColumn("q",
+        (col("n_days") * col("b_num")).cast("decimal(20,0)"))
       .withColumn("days_to_threshold",
         when(col("b_num") <= 0, lit(-1L))
           .when(col("p") <= 0, lit(0L))
           .otherwise(greatest(lit(0L),
-            expr("(p + q - 1) div q") - col("last_x"))))
+            expr("CAST((p + q - 1) div q AS BIGINT)") - col("last_x"))))
       .select(col("event_type"), col("n_days"), col("peak_y"),
         col("threshold"),
         (col("b_num").cast("double") / col("b_den").cast("double"))

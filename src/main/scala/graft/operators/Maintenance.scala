@@ -70,8 +70,15 @@ object Maintenance {
   def applyCdc(base: DataFrame, changes: DataFrame, key: String,
                ordCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ordCols should totally order a key's changes (every real CDC
+    // feed carries an LSN/offset that does); if two changes ever tie
+    // on all of them, a whole-row hash breaks the tie
+    // DETERMINISTICALLY — a replay picks the same winner every time
+    // (two rows that still tie are byte-identical, so the pick is
+    // immaterial) — instead of row_number's partition-order roulette.
+    val tieBreak = xxhash64(changes.columns.map(col): _*).desc
     val w = Window.partitionBy(col(key))
-      .orderBy(ordCols.map(c => col(c).desc): _*)
+      .orderBy(ordCols.map(c => col(c).desc) :+ tieBreak: _*)
     val latest = changes
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
