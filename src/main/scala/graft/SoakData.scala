@@ -32,7 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object SoakData {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, multStr) = args
+    val (srcDir, outDir, multStr, mode) = args match {
+      case Array(s, o, m)     => (s, o, m, "closed")
+      case Array(s, o, m, md) => (s, o, m, md)
+    }
+    require(mode == "closed" || mode == "heaps",
+      s"mode must be closed|heaps, got $mode")
     val mult = multStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -43,7 +48,7 @@ object SoakData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    writeDocuments(spark, srcDir, outDir, mult)
+    writeDocuments(spark, srcDir, outDir, mult, mode)
     writeEmbeddings(spark, srcDir, outDir, mult)
     writeEvents(spark, srcDir, outDir, mult)
     writeFacts(spark, srcDir, outDir, mult)
@@ -65,8 +70,20 @@ object SoakData {
   private def replicas(df: DataFrame, mult: Int): DataFrame =
     df.withColumn("r", explode(sequence(lit(0L), lit(mult - 1L))))
 
+  /** Substituted-word source for the two generator modes:
+    *  - `closed` re-draws from the corpus's own (bounded) vocabulary —
+    *    the WORST-CASE regime for posting-list dedup (gram key space
+    *    fixed while instances grow), kept as the adversarial soak;
+    *  - `heaps` draws rank `k = ⌊u^(−2)⌋` from an unbounded Zipf-tail
+    *    vocabulary (P[K > k] ≈ k^(−1/2)): ~29% of draws hit rank 1 (a
+    *    hot head exists, like a real corpus), while the DISTINCT count
+    *    of drawn words grows ≈ √draws — Heaps' law with β ≈ 0.5, the
+    *    published range for natural text (Heaps 1978). Everything
+    *    stays hash-keyed and reproducible; ranks cap at 1e12 only to
+    *    bound the rendered token length.
+    */
   private def writeDocuments(spark: SparkSession, srcDir: String,
-                             outDir: String, mult: Int): Unit = {
+                             outDir: String, mult: Int, mode: String): Unit = {
     val docs = Tables.documents(spark, srcDir)
     // corpus vocabulary (bounded: the driver generator draws from a
     // few dozen words) becomes an in-plan literal for substitution
@@ -77,14 +94,24 @@ object SoakData {
     val vlit = array(vocab.map(lit): _*)
     val idStep = docs.agg(max("doc_id")).head.getLong(0) + 1
 
+    def substituted(i: org.apache.spark.sql.Column) =
+      if (mode == "closed")
+        element_at(vlit,
+          (pmod(xxhash64(lit(7), col("doc_id"), col("r"), i),
+            lit(vocab.length)) + 1).cast("int"))
+      else {
+        val u = (pmod(xxhash64(lit(13), col("doc_id"), col("r"), i),
+          lit(1000000000L)).cast("double") + 1.0) / 1.0e9
+        concat(lit("w"),
+          least(floor(pow(u, lit(-2.0))), lit(1.0e12)).cast("long")
+            .cast("string"))
+      }
     val out = replicas(docs, mult)
       .withColumn("text",
         when(col("r") === 0, col("text")).otherwise(
           concat_ws(" ", transform(split(col("text"), " "), (w, i) =>
             when(pmod(xxhash64(col("doc_id"), col("r"), i), lit(2)) === 0, w)
-              .otherwise(element_at(vlit,
-                (pmod(xxhash64(lit(7), col("doc_id"), col("r"), i),
-                  lit(vocab.length)) + 1).cast("int")))))))
+              .otherwise(substituted(i))))))
       .select(
         (col("doc_id") + col("r") * idStep).as("doc_id"),
         col("text"), col("lang"), col("source"),

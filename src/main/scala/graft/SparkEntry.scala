@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
 import graft.dedup.Dedup
-import graft.etl.{ChillPipeline, Constant, Derived, FieldRule, Lookup, TableRoute}
+import graft.etl.{ChillPipeline, Constant, Derived, FieldRule, FromFilename, FromTag, LibraryConfig, LibraryRun, Lookup, TableRoute}
 import graft.multimodal.BinaryPipeline
-import graft.operators.{Analytics, Graph, Maintenance, Reconcile, Rollups}
+import graft.operators.{Analytics, Graph, Maintenance, Reconcile, Report, Rollups}
 import graft.text.TextOps
 
 /** Driver contract — one entry per implemented operator from
@@ -121,6 +121,223 @@ object SparkEntry {
     }),
     // flagship ETL pipeline
     "q_etl_pipeline" -> ((s, dir) => etlPipeline(s, dir)),
+    // A3: filename-derived field (Partrans.py:145-149) — the feed is
+    // rendered to raw lines whose _file encodes node id + day, the
+    // FromFilename rules regexp-extract them back, and the oracle
+    // recomputes the rollup from the source columns, so a wrong
+    // extraction breaks the hash
+    "q_filename_field" -> ((s, dir) => {
+      val lines = Tables.events(s, dir).select(
+        concat(lit("/loads/NODE"), pmod(col("user_id"), lit(7)).cast("string"),
+          lit("_20240101.csv")).as("_file"),
+        concat_ws("|", col("event_id"), col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long")).as("value"))
+      val parsed = ChillPipeline.sliceLines(lines, "|",
+        Seq("event_id", "event_type", "cents"), 0, 0, Set.empty)
+      FieldRule.applyAll(parsed, Seq(
+          FromFilename("node_id", "NODE(\\d+)_", 1),
+          FromFilename("file_day", "_(\\d{8})\\.csv", 1)))
+        .groupBy(col("node_id"), col("file_day"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents").cast("long")).as("sum_cents"))
+    }),
+    // A4: tag-derived field (Partrans.py:151-157) — per-file header
+    // lines carry a #REGION tag; withTagColumnsFrom captures the
+    // first matching line per file (broadcast back onto the body, the
+    // feed never shuffles) and the FromTag rule parses it
+    "q_tag_field" -> ((s, dir) => {
+      val fkey = pmod(col("user_id"), lit(5)).cast("string")
+      val body = Tables.events(s, dir).select(
+        concat(lit("feed_"), fkey, lit(".csv")).as("_file"),
+        concat_ws("|", col("event_id"), col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long")).as("value"))
+      val headers = s.range(5).select(
+        concat(lit("feed_"), col("id").cast("string"), lit(".csv")).as("_file"),
+        concat(lit("#REGION=R"), (col("id") * 10).cast("string")).as("value"))
+      val lines = headers.unionByName(body)
+      val parsed = ChillPipeline.sliceLines(body, "|",
+        Seq("event_id", "event_type", "cents"), 0, 0, Set.empty)
+      val tagRule = FromTag("region", "#REGION",
+        c => regexp_extract(c, "#REGION=(R\\d+)", 1))
+      FieldRule.applyAll(
+          ChillPipeline.withTagColumnsFrom(lines, parsed, Seq(tagRule)),
+          Seq(tagRule))
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents").cast("long")).as("sum_cents"))
+    }),
+    // C3c: string-compare diff fallback (HlxTools.py:923-929) — the
+    // perturbation appends a suffix on a deterministic key slice
+    "q_string_diffs" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = o.select(col("o_orderkey"), col("o_orderpriority").as("v"))
+      val r = o.select(col("o_orderkey"),
+        when(col("o_orderkey") % 31 === 0,
+          concat(col("o_orderpriority"), lit("-X")))
+          .otherwise(col("o_orderpriority")).as("v"))
+      Reconcile.stringDiffs(l, r, "o_orderkey", "v")
+    }),
+    // C5: missing-column (schema) compare (HlxTools.py:806-818) — a
+    // spec column dropped from the data, an extra data column, and
+    // the suite rendering; pure metadata, the oracle pins the rows
+    "q_missing_columns" -> ((s, dir) => {
+      val spec = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority", "o_audit_flag")
+      val data = Tables.orders(s, dir).drop("o_orderdate")
+        .withColumn("o_load_ts", lit(0L))
+      val (missing, extra) = Reconcile.missingColumns(spec, data)
+      Report.missingColumnsSuite(s, "orders", missing, extra)
+    }),
+    // C6: junit report table (TestReport.py:26-174) — the full
+    // reconcile→suites→merge input of toJunitXml, over a deliberately
+    // dirty compare (drop every 97th key, shift every 89th value);
+    // integer cents keep every rendered message engine-portable
+    "q_junit_report" -> ((s, dir) => {
+      val l = Tables.orders(s, dir).select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      val r = l.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("cents",
+          when(col("o_orderkey") % 89 === 0, col("cents") + 5L)
+            .otherwise(col("cents")))
+      val missing = Reconcile.missingKeys(l, r, "o_orderkey")
+      val diffs = Reconcile.counterDiffs(l, r, "o_orderkey", Seq("cents"))
+      Report.merge(
+        Report.countSuite(
+          Reconcile.countCompare(l, r, "o_orderkey"), "o_orderkey"),
+        Report.missingSuite(missing, "o_orderkey"),
+        Report.summaryRow("missing_records", "orders", missing),
+        Report.counterDiffSuite(diffs, "o_orderkey"),
+        Report.summaryRow("value_diffs", "orders", diffs))
+    }),
+    // C7: full library cycle (chill.py:45-227): raw feed render →
+    // rawCsv parse → rules (constant/derived/lookup) → route →
+    // partition-overwrite load → read back → all five reconcile
+    // suites; graded as the per-(suite, status) case counts, which
+    // the oracle recomputes from the feed (a clean cycle must report
+    // exactly one green row per summary suite and one per key)
+    "q_library_cycle" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cycle")
+      val rawDir = s"$tmp/raw"
+      Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(concat_ws("|",
+          col("event_id"), to_date(col("ts")), col("user_id"),
+          floor(col("value") * 100.0 + 0.5).cast("long")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(rawDir)
+      val cfg = LibraryConfig(
+        // plain dir: Spark file sources skip _SUCCESS/_-prefixed files
+        rawPath = rawDir,
+        delimiter = "|",
+        rawColumns = Seq("event_id", "day", "user_id", "cents"),
+        skipHeader = 0, skipFooter = 0, ignoreLines = Set.empty,
+        rules = Seq(
+          Constant("lib", lit("PM_LIB")),
+          Derived("user_n", col("user_id").cast("long")),
+          Derived("cents_n", col("cents").cast("long")),
+          Lookup("cust_name", Tables.customer(s, dir),
+            Seq("user_n" -> "c_custkey"), "c_name", lit("UNKNOWN"))),
+        tagRules = Seq.empty,
+        routes = Seq(TableRoute("purchase_t", col("cents_n").isNotNull,
+          Seq("day", "event_id", "user_n", "cents_n", "lib", "cust_name"))),
+        partitionCol = "day",
+        warehouseDir = s"$tmp/wh")
+      LibraryRun.run(s, cfg, keyCols = Seq("day", "event_id"))
+        .report
+        .groupBy(col("suite"), col("status"))
+        .agg(count(lit(1)).as("n_cases"))
+    }),
+    // C8: physical idempotent reload (HlxTools.py:372-394 as dynamic
+    // partition overwrite): full load, then a re-delivery of the tail
+    // days with doubled values — the read-back must show exactly the
+    // incremental days replaced and every other day untouched
+    "q_reload_readback" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_wh")
+        .toString + "/t"
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        to_date(col("ts")).as("day"), col("user_id"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      Maintenance.overwritePartitions(ev, wh, "day")
+      val inc = ev.filter(col("day") >= lit("2024-01-20").cast("date"))
+        .withColumn("cents", col("cents") * 2L)
+      Maintenance.overwritePartitions(inc, wh, "day")
+      s.read.parquet(wh)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    }),
+    // E8: the SQL function surface — graft's native expressions
+    // reached through spark.sql text (registry injection), graded by
+    // an oracle that expands the int_vec_dot product symbolically
+    "q_sql_surface" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.events(s, dir).createOrReplaceTempView("events_sql")
+      s.sql("""
+        SELECT user_id,
+          int_vec_dot(
+            array(CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT),
+                  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT),
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT),
+                  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS INT)),
+            array(3, 1, 5, 2)) AS score
+        FROM events_sql GROUP BY user_id""")
+    }),
+    // E13: continuous rollup maintenance in batch — the identical
+    // delta-write / compact / merge-read path foreachBatch drives
+    // (EventStream.rollupMaintenance): two "micro-batches" split by
+    // event_id parity write (bucket, batch) delta partitions, the
+    // compactor folds them, and the reader view must equal the plain
+    // one-shot 5-minute rollup bit-for-bit; one day bounds the
+    // partition-dir count in the rig
+    "q_rollup_maintenance" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_roll")
+        .toString + "/wh"
+      val ev = Tables.events(s, dir)
+        .filter(to_date(col("ts")) === lit("2024-01-15").cast("date"))
+      Seq(0L, 1L).foreach { bid =>
+        val delta = Rollups.fiveMinute(ev.filter(pmod(col("event_id"), lit(2)) === bid))
+          .withColumn("_batch_id", lit(bid))
+        Maintenance.overwritePartitions(delta, wh,
+          Seq("bucket_start", "_batch_id"))
+      }
+      graft.streaming.EventStream.compactRollup(s, wh)
+      graft.streaming.EventStream.readRollup(s, wh)
+    }),
+    // E14: config-driven continuous ingestion (chill.py's connect
+    // daemon as a file stream): raw files land in a watched dir, one
+    // AvailableNow pass of LibraryRun.stream parses them with the
+    // SAME config rules and partition-overwrites the routed table,
+    // and the warehouse read-back is graded against the feed
+    "q_stream_ingest" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ing")
+      val rawDir = s"$tmp/raw"
+      val wh = s"$tmp/wh"
+      val feed = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(concat_ws("|",
+          col("event_id"), to_date(col("ts")), col("user_id"),
+          floor(col("value") * 100.0 + 0.5).cast("long")).as("value"))
+      feed.filter(xxhash64(col("value")) % 2 === 0)
+        .coalesce(1).write.mode("overwrite").text(rawDir)
+      feed.filter(xxhash64(col("value")) % 2 =!= 0)
+        .coalesce(1).write.mode("append").text(rawDir)
+      val cfg = LibraryConfig(
+        rawPath = rawDir,
+        delimiter = "|",
+        rawColumns = Seq("event_id", "day", "user_id", "cents"),
+        skipHeader = 0, skipFooter = 0, ignoreLines = Set.empty,
+        rules = Seq(Derived("cents_n", col("cents").cast("long"))),
+        tagRules = Seq.empty,
+        routes = Seq(TableRoute("purchase_t", col("cents_n").isNotNull,
+          Seq("day", "event_id", "cents_n"))),
+        partitionCol = "day",
+        warehouseDir = wh)
+      val q = LibraryRun.stream(s, cfg)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ck")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$wh/purchase_t")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents_n")).as("sum_cents"))
+    }),
     // C1: count compare
     "q_recon_counts" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -1816,6 +2033,97 @@ object SparkEntry {
         | value * 100 AS scaled_value
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |WHERE event_type = 'purchase'""".stripMargin,
+    "q_filename_field" ->
+      """SELECT CAST(user_id % 7 AS VARCHAR) AS node_id,
+        | '20240101' AS file_day, count(*) AS n_rows,
+        | CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_tag_field" ->
+      """SELECT 'R' || CAST((user_id % 5) * 10 AS VARCHAR) AS region,
+        | count(*) AS n_rows,
+        | CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_string_diffs" ->
+      """SELECT o_orderkey, o_orderpriority AS val_left,
+        | o_orderpriority || '-X' AS val_right
+        |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin,
+    "q_missing_columns" ->
+      """SELECT * FROM (VALUES
+        | ('missing_columns', 'orders.o_orderdate', 'failed',
+        |  'expected column absent from data'),
+        | ('missing_columns', 'orders.o_audit_flag', 'failed',
+        |  'expected column absent from data'),
+        | ('missing_columns', 'orders.o_load_ts', 'failed',
+        |  'data column absent from spec')
+        |) AS t(suite, test_name, status, message)""".stripMargin,
+    "q_junit_report" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT k,
+        |   CASE WHEN k % 89 = 0 THEN cents + 5 ELSE cents END AS cents
+        |  FROM o WHERE k % 97 <> 0),
+        |diffs AS (SELECT o.k, o.cents AS lv, r.cents AS rv
+        |  FROM o JOIN r ON o.k = r.k WHERE o.cents <> r.cents),
+        |miss AS (SELECT k FROM o WHERE k % 97 = 0)
+        |SELECT 'record_counts' AS suite,
+        |  'count for ' || CAST(k AS VARCHAR) AS test_name,
+        |  CASE WHEN k % 97 = 0 THEN 'failed' ELSE 'passed' END AS status,
+        |  'left=1 right=' || CASE WHEN k % 97 = 0 THEN '0' ELSE '1' END
+        |    AS message
+        | FROM o
+        |UNION ALL SELECT 'missing_records', 'key ' || CAST(k AS VARCHAR),
+        |  'failed', 'missing_right' FROM miss
+        |UNION ALL SELECT 'missing_records', 'orders',
+        |  CASE WHEN (SELECT count(*) FROM miss) = 0
+        |    THEN 'passed' ELSE 'failed' END,
+        |  'failing_cases=' || CAST((SELECT count(*) FROM miss) AS VARCHAR)
+        |UNION ALL SELECT 'value_diffs',
+        |  'diff for ' || CAST(k AS VARCHAR) || ' cents', 'failed',
+        |  'left=' || CAST(lv AS VARCHAR) || ' right=' || CAST(rv AS VARCHAR)
+        | FROM diffs
+        |UNION ALL SELECT 'value_diffs', 'orders',
+        |  CASE WHEN (SELECT count(*) FROM diffs) = 0
+        |    THEN 'passed' ELSE 'failed' END,
+        |  'failing_cases=' || CAST((SELECT count(*) FROM diffs) AS VARCHAR)
+        |""".stripMargin,
+    "q_library_cycle" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT 'record_counts' AS suite, 'passed' AS status,
+        |  count(*) AS n_cases FROM p
+        |UNION ALL SELECT 'missing_records', 'passed', 1
+        |UNION ALL SELECT 'value_diffs', 'passed', 1
+        |UNION ALL SELECT 'missing_columns', 'passed', 1
+        |UNION ALL SELECT 'referential', 'passed', 1""".stripMargin,
+    "q_reload_readback" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+        |   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT day, count(*) AS n_events,
+        | CAST(SUM(CASE WHEN day >= DATE '2024-01-20' THEN cents * 2
+        |     ELSE cents END) AS BIGINT) AS sum_cents
+        |FROM ev GROUP BY 1""".stripMargin,
+    "q_sql_surface" ->
+      """SELECT user_id,
+        | CAST(3 * SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |  + 1 * SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |  + 5 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |  + 2 * SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS score
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_rollup_maintenance" ->
+      """SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_start,
+        | event_type, count(*) AS n_events,
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |   AS DOUBLE) AS sum_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_stream_ingest" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+        | CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
     "q_recon_counts" ->
       """WITH l AS (SELECT l_orderkey, count(*) AS cnt_left FROM lineitem GROUP BY 1),
         |r AS (SELECT l_orderkey, count(*) AS cnt_right FROM lineitem

@@ -115,10 +115,13 @@ object Report {
     * bounded.
     */
   def toJunitXml(report: DataFrame, maxFailures: Int = 100): String = {
+    // suite order pinned (collect order off a groupBy is not), so the
+    // rendered XML is byte-identical run to run
     val totals = report.groupBy("suite").agg(
       count(lit(1)).as("tests"),
       sum(when(col("status") === "failed", 1L).otherwise(0L)).as("failures"))
       .collect()
+      .sortBy(_.getString(0))
     val failures = report.filter(col("status") === "failed")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("suite")

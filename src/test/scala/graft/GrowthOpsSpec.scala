@@ -426,7 +426,14 @@ class GrowthOpsSpec extends AnyFunSuite {
     // inequality must classify as overlapping
     val touch = Seq(("t", 7L, d("2024-03-01"), d("2024-03-05")),
       ("t", 8L, d("2024-03-05"), d("2024-03-09"))).toDF("key", "id", "s", "e")
-    for (frame <- Seq(iv, touch, iv.unionByName(touch))) {
+    // multi-year spans: two boundary events each in the sweep (the
+    // old day-explosion form fanned a 3-year interval to ~1100 rows)
+    // and still EXACT against the pair miner
+    val wide = Seq(("w", 11L, d("2021-01-01"), d("2024-01-01")),
+      ("w", 12L, d("2022-06-15"), d("2022-06-20")),   // nested, 6d
+      ("w", 13L, d("2023-12-31"), d("2024-02-01")))   // tail, 2d
+      .toDF("key", "id", "s", "e")
+    for (frame <- Seq(iv, touch, wide, iv.unionByName(touch).unionByName(wide))) {
       val pairsAgg = Analytics.intervalOverlapPairs(frame, 2).collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       val sweep = Analytics.intervalOverlapStats(frame).collect()
