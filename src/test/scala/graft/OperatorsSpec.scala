@@ -119,6 +119,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out2.exceptAll(out).isEmpty && out.exceptAll(out2).isEmpty)
   }
 
+  test("adaptive posting cap: uncapped when the distribution fits the " +
+    "budget, budget-bounded when it cannot") {
+    import spark.implicits._
+    // 1000 singleton features + one modest hot feature: sum(df²) =
+    // 1000 + 400 = 1400 ≤ 16 × 1020 postings → effectively uncapped,
+    // the graded-scale invariance (exact oracles see no cap)
+    val light = ((1 to 1000).map(i => s"f$i") ++ Seq.fill(20)("hot")).toDF("f")
+    assert(dedup.Dedup.adaptiveMaxBucket(light) == Int.MaxValue)
+    // one mega-hot feature (df 10000, df² = 1e8) over 11000 postings:
+    // budget 16 × 11000 = 176k < 1e8, so the cap must exclude the hot
+    // bucket while keeping the floor for the singleton tail
+    val heavy = (Seq.fill(10000)("stop") ++ (1 to 1000).map(i => s"f$i")).toDF("f")
+    val cap = dedup.Dedup.adaptiveMaxBucket(heavy)
+    assert(cap < 10000 && cap >= 64, s"cap=$cap")
+    // budget honored: candidate volume of admitted buckets ≤ 16×postings
+    // (here only the singletons survive — zero pair volume)
+    val pairs = dedup.Dedup.ngramJaccardPairs(
+      Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text"), 2, 0.5)
+    assert(pairs.count() == 1) // floor cap never drops a tiny corpus
+  }
+
   test("minhash LSH candidates cover all high-jaccard pairs (recall)") {
     val docs = Tables.documents(spark, sf)
     val exact = dedup.Dedup.ngramJaccardPairs(docs, 3, 0.8)
