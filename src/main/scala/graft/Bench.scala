@@ -4,9 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle width defaults to the thread count (right at graded
+    // scales); 100× soaks raise it so per-partition sorts stay
+    // spill-friendly — the local-mode analogue of sizing partitions
+    // to executor memory at cluster scale
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -36,7 +41,10 @@ object Bench {
     // the host's stall windows span several consecutive executions,
     // so back-to-back repeats of one query can all be hit — passes
     // minutes apart are not
-    val passes = Seq.fill(4)(queries.map { case (name, fn) => name -> timeOnce(fn) })
+    // pass count: 4 by default (the driver's steady-state contract);
+    // soak runs at 100× data dial it down via SPARK_GRAFT_PASSES
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
+    val passes = Seq.fill(nPasses)(queries.map { case (name, fn) => name -> timeOnce(fn) })
     val results = queries.keys.map { name =>
       name -> passes.map(_(name)).min
     }.toMap

@@ -747,7 +747,11 @@ object SparkEntry {
     // (corpus-as-queries must not broadcast); rows-only by design
     // (approximate recall), pinned by a recall spec vs the exact graph
     "q_knn_graph_ivf" -> ((s, dir) =>
-      Ann.knnGraphIvf(Tables.embeddings(s, dir), 5, 16, 6, refineIters = 2)),
+      // adaptive cell count (corpus/256, clamped): the fixed-nCells
+      // probe join is quadratic in per-cell occupancy — the 100×
+      // soak's spill-death; rows-only by declared design, recall
+      // pinned by spec vs the exact graph
+      Ann.knnGraphIvfAuto(Tables.embeddings(s, dir), 5, 6, refineIters = 2)),
     // D26: int8 embedding quantization, graded through exact integer
     // digests of the quantized vectors (sum, sum of squares)
     "q_embed_quantize" -> ((s, dir) =>
@@ -776,6 +780,18 @@ object SparkEntry {
     "q_ann_ivf_kmeans" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), 16, 4, 10, refineIters = 2)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
+    }),
+    // D6b-auto: the at-scale IVF config — cell count TRACKS the corpus
+    // (fitIvfAuto, ⌈n/256⌉ clamped to [1,4096]) so per-cell occupancy
+    // and therefore the probe join stay linear as the corpus grows;
+    // the oracle recomputes the same cell count from COUNT(*), so
+    // this is full-oracle at every scale factor, not just the one
+    // where ⌈n/256⌉ happens to equal a pinned constant
+    "q_ann_ivf_auto" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+        Ann.autoCellCount(emb.count(), 256), 4, 10)
         .select("query_id", "neighbor_id", "rnk", "cos_sim")
     }),
     // embedding normalization (unit vectors + norm)
@@ -972,6 +988,17 @@ object SparkEntry {
       val corpus = base.unionByName(base.select(
         (col("vec_id") + 100000).as("vec_id"), col("embedding")))
       Ann.semanticDedup(corpus, Ann.fitIvf(corpus, 16), 0.8)
+    }),
+    // D42-auto: SemDeDup at the scale config — fitIvfAuto keeps mean
+    // cell occupancy ≈256 so the within-cell Σ|cell|² pairwise stage
+    // is linear in corpus size (fixed 16 cells is quadratic — the
+    // 100× soak's spill-death for this query); oracle recomputes
+    // ⌈n/256⌉ from COUNT(*) so the grade holds at any SF
+    "q_dedup_semantic_auto" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val corpus = base.unionByName(base.select(
+        (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Ann.semanticDedup(corpus, Ann.fitIvfAuto(corpus), 0.8)
     }),
     // D45: cell-balanced diversity sampling — 4 vectors per IVF cell
     // by deterministic hash order (coreset over embedding space)
@@ -2572,6 +2599,34 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
         |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 10""".stripMargin,
+    // adaptive-cell IVF: same replay, but the seed-cell count is
+    // derived from COUNT(*) exactly as Ann.autoCellCount does
+    "q_ann_ivf_auto" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |k AS (SELECT GREATEST(1, LEAST(4096,
+        |        CAST(CEIL(COUNT(*) / 256.0) AS BIGINT))) AS ncells FROM e),
+        |c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM (
+        |  SELECT vec_id, emb, ROW_NUMBER() OVER (ORDER BY vec_id) AS srn
+        |  FROM e) WHERE srn <= (SELECT ncells FROM k)),
+        |cells AS (SELECT vec_id, emb, c_norm, cell_id FROM (
+        |  SELECT e.vec_id, e.emb, sqrt(list_dot_product(e.emb, e.emb)) AS c_norm, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |     ORDER BY -list_dot_product(e.emb, c.c_emb) ASC, c.cell_id ASC) AS rn
+        |  FROM e, c) WHERE rn = 1),
+        |q AS (SELECT query_id, qe, q_norm, cell_id FROM (
+        |  SELECT e.vec_id AS query_id, e.emb AS qe,
+        |   sqrt(list_dot_product(e.emb, e.emb)) AS q_norm, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |     ORDER BY -list_dot_product(e.emb, c.c_emb) ASC, c.cell_id ASC) AS rn
+        |  FROM e, c WHERE e.vec_id < 5) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT q.query_id, cells.vec_id AS neighbor_id,
+        |   list_dot_product(q.qe, cells.emb) / q.q_norm / cells.c_norm AS cos_sim
+        |  FROM q JOIN cells ON q.cell_id = cells.cell_id
+        |  WHERE cells.vec_id <> q.query_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
+        |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 10""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
         |FROM embeddings""".stripMargin,
@@ -2969,6 +3024,30 @@ object SparkEntry {
         |    AS sampling_rate,
         |  CAST(target_tokens AS DOUBLE) / avail_tokens AS epochs
         |FROM p""".stripMargin,
+    // adaptive-cell SemDeDup: the oracle derives the SAME cell count
+    // the operator does — ⌈n/256⌉ clamped to [1,4096] from COUNT(*) —
+    // then replays seed assignment (lowest-id vectors) and the
+    // within-cell pairwise test, so the grade is exact at any SF
+    "q_dedup_semantic_auto" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |e AS (SELECT * FROM base
+        |      UNION ALL SELECT vec_id + 100000, emb FROM base),
+        |k AS (SELECT GREATEST(1, LEAST(4096,
+        |        CAST(CEIL(COUNT(*) / 256.0) AS BIGINT))) AS ncells FROM e),
+        |c AS (SELECT vec_id AS cell_id, emb AS c_emb FROM (
+        |  SELECT vec_id, emb, ROW_NUMBER() OVER (ORDER BY vec_id) AS srn
+        |  FROM e) WHERE srn <= (SELECT ncells FROM k)),
+        |cells AS (SELECT vec_id, emb, nrm, cell_id FROM (
+        |  SELECT e.vec_id, e.emb, sqrt(list_dot_product(e.emb, e.emb)) AS nrm, c.cell_id,
+        |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |     ORDER BY -list_dot_product(e.emb, c.c_emb) ASC, c.cell_id ASC) AS rn
+        |  FROM e, c) WHERE rn = 1),
+        |dups AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
+        |  ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        |  AND list_dot_product(a.emb, b.emb) / a.nrm / b.nrm >= 0.8)
+        |SELECT cells.vec_id, cells.cell_id,
+        | (dups.vec_id IS NOT NULL) AS is_dup
+        |FROM cells LEFT JOIN dups ON cells.vec_id = dups.vec_id""".stripMargin,
     // cell assignment replays the IVF oracle (seed centroids =
     // 16 lowest ids); within-cell pairwise at theta=0.8, dup iff a
     // lower id in the same cell clears the threshold

@@ -122,6 +122,28 @@ object Ann {
     * the mutuality join is identical — it only ever sees the n*k
     * edge table.
     */
+  /** [[knnGraphIvf]] with a cell count that TRACKS the corpus — the
+    * kNN-graph analogue of the adaptive LSH bucket width and the
+    * adaptive posting cap, fixing the third instance of the
+    * fixed-parameter defect class the soaks keep catching: at a fixed
+    * nCells, per-cell occupancy is n/nCells and the probe join scores
+    * Σ|cell|·|probers| ≈ n²·nprobe/nCells rows — the 100× soak's
+    * 200k-vector corpus at nCells=16 tried to materialize ~15 BILLION
+    * scored rows and died in spill. With nCells = ⌈n/targetCellSize⌉
+    * the scored volume is n·nprobe·targetCellSize — linear by
+    * construction. Clamped to [nprobe, 4096]: the upper bound is
+    * [[fitIvf]]'s literal-centroid contract (beyond ~1M vectors at
+    * the default target, fit centroids separately and broadcast-join
+    * the assignment, as fitIvf's own doc directs). Costs one count()
+    * of the corpus.
+    */
+  def knnGraphIvfAuto(corpus: DataFrame, k: Int, nprobe: Int,
+                      refineIters: Int = 0,
+                      targetCellSize: Int = 256): DataFrame = {
+    val nCells = autoCellCount(corpus.count(), targetCellSize, lo = nprobe.toLong)
+    knnGraphIvf(corpus, k, nCells, nprobe, refineIters)
+  }
+
   def knnGraphIvf(corpus: DataFrame, k: Int, nCells: Int, nprobe: Int,
                   refineIters: Int = 0): DataFrame =
     knnGraphIvfEdges(corpus, k, nCells, nprobe, refineIters)
@@ -141,17 +163,15 @@ object Ann {
       refineIters: Int): Option[DataFrame] = {
     val model = fitIvf(corpus, nCells, refineIters)
     if (model.isEmpty) return None
-    val centLit = centroidLiteral(model.centroids)
     val cells = corpus.select(
       col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("c_norm"),
-      element_at(rankedCells(centLit, col("embedding")), 1)
-        .getField("cell_id").as("cell_id"))
+      bestCell(model.centroids, col("embedding")).as("cell_id"))
     val probes = corpus.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"),
-      explode(transform(slice(rankedCells(centLit, col("embedding")), 1, nprobe),
-        r => r.getField("cell_id"))).as("cell_id"))
+      explode(probeCells(model.centroids, col("embedding"), nprobe))
+        .as("cell_id"))
     val scored = cells.join(probes.hint("shuffle_hash"), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -348,16 +368,34 @@ object Ann {
     * nodes that every analyzer/optimizer pass re-walks; a single
     * typedLit carries the same data as one value.
     */
-  private def centroidLiteral(cent: Seq[(Long, Seq[Float])]): Column =
+  private[graft] def centroidLiteral(cent: Seq[(Long, Seq[Float])]): Column =
     typedLit(cent.map { case (id, emb) => Cent(id, emb) })
 
   /** cells ranked by (-dot asc, cell_id asc) — same ordering as the
-    * oracle's window; struct sort compares field-by-field.
+    * oracle's window; struct sort compares field-by-field. This HOF
+    * form is the PARITY REFERENCE: higher-order functions never enter
+    * whole-stage codegen, so every production path assigns/probes via
+    * the native [[graft.functions.IvfBestCells]] kernel instead (one
+    * imperative eval per row vs nCells interpreted tree walks plus a
+    * sort — the 100× soak's wall at adaptive cell counts); a spec
+    * pins the two forms element-equal.
     */
-  private def rankedCells(centLit: Column, embCol: Column): Column =
+  private[graft] def rankedCells(centLit: Column, embCol: Column): Column =
     array_sort(transform(centLit, c =>
       struct((-dot(embCol, c.getField("c_emb"))).as("d"),
         c.getField("cell_id").as("cell_id"))))
+
+  /** argmin cell id via the native kernel (bit-identical to
+    * `element_at(rankedCells(...), 1).cell_id`).
+    */
+  private def bestCell(cent: Seq[(Long, Seq[Float])], embCol: Column): Column =
+    element_at(
+      graft.functions.VectorFunctions.ivfBestCells(embCol, cent, 1), 1)
+
+  /** Top-`nprobe` probe cells via the native kernel. */
+  private def probeCells(cent: Seq[(Long, Seq[Float])], embCol: Column,
+                         nprobe: Int): Column =
+    graft.functions.VectorFunctions.ivfBestCells(embCol, cent, nprobe)
 
   /** Deterministic IVF seed centroids: the `nCells` lowest-id vectors
     * (a TakeOrdered, not a full sort — and correct for any id space,
@@ -387,11 +425,9 @@ object Ann {
                       iters: Int): Seq[(Long, Seq[Float])] = {
     var cent = seeds
     for (_ <- 0 until iters) {
-      val centLit = centroidLiteral(cent)
       val means = corpus
         .select(
-          element_at(rankedCells(centLit, col("embedding")), 1)
-            .getField("cell_id").as("cell_id"),
+          bestCell(cent, col("embedding")).as("cell_id"),
           posexplode(col("embedding")))
         .groupBy(col("cell_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -414,6 +450,32 @@ object Ann {
   final case class IvfModel(centroids: Seq[(Long, Seq[Float])]) {
     def isEmpty: Boolean = centroids.isEmpty
   }
+
+  /** Corpus-tracking cell count: ⌈n / targetCellSize⌉ clamped to
+    * [`lo`, 4096]. Every fixed-parameter scale defect the soaks have
+    * caught (LSH bucket width, posting caps, kNN-graph cells) had the
+    * same root — a constant that should have been a function of n —
+    * so cell-count choice lives here, once, shared by every adaptive
+    * entry point.
+    */
+  private[graft] def autoCellCount(n: Long, targetCellSize: Int,
+                                   lo: Long = 1L): Int =
+    math.max(lo,
+      math.min(4096L, (n + targetCellSize - 1) / targetCellSize)).toInt
+
+  /** [[fitIvf]] with the cell count derived from the corpus size
+    * (one count() of the corpus). Mean cell occupancy stays at
+    * `targetCellSize` as the corpus grows, so every within-cell
+    * pairwise stage (semanticDedup's Σ|cell|², ivfTopK's probe join)
+    * is linear in n by construction — a fixed nCells makes those
+    * quadratic, which is exactly how the 100× soak killed the 16-cell
+    * configs. Beyond 4096·targetCellSize vectors the clamp saturates:
+    * fit centroids separately and broadcast-join the assignment, per
+    * [[fitIvf]]'s own contract.
+    */
+  def fitIvfAuto(corpus: DataFrame, refineIters: Int = 0,
+                 targetCellSize: Int = 256): IvfModel =
+    fitIvf(corpus, autoCellCount(corpus.count(), targetCellSize), refineIters)
 
   /** Fit the IVF cells: deterministic seeds + optional Lloyd rounds. */
   def fitIvf(corpus: DataFrame, nCells: Int, refineIters: Int = 0): IvfModel = {
@@ -439,17 +501,15 @@ object Ann {
       return Seq.empty[(Long, Long, Int, Double)]
         .toDF("query_id", "neighbor_id", "rnk", "cos_sim")
     }
-    val centLit = centroidLiteral(model.centroids)
-    def rankedCells(embCol: Column): Column = Ann.rankedCells(centLit, embCol)
     val cells = corpus.select(
       col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("c_norm"),
-      element_at(rankedCells(col("embedding")), 1).getField("cell_id").as("cell_id"))
+      bestCell(model.centroids, col("embedding")).as("cell_id"))
     val probes = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"),
-      explode(transform(slice(rankedCells(col("embedding")), 1, nprobe),
-        r => r.getField("cell_id"))).as("cell_id"))
+      explode(probeCells(model.centroids, col("embedding"), nprobe))
+        .as("cell_id"))
     val scored = cells.join(broadcast(probes), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -681,12 +741,10 @@ object Ann {
     * broadcast.
     */
   def semanticDedup(corpus: DataFrame, model: IvfModel, theta: Double): DataFrame = {
-    val centLit = centroidLiteral(model.centroids)
     val cells = corpus.select(
       col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
-      element_at(rankedCells(centLit, col("embedding")), 1)
-        .getField("cell_id").as("cell_id"))
+      bestCell(model.centroids, col("embedding")).as("cell_id"))
     val a = cells.select(col("cell_id"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("nrm").as("n_a"))
     val b = cells.select(col("cell_id"), col("vec_id").as("id_b"),
@@ -711,11 +769,9 @@ object Ann {
     * single shuffle — never a window sort of the corpus.
     */
   def sampleDiverse(corpus: DataFrame, model: IvfModel, k: Int): DataFrame = {
-    val centLit = centroidLiteral(model.centroids)
     val cells = corpus.select(
       col("vec_id"),
-      element_at(rankedCells(centLit, col("embedding")), 1)
-        .getField("cell_id").as("cell_id"))
+      bestCell(model.centroids, col("embedding")).as("cell_id"))
     graft.text.TextOps.sampleStratified(cells, Seq("cell_id"), "vec_id", k)
   }
 

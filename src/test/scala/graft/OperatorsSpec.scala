@@ -119,6 +119,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out2.exceptAll(out).isEmpty && out.exceptAll(out2).isEmpty)
   }
 
+  test("ivf_best_cells kernel equals the HOF ranked-cells reference " +
+    "(assignment and probe lists, element-for-element)") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = ann.Ann.fitIvf(emb, 16, refineIters = 1)
+    val centLit = ann.Ann.centroidLiteral(model.centroids)
+    for (nprobe <- Seq(1, 3, 6)) {
+      val both = emb.select(
+        org.apache.spark.sql.graftglue.ColumnGlue.column(
+          graft.functions.IvfBestCells(
+            org.apache.spark.sql.graftglue.ColumnGlue.expr(col("embedding")),
+            model.centroids, nprobe)).as("fast"),
+        slice(ann.Ann.rankedCells(centLit, col("embedding")), 1, nprobe)
+          .as("ref"))
+      val bad = both.filter(
+        expr("transform(ref, r -> r.cell_id)") =!= col("fast")).count()
+      assert(bad == 0, s"nprobe=$nprobe: $bad rows diverge from the HOF form")
+    }
+  }
+
+  test("autoCellCount: tracks ⌈n/target⌉, clamps to [lo, 4096]") {
+    assert(ann.Ann.autoCellCount(0L, 256) == 1)
+    assert(ann.Ann.autoCellCount(255L, 256) == 1)
+    assert(ann.Ann.autoCellCount(257L, 256) == 2)
+    assert(ann.Ann.autoCellCount(200000L, 256) == 782)
+    assert(ann.Ann.autoCellCount(10L, 256, lo = 6L) == 6)
+    assert(ann.Ann.autoCellCount(Long.MaxValue / 4, 256) == 4096)
+  }
+
   test("adaptive posting cap: uncapped when the distribution fits the " +
     "budget, budget-bounded when it cannot") {
     import spark.implicits._
