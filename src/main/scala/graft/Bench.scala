@@ -19,6 +19,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // fail fast on testdata schema drift (round-5 lesson)
     Tables.validate(spark, sfDir)
+    // opt-in per-query shuffle/spill accounting (SPARK_GRAFT_METRICS=1):
+    // wall time alone can hide a shuffle-volume blowup behind fast
+    // kernels (the sf1 q_dedup_semantic lesson), so soak runs record
+    // bytes moved as the scale-honest second axis
+    val metricsOn = sys.env.contains("SPARK_GRAFT_METRICS")
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    if (metricsOn) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillBytes.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     // optional subset filter for isolating queries: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
@@ -44,7 +62,22 @@ object Bench {
     // pass count: 4 by default (the driver's steady-state contract);
     // soak runs at 100× data dial it down via SPARK_GRAFT_PASSES
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
-    val passes = Seq.fill(nPasses)(queries.map { case (name, fn) => name -> timeOnce(fn) })
+    // shuffle/spill bytes are measured on the first pass only (they
+    // are deterministic per query; listener events drain async, so
+    // each measured window gets a short flush wait)
+    val shufByQuery = scala.collection.mutable.Map[String, Long]()
+    val spillByQuery = scala.collection.mutable.Map[String, Long]()
+    val passes = (0 until nPasses).map { p =>
+      queries.map { case (name, fn) =>
+        if (metricsOn && p == 0) {
+          Thread.sleep(50); shufBytes.set(0L); spillBytes.set(0L)
+          val t = timeOnce(fn)
+          Thread.sleep(50)
+          shufByQuery(name) = shufBytes.get(); spillByQuery(name) = spillBytes.get()
+          name -> t
+        } else name -> timeOnce(fn)
+      }
+    }
     val results = queries.keys.map { name =>
       name -> passes.map(_(name)).min
     }.toMap
@@ -55,7 +88,14 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_count":${failed.size},"failed":$failedJson,"sf":"$sfDir"}"""
+    val metricsJson = if (metricsOn) {
+      val sh = shufByQuery.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val sp = spillByQuery.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s""","shuffle_bytes":$sh,"spill_bytes":$sp"""
+    } else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_count":${failed.size},"failed":$failedJson$metricsJson,"sf":"$sfDir"}"""
     println(line)
     // self-written complete artifact: the driver's log capture
     // truncates the tail, so the full per-query map is also committed

@@ -386,22 +386,45 @@ object SparkEntry {
     // C9b: CDC apply — latest change per key wins; U overridden by a
     // later U, D beats earlier U, I lands new keys (all mod-derived)
     "q_cdc_apply" -> ((s, dir) => {
-      val base = Tables.orders(s, dir).select(
-        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
-      def ch(cond: org.apache.spark.sql.Column, op: String, seq: Int,
-             st: org.apache.spark.sql.Column,
-             keyExpr: org.apache.spark.sql.Column) =
-        base.filter(cond).select(keyExpr.as("k"), st.as("status"),
-          col("cents"), lit(op).as("op"), lit(seq).as("change_seq"))
-      val changes =
-        ch(col("k") % 7 === 0, "U", 1, lit("U1"), col("k"))
-          .unionByName(ch(col("k") % 21 === 0, "U", 2, lit("U2"), col("k")))
-          .unionByName(ch(col("k") % 11 === 0, "D", 3, col("status"), col("k")))
-          .unionByName(ch(col("k") % 13 === 0, "I", 1, lit("N"),
-            col("k") + 5000000L))
+      val (base, changes) = cdcFixture(s, dir)
       Maintenance.applyCdc(base, changes, "k", Seq("change_seq"))
     }),
+    // C17: time-travel snapshot — the SAME change stream as
+    // q_cdc_apply reconstructed AS OF change_seq 2: the seq-3 deletes
+    // have not happened yet, U2 already beats U1, the seq-1 inserts
+    // are in — a distinct state from both the base and the full apply
+    "q_snapshot_at" -> ((s, dir) => {
+      val (base, changes) = cdcFixture(s, dir)
+      Maintenance.snapshotAt(base, changes, "k", "change_seq", 2)
+    }),
+    // E72: pattern with negation — view → next purchase with no error
+    // strictly between; the MATCH_RECOGNIZE shape funnels can't say
+    "q_pattern_negation" -> ((s, dir) =>
+      graft.operators.Analytics.patternWithNegation(
+        Tables.events(s, dir), "view", "purchase", "error")
+        .withColumn("start_ts", col("start_ts").cast("timestamp_ntz"))
+        .withColumn("target_ts", col("target_ts").cast("timestamp_ntz"))),
+    // E73: autocorrelation profile of each type's daily-count series,
+    // lags 1..7 (the weekly-seasonality detector); exact BIGINT
+    // moments, one double division+sqrt at the end
+    "q_autocorr" -> ((s, dir) =>
+      graft.operators.Analytics.autocorrelation(Tables.events(s, dir), 7)),
+    // C16: join-key discovery — distinct-value containment across the
+    // star schema's candidate key columns; containment ≈ 1.0 one way
+    // is the foreign-key signature
+    "q_join_discovery" -> ((s, dir) =>
+      Reconcile.joinKeyDiscovery(Seq(
+        ("orders.o_custkey", Tables.orders(s, dir), "o_custkey"),
+        ("customer.c_custkey", Tables.customer(s, dir), "c_custkey"),
+        ("lineitem.l_orderkey", Tables.lineitem(s, dir), "l_orderkey"),
+        ("orders.o_orderkey", Tables.orders(s, dir), "o_orderkey"),
+        ("lineitem.l_partkey", Tables.lineitem(s, dir), "l_partkey"),
+        ("part.p_partkey", Tables.part(s, dir), "p_partkey"),
+        ("lineitem.l_suppkey", Tables.lineitem(s, dir), "l_suppkey"),
+        ("supplier.s_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+        ("customer.c_nationkey", Tables.customer(s, dir), "c_nationkey"),
+        ("nation.n_nationkey", Tables.nation(s, dir), "n_nationkey"),
+        ("events.user_id", Tables.events(s, dir), "user_id")))),
     // B34: reverse referential check — dimension rows no fact uses
     // (facts restricted to the big-ticket slice so the check has
     // positives at every SF — the "active subset" a migration loads)
@@ -1009,6 +1032,14 @@ object SparkEntry {
     // D43: deterministic hash-based train/val/test split (80/10/10)
     "q_split_assign" -> ((s, dir) =>
       TextOps.splitAssign(Tables.documents(s, dir), "doc_id", 80, 10)),
+    // D93: leakage-safe split — assignment hashes the duplicate
+    // CLUSTER (n-gram Jaccard components), so near-dups never
+    // straddle the train/eval boundary
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.leakageSafeSplit(docs,
+        Dedup.ngramJaccardPairs(docs, 3, 0.8), 80, 10)
+    }),
     // D44: epoch-seeded shard shuffle — 2 epochs × 8 shards, window
     // bounded per (epoch, shard), never a global row_number
     "q_shuffle_shards" -> ((s, dir) =>
@@ -1411,6 +1442,11 @@ object SparkEntry {
     // through the VecMoments kernel, one ~d²/2-long buffer per task
     "q_embed_cov" -> ((s, dir) =>
       Ann.embedCovariance(Tables.embeddings(s, dir))),
+    // D94: dominant principal component by 8-round power iteration on
+    // the exact covariance — every float op ordered left-to-right, so
+    // the oracle replays it bit-exactly with list_dot_product
+    "q_top_eigen" -> ((s, dir) =>
+      Ann.dominantEigen(Tables.embeddings(s, dir), 8)),
     // D56: deterministic ±1 random projection to 16 dims (long-form
     // for grading; integer end-to-end)
     "q_rand_proj" -> ((s, dir) =>
@@ -1863,6 +1899,29 @@ object SparkEntry {
     * (the reference's own entry-point format) and run the routed
     * pipeline over a two-file raw feed with fixed contents.
     */
+  /** Shared CDC fixture: orders as the base table plus a mod-derived
+    * change stream (U at seq 1, overriding U at seq 2, D at seq 3,
+    * I at seq 1 on fresh keys) — q_cdc_apply applies all of it,
+    * q_snapshot_at reconstructs the state as of seq 2.
+    */
+  private def cdcFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    def ch(cond: org.apache.spark.sql.Column, op: String, seq: Int,
+           st: org.apache.spark.sql.Column,
+           keyExpr: org.apache.spark.sql.Column) =
+      base.filter(cond).select(keyExpr.as("k"), st.as("status"),
+        col("cents"), lit(op).as("op"), lit(seq).as("change_seq"))
+    val changes =
+      ch(col("k") % 7 === 0, "U", 1, lit("U1"), col("k"))
+        .unionByName(ch(col("k") % 21 === 0, "U", 2, lit("U2"), col("k")))
+        .unionByName(ch(col("k") % 11 === 0, "D", 3, col("status"), col("k")))
+        .unionByName(ch(col("k") % 13 === 0, "I", 1, lit("N"),
+          col("k") + 5000000L))
+    (base, changes)
+  }
+
   private def configRun(s: SparkSession): DataFrame = {
     import graft.etl.{ChillPipeline, ConfigFile, WorkbookConfig}
     val rawDir = java.nio.file.Files.createTempDirectory("q_config_run")
@@ -2487,6 +2546,30 @@ object SparkEntry {
         |  UNION
         |  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node)
         |SELECT node AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY node""".stripMargin),
+    // leakage-safe split: the same reachability closure labels each
+    // doc with its duplicate-cluster id (singletons fall back to
+    // their own id); the split hashes THAT key with split_assign's
+    // multiplicative scheme
+    "q_split_leakage" -> (shingleCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + ",\n" +
+      """jp AS (SELECT doc_a, doc_b
+        |  FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION SELECT doc_b, doc_a FROM jp),
+        |reach(node, lbl) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN e ON e.a = r.node),
+        |grp AS (SELECT node AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY node),
+        |keyed AS (SELECT d.doc_id,
+        |   COALESCE(g.group_id, d.doc_id) AS split_key
+        |  FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id)
+        |SELECT doc_id, split_key,
+        | (split_key * 2654435761) % 4294967296 % 100 AS bucket,
+        | CASE WHEN (split_key * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |      WHEN (split_key * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM keyed""".stripMargin),
     "q_dedup_filtered" -> (shingleCtes + ",\n" +
       """dups AS (SELECT DISTINCT doc_b FROM pairs
         |  JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
@@ -4159,6 +4242,48 @@ object SparkEntry {
         |SELECT p.i, p.j, cnt.n, ma.s AS s_i, mb.s AS s_j, p.sxy,
         | CAST(cnt.n*p.sxy - ma.s*mb.s AS DOUBLE)/(CAST(cnt.n AS DOUBLE)*cnt.n) AS cov
         |FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j CROSS JOIN cnt""".stripMargin,
+    // dominant eigenvector: replay the exact covariance CTEs, then 8
+    // unrolled power-iteration rounds — every list ordered by index,
+    // every dot product left-to-right, so the doubles match the
+    // driver-side iteration bit-for-bit
+    "q_top_eigen" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""w$k AS (SELECT i, list_dot_product(rl, (SELECT vl FROM v${k - 1})) AS xx FROM rows_),
+           |l$k AS (SELECT list(xx ORDER BY i) AS l FROM w$k),
+           |v$k AS (SELECT list_transform(l, y -> y / sqrt(list_dot_product(l, l))) AS vl FROM l$k)""".stripMargin
+      }.mkString(",\n")
+      """WITH s AS (SELECT vec_id, embedding,
+        |   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+        |  FROM embeddings),
+        |e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CASE WHEN max_abs = 0 THEN 0
+        |     ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5) AS INT)
+        |     END) AS qvec
+        |  FROM s),
+        |x AS (SELECT vec_id, unnest(qvec) AS v,
+        |   unnest(generate_series(1, len(qvec))) AS i FROM e),
+        |p AS (SELECT a.i AS i, b.i AS j,
+        |   CAST(sum(CAST(a.v AS BIGINT) * b.v) AS BIGINT) AS sxy
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+        |m AS (SELECT i, CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS s FROM x GROUP BY 1),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |tri AS (SELECT p.i, p.j,
+        |   CAST(cnt.n*p.sxy - ma.s*mb.s AS DOUBLE)/(CAST(cnt.n AS DOUBLE)*cnt.n) AS cov
+        |  FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j CROSS JOIN cnt),
+        |sym AS (SELECT i, j, cov FROM tri
+        |        UNION ALL SELECT j, i, cov FROM tri WHERE i <> j),
+        |rows_ AS (SELECT i, list(cov ORDER BY j) AS rl FROM sym GROUP BY i),
+        |dd AS (SELECT CAST(max(i) AS INT) AS d FROM rows_),
+        |v0 AS (SELECT list_transform(generate_series(1, d),
+        |   q -> 1.0 / sqrt(CAST(d AS DOUBLE))) AS vl FROM dd),
+        |""".stripMargin + rounds + """,
+        |wf AS (SELECT i, list_dot_product(rl, (SELECT vl FROM v8)) AS xx FROM rows_),
+        |lf AS (SELECT list(xx ORDER BY i) AS l FROM wf)
+        |SELECT CAST(r.i AS INT) AS pos,
+        | (SELECT vl FROM v8)[r.i] AS component,
+        | (SELECT list_dot_product((SELECT vl FROM v8), l) FROM lf) AS eigenvalue
+        |FROM rows_ r""".stripMargin
+    },
     // the same integer sign hash; every term BIGINT so pv is exact
     "q_rand_proj" ->
       """WITH s AS (SELECT vec_id, embedding,
@@ -4972,6 +5097,103 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.k = b.k)
         |UNION ALL
         |SELECT k, status, cents FROM latest WHERE op <> 'D'""".stripMargin,
+    // same change stream truncated to change_seq <= 2 — the seq-3
+    // deletes have not happened yet in the reconstructed state
+    "q_snapshot_at" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |ch AS (
+        |  SELECT k, 'U1' AS status, cents, 'U' AS op, 1 AS change_seq
+        |  FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, 'U2', cents, 'U', 2 FROM base WHERE k % 21 = 0
+        |  UNION ALL
+        |  SELECT k, status, cents, 'D', 3 FROM base WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT k + 5000000, 'N', cents, 'I', 1 FROM base WHERE k % 13 = 0),
+        |cut AS (SELECT * FROM ch WHERE change_seq <= 2),
+        |latest AS (SELECT * FROM (SELECT cut.*,
+        |   row_number() OVER (PARTITION BY k ORDER BY change_seq DESC) AS rn
+        |  FROM cut) WHERE rn = 1)
+        |SELECT b.k, b.status, b.cents FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM cut WHERE cut.k = b.k)
+        |UNION ALL
+        |SELECT k, status, cents FROM latest WHERE op <> 'D'""".stripMargin,
+    // the same descending (ts, event_id) lookahead window; a blocker
+    // blocks only if strictly earlier than the target
+    "q_pattern_negation" ->
+      """WITH x AS (SELECT user_id, event_id, ts, event_type,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) OVER w AS next_target,
+        |  min(CASE WHEN event_type = 'error' THEN ts END) OVER w AS next_blocker
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS start_event_id, ts AS start_ts,
+        | CASE WHEN next_target IS NULL THEN 'none'
+        |      WHEN next_blocker IS NOT NULL AND next_blocker < next_target
+        |        THEN 'blocked'
+        |      ELSE 'converted' END AS outcome,
+        | CASE WHEN next_target IS NOT NULL
+        |       AND (next_blocker IS NULL OR next_blocker >= next_target)
+        |      THEN next_target END AS target_ts
+        |FROM x WHERE event_type = 'view'""".stripMargin,
+    // exact BIGINT moments over day-joined (x_t, x_{t-lag}) pairs;
+    // one double division + sqrts at the end, same op order both sides
+    "q_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, x,
+        |   CAST(unnest([1, 2, 3, 4, 5, 6, 7]) AS INT) AS lag FROM daily),
+        |p AS (SELECT a.event_type, a.lag, a.x, b.x AS y
+        |  FROM l a JOIN daily b ON b.event_type = a.event_type
+        |   AND b.day = a.day - CAST(a.lag AS INT)),
+        |g AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(x * y) AS BIGINT) AS sxy,
+        |   CAST(sum(x * x) AS BIGINT) AS sxx,
+        |   CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag, n,
+        | CAST(n*sxy - sx*sy AS DOUBLE) /
+        |  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |   sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS r
+        |FROM g""".stripMargin,
+    // per-column distinct sets meet in one value join; containment
+    // is n_common over each side's distinct count
+    "q_join_discovery" ->
+      """WITH t AS (
+        |  SELECT DISTINCT 'orders.o_custkey' AS tag, CAST(o_custkey AS BIGINT) AS v
+        |    FROM orders WHERE o_custkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'customer.c_custkey', CAST(c_custkey AS BIGINT)
+        |    FROM customer WHERE c_custkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'lineitem.l_orderkey', CAST(l_orderkey AS BIGINT)
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'orders.o_orderkey', CAST(o_orderkey AS BIGINT)
+        |    FROM orders WHERE o_orderkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'lineitem.l_partkey', CAST(l_partkey AS BIGINT)
+        |    FROM lineitem WHERE l_partkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'part.p_partkey', CAST(p_partkey AS BIGINT)
+        |    FROM part WHERE p_partkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'lineitem.l_suppkey', CAST(l_suppkey AS BIGINT)
+        |    FROM lineitem WHERE l_suppkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'supplier.s_suppkey', CAST(s_suppkey AS BIGINT)
+        |    FROM supplier WHERE s_suppkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'customer.c_nationkey', CAST(c_nationkey AS BIGINT)
+        |    FROM customer WHERE c_nationkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'nation.n_nationkey', CAST(n_nationkey AS BIGINT)
+        |    FROM nation WHERE n_nationkey IS NOT NULL
+        |  UNION ALL SELECT DISTINCT 'events.user_id', CAST(user_id AS BIGINT)
+        |    FROM events WHERE user_id IS NOT NULL),
+        |counts AS (SELECT tag, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        |j AS (SELECT a.tag AS col_a, b.tag AS col_b,
+        |   CAST(count(*) AS BIGINT) AS n_common
+        |  FROM t a JOIN t b ON a.v = b.v AND a.tag < b.tag GROUP BY 1, 2)
+        |SELECT col_a, col_b, ca.n AS n_a, cb.n AS n_b, n_common,
+        | CAST(n_common AS DOUBLE) / ca.n AS containment_a_in_b,
+        | CAST(n_common AS DOUBLE) / cb.n AS containment_b_in_a
+        |FROM j JOIN counts ca ON ca.tag = col_a
+        |JOIN counts cb ON cb.tag = col_b""".stripMargin,
     "q_unused_dims" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_unused_customers
         |FROM customer

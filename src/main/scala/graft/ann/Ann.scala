@@ -824,6 +824,68 @@ object Ann {
           / (col("n").cast("double") * col("n")))
   }
 
+  /** Dominant principal component of the quantized-embedding
+    * covariance by fixed-round power iteration — the PCA front end
+    * for whitening, dominant-direction removal (the "all embeddings
+    * share one rogue axis" pathology), and explained-variance QA.
+    * The covariance comes from [[embedCovariance]]'s one-scan integer
+    * kernel; the d×d matrix (d ≤ a few hundred dims) is BOUNDED
+    * driver state under the same contract as the IVF centroids, and
+    * the iteration is d² flops per round — microseconds. Output is
+    * one row per dimension: (pos, component, eigenvalue), the
+    * eigenvalue a final Rayleigh quotient.
+    *
+    * Every float op is ordered left-to-right (mat-vec row dots, norm
+    * accumulation, the Rayleigh dot), so the result is
+    * bit-deterministic and the oracle replays it exactly with
+    * list_dot_product over the same ordered lists. Starting vector is
+    * uniform 1/√d — all-positive, so the sign convention is fixed by
+    * the iteration itself (covariance is PSD; the dominant direction
+    * cannot cancel it).
+    */
+  def dominantEigen(emb: DataFrame, iters: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    val tri = embedCovariance(emb).select("i", "j", "cov").collect()
+    require(tri.nonEmpty, "dominantEigen: empty corpus")
+    val d = tri.iterator.map(_.getInt(1)).max
+    val m = Array.ofDim[Double](d, d)
+    tri.foreach { r =>
+      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1; val c = r.getDouble(2)
+      m(i)(j) = c; m(j)(i) = c
+    }
+    def matVec(v: Array[Double]): Array[Double] = {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += m(i)(j) * v(j); j += 1 }
+        w(i) = acc; i += 1
+      }
+      w
+    }
+    def norm(v: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < d) { acc += v(i) * v(i); i += 1 }
+      math.sqrt(acc)
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 0 until iters) {
+      val w = matVec(v)
+      val nw = norm(w)
+      v = w.map(_ / nw)
+    }
+    val rayleigh = {
+      val w = matVec(v)
+      var acc = 0.0; var i = 0
+      while (i < d) { acc += v(i) * w(i); i += 1 }
+      acc
+    }
+    import spark.implicits._
+    v.toSeq.zipWithIndex
+      .map { case (c, i) => (i + 1, c, rayleigh) }
+      .toDF("pos", "component", "eigenvalue")
+  }
+
   /** Deterministic ±1 random projection (Achlioptas 2003) of the
     * quantized corpus to `outDims` BIGINT components: component k is
     * `Σ_j sign(j,k)·q_j` with the sign drawn from a fixed integer

@@ -374,6 +374,38 @@ object Dedup {
         .select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** Leakage-safe train/val/test split: assignment hashes the
+    * duplicate-CLUSTER id, not the document id, so near-duplicate
+    * documents can never straddle the train/eval boundary — the
+    * standard per-doc hash split silently plants eval answers in the
+    * training set whenever a near-dup pair splits across it (the
+    * contamination `q_decontaminate` measures after the fact; this
+    * prevents it by construction). Docs in no near-dup pair are their
+    * own singleton cluster; the in-cluster hash is the same
+    * multiplicative scheme as the per-doc split, so proportions hold.
+    *
+    * Scale: [[components]]' cost (the pair graph is already bounded
+    * by the posting caps) + one left join of the cluster table back
+    * to the corpus — the cluster table is pairs-sized, usually tiny
+    * next to the corpus, so the join broadcasts.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainPct: Int, valPct: Int,
+                       maxIter: Int = 25): DataFrame = {
+    val clusters = components(pairs, maxIter)
+    val bucket = pmod(
+      pmod(col("split_key") * lit(2654435761L), lit(4294967296L)), lit(100))
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("split_key"))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Expand each sorted posting list of ids into its (a < b) pairs
     * in-map (native one-pass expression — graft.functions.PairCombos).
     * One flat expansion per posting row, bounded by the caller's

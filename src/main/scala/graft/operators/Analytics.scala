@@ -1708,4 +1708,94 @@ object Analytics {
         col("retained").cast("double") / col("prev_active"))
       .drop("prev_active")
   }
+
+  /** Event pattern with NEGATION — "a `startType`, then the next
+    * `targetType` by the same user, with no `blockerType` strictly
+    * between" (the MATCH_RECOGNIZE shape a funnel can't express:
+    * funnels count reached stages; this asks whether an interfering
+    * event broke the path — cart → purchase with no error between,
+    * page-view → signup with no rage-click between). One row per
+    * start event with its outcome: `converted` (target came first),
+    * `blocked` (a blocker intervened), `none` (neither followed).
+    *
+    * Semantics: events are ordered per user by (ts, event_id); "next"
+    * means the minimum following ts of that type. A blocker blocks
+    * only if STRICTLY earlier than the target (equal timestamps
+    * resolve in the target's favor — documented, engine-stable, and
+    * independent of id assignment).
+    *
+    * Scale: NO per-step self-join and no sequence UDF — both
+    * lookahead columns ride ONE descending window per user (the same
+    * single exchange+sort), so cost is the sessionize shape
+    * regardless of how many pattern terms ride it. The window
+    * partitions by user: bounded per-partition state, skew-safe under
+    * AQE.
+    */
+  def patternWithNegation(events: DataFrame, startType: String,
+                          targetType: String, blockerType: String): DataFrame = {
+    // descending (ts, event_id) order makes "rows before current" =
+    // "events strictly after, in event order"; min over that frame is
+    // the earliest following occurrence
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("next_target",
+        min(when(col("event_type") === targetType, col("ts"))).over(wDesc))
+      .withColumn("next_blocker",
+        min(when(col("event_type") === blockerType, col("ts"))).over(wDesc))
+      .filter(col("event_type") === startType)
+      .select(
+        col("user_id"), col("event_id").as("start_event_id"),
+        col("ts").as("start_ts"),
+        when(col("next_target").isNull, "none")
+          .when(col("next_blocker").isNotNull &&
+            col("next_blocker") < col("next_target"), "blocked")
+          .otherwise("converted").as("outcome"),
+        when(col("next_target").isNotNull &&
+          (col("next_blocker").isNull ||
+            col("next_blocker") >= col("next_target")), col("next_target"))
+          .as("target_ts"))
+  }
+
+  /** Autocorrelation profile of each event type's daily-count series
+    * at lags 1..`maxLag` — the seasonality detector behind "is this
+    * feed weekly-periodic?" (a spike at lag 7 says yes). Pearson r of
+    * (x_t, x_{t−lag}) computed from exact BIGINT moment sums over the
+    * paired days, with ONE double division and sqrt at the end — the
+    * statistic is bit-deterministic and oracle-replayable (the same
+    * discipline as trendSlope/abTest).
+    *
+    * Scale: the feed partial-aggregates map-side to types×days rows
+    * first; the lag windows and the moment aggregation run on that
+    * dimension-sized table, so cost is the daily-rollup scan no
+    * matter the feed size or the lag count.
+    */
+  def autocorrelation(events: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "need at least lag 1")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    // pair (x_t, x_{t−lag}) by an explicit day join — robust to silent
+    // days (a row-offset window would misalign the series) and still
+    // dimension-sized on both sides
+    val lagged = daily
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("pair_day", date_sub(col("day"), col("lag")))
+    val prev = daily.select(col("event_type"),
+      col("day").as("pair_day"), col("x").as("y"))
+    lagged
+      .join(prev, Seq("event_type", "pair_day"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("r",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+      .select("event_type", "lag", "n", "r")
+  }
 }

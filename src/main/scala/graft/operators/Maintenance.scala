@@ -89,6 +89,24 @@ object Maintenance {
           .select(base.columns.map(col): _*))
   }
 
+  /** Time-travel snapshot: reconstruct the table state AS OF a point
+    * in the change stream — the "what did this row look like before
+    * Tuesday's batch" read that log-based warehouses (Delta/Iceberg
+    * time travel) answer from retained change history. The change
+    * stream is truncated to `ordCol ≤ asOf` and replayed through
+    * [[applyCdc]]'s winner-per-key semantics, so the snapshot is
+    * exactly the state a reader at that moment would have seen, and
+    * successive snapshots are consistent with each other (same
+    * ordering discipline, same deterministic tie-break).
+    *
+    * Scale: the truncation is a pushdown-able filter on the change
+    * stream; everything after is applyCdc's shape — one window over
+    * changes only, one anti-join, the base never sorts.
+    */
+  def snapshotAt(base: DataFrame, changes: DataFrame, key: String,
+                 ordCol: String, asOf: Any): DataFrame =
+    applyCdc(base, changes.filter(col(ordCol) <= lit(asOf)), key, Seq(ordCol))
+
   /** Physical idempotent reload: write `incoming` into a
     * `partitionCol`-partitioned parquet table with dynamic partition
     * overwrite — only the partitions present in `incoming` are

@@ -343,4 +343,42 @@ object Reconcile {
         (!(col("l_min") <=> col("r_min"))).as("min_changed"),
         (!(col("l_max") <=> col("r_max"))).as("max_changed"))
   }
+
+  /** Join-key discovery: which columns JOIN — the data-catalog
+    * primitive behind "can I enrich this fact with that dimension?"
+    * on an undocumented warehouse. Every candidate column reduces to
+    * its distinct value set (tagged with `table.column`), the sets
+    * meet in ONE value-keyed equi-join, and each surviving pair
+    * reports overlap and directional containment — containment ≈ 1.0
+    * in one direction is the foreign-key signature (every fact key
+    * exists in the dimension), ≈ 1.0 both ways is a shared domain.
+    *
+    * Scale: the distinct collapses each column map-side BEFORE the
+    * join, so the join carries one row per distinct value per column
+    * — key-space-sized, not fact-sized; the pair report is
+    * columns²-sized. A hot value (a default/sentinel shared by many
+    * columns) fans out at most columns² per value. At 100 TB swap
+    * the exact sets for bottom-k minwise sketches (the
+    * `vocabJaccardMatrix` machinery) — same report, fixed-size
+    * per-column state; exact form stays the oracle twin.
+    */
+  def joinKeyDiscovery(cols: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(cols.size >= 2, "need at least two candidate columns")
+    val tagged = cols.map { case (tag, df, c) =>
+      df.select(col(c).cast("long").as("v")).filter(col("v").isNotNull)
+        .distinct().select(lit(tag).as("tag"), col("v"))
+    }.reduce(_ unionByName _)
+    val counts = tagged.groupBy(col("tag")).agg(count(lit(1)).as("n"))
+    val a = tagged.select(col("tag").as("col_a"), col("v"))
+    val b = tagged.select(col("tag").as("col_b"), col("v"))
+    a.join(b, "v")
+      .filter(col("col_a") < col("col_b"))
+      .groupBy(col("col_a"), col("col_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(counts.select(col("tag").as("col_a"), col("n").as("n_a"))), "col_a")
+      .join(broadcast(counts.select(col("tag").as("col_b"), col("n").as("n_b"))), "col_b")
+      .select(col("col_a"), col("col_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") / col("n_a")).as("containment_a_in_b"),
+        (col("n_common").cast("double") / col("n_b")).as("containment_b_in_a"))
+  }
 }

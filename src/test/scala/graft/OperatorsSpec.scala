@@ -1271,4 +1271,100 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("2024-01-10") == ((1L, 1L)),
       s"day 10's calendar window excludes the pre-gap days: $got")
   }
+
+  test("patternWithNegation: blocker between blocks, after converts, " +
+    "absent target is none, and a blocker/target tie favors the target") {
+    import spark.implicits._
+    def t(s: Int) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      (1L, t(0), 10L, "view"), (1L, t(1), 11L, "error"), (1L, t(2), 12L, "purchase"),
+      (2L, t(0), 20L, "view"), (2L, t(1), 21L, "purchase"), (2L, t(2), 22L, "error"),
+      (3L, t(0), 30L, "view"),
+      (4L, t(0), 40L, "view"), (4L, t(1), 41L, "purchase"), (4L, t(1), 42L, "error"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = operators.Analytics
+      .patternWithNegation(ev, "view", "purchase", "error")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "blocked", 2L -> "converted",
+      3L -> "none", 4L -> "converted"), s"got $out")
+  }
+
+  test("autocorrelation: alternating daily series scores r=-1 at lag 1 " +
+    "and r=+1 at lag 2") {
+    import spark.implicits._
+    val rows = for {
+      d <- 0 until 10
+      i <- 0 until (2 + d % 2)
+    } yield (d * 10L + i,
+      java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00"), 1L, "click")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val out = operators.Analytics.autocorrelation(ev, 2)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(math.abs(out(1) + 1.0) < 1e-12, s"lag 1: ${out(1)}")
+    assert(math.abs(out(2) - 1.0) < 1e-12, s"lag 2: ${out(2)}")
+  }
+
+  test("snapshotAt reconstructs each intermediate CDC state") {
+    import spark.implicits._
+    val base = Seq((1L, "A"), (2L, "B")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "A1", "U", 1), (1L, "A2", "U", 2), (2L, "B", "D", 3), (3L, "C", "I", 2))
+      .toDF("k", "v", "op", "change_seq")
+    def snap(asOf: Int) = operators.Maintenance
+      .snapshotAt(base, changes, "k", "change_seq", asOf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap(1) == Map(1L -> "A1", 2L -> "B"))
+    assert(snap(2) == Map(1L -> "A2", 2L -> "B", 3L -> "C"))
+    assert(snap(3) == Map(1L -> "A2", 3L -> "C"))
+  }
+
+  test("joinKeyDiscovery: full containment flags the FK direction") {
+    import spark.implicits._
+    val dim = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val fact = Seq(1L, 1L, 2L, 2L, 3L).toDF("fk")
+    val out = operators.Reconcile.joinKeyDiscovery(Seq(
+      ("dim.id", dim, "id"), ("fact.fk", fact, "fk"))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("col_a") == "dim.id"
+      && r.getAs[String]("col_b") == "fact.fk")
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 3
+      && r.getAs[Long]("n_common") == 3)
+    assert(r.getAs[Double]("containment_b_in_a") == 1.0)
+    assert(r.getAs[Double]("containment_a_in_b") == 0.75)
+  }
+
+  test("leakageSafeSplit: no near-dup pair straddles splits; " +
+    "singletons match the per-doc split") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = dedup.Dedup.ngramJaccardPairs(docs, 3, 0.8)
+    val out = dedup.Dedup.leakageSafeSplit(docs, pairs, 80, 10)
+    val straddle = out.select(col("doc_id").as("doc_a"), col("split").as("sa"))
+      .join(pairs.select("doc_a", "doc_b"), "doc_a")
+      .join(out.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddle == 0, s"$straddle near-dup pairs straddle the split")
+    val paired = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val singles = out.join(paired, Seq("doc_id"), "left_anti")
+    val ref = text.TextOps.splitAssign(docs, "doc_id", 80, 10)
+      .select(col("doc_id"), col("split").as("ref_split"))
+    val diverged = singles.join(ref, "doc_id")
+      .filter(col("split") =!= col("ref_split")).count()
+    assert(diverged == 0, s"$diverged singleton docs diverge from splitAssign")
+  }
+
+  test("dominantEigen: unit-norm component, positive eigenvalue, " +
+    "finds the dominant axis") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq(if (i % 2 == 0) 100f else -100f,
+        if (i % 3 == 0) 1f else 0f, 0f, 0f))
+    }
+    val out = ann.Ann.dominantEigen(vecs.toDF("vec_id", "embedding"), 8).collect()
+    val comp = out.sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(math.abs(comp.map(c => c * c).sum - 1.0) < 1e-9, "not unit norm")
+    assert(out.head.getDouble(2) > 0, "eigenvalue must be positive")
+    assert(math.abs(comp(0)) > 0.99, s"axis 1 should dominate: ${comp.toSeq}")
+  }
 }
