@@ -15,6 +15,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // typed-aggregate scale guard: ObjectHashAggregate falls back to
+      // SORT-based aggregation after only 128 in-memory keys (the
+      // Spark default) — for small-state aggregates like the top-k
+      // heaps that is a catastrophic cliff (the 100x soak measured the
+      // kNN-graph top-k stage sorting ~300M scored rows instead of
+      // heap-folding them); 256k keys x ~200B heap state stays well
+      // under task memory while removing the cliff for every realistic
+      // key density
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fail fast on testdata schema drift (round-5 lesson)

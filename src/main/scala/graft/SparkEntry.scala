@@ -282,10 +282,12 @@ object SparkEntry {
     // E13: continuous rollup maintenance in batch — the identical
     // delta-write / compact / merge-read path foreachBatch drives
     // (EventStream.rollupMaintenance): two "micro-batches" split by
-    // event_id parity write (bucket, batch) delta partitions, the
-    // compactor folds them, and the reader view must equal the plain
-    // one-shot 5-minute rollup bit-for-bit; one day bounds the
-    // partition-dir count in the rig
+    // event_id parity write (_day, batch) delta partitions — DAY
+    // dirs with 5-minute buckets as rows, never a dir per bucket
+    // (the per-dir commit protocol at 288 dirs/day dominated the
+    // rig's wall time and is the over-partitioning the compaction
+    // planner flags) — the compactor folds them, and the reader view
+    // must equal the plain one-shot 5-minute rollup bit-for-bit
     "q_rollup_maintenance" -> ((s, dir) => {
       val wh = java.nio.file.Files.createTempDirectory("graft_roll")
         .toString + "/wh"
@@ -294,8 +296,10 @@ object SparkEntry {
       Seq(0L, 1L).foreach { bid =>
         val delta = Rollups.fiveMinute(ev.filter(pmod(col("event_id"), lit(2)) === bid))
           .withColumn("_batch_id", lit(bid))
+          .withColumn("_day", floor(col("bucket_start") / 86400L))
+          .repartition(col("_day"))
         Maintenance.overwritePartitions(delta, wh,
-          Seq("bucket_start", "_batch_id"))
+          Seq("_day", "_batch_id"))
       }
       graft.streaming.EventStream.compactRollup(s, wh)
       graft.streaming.EventStream.readRollup(s, wh)
@@ -409,6 +413,15 @@ object SparkEntry {
     // moments, one double division+sqrt at the end
     "q_autocorr" -> ((s, dir) =>
       graft.operators.Analytics.autocorrelation(Tables.events(s, dir), 7)),
+    // E72b: the streaming monitor form of pattern-with-negation run
+    // in batch mode — emits only RESOLVED outcomes (a stream never
+    // reaches batch's end-of-data 'none'); state carries pending
+    // starts across micro-batches
+    "q_stream_pattern" -> ((s, dir) =>
+      graft.streaming.EventStream.patternNegationStream(
+        Tables.events(s, dir), "view", "purchase", "error")
+        .withColumn("start_ts", col("start_ts").cast("timestamp_ntz"))
+        .withColumn("target_ts", col("target_ts").cast("timestamp_ntz"))),
     // C16: join-key discovery — distinct-value containment across the
     // star schema's candidate key columns; containment ≈ 1.0 one way
     // is the foreign-key signature
@@ -425,6 +438,30 @@ object SparkEntry {
         ("customer.c_nationkey", Tables.customer(s, dir), "c_nationkey"),
         ("nation.n_nationkey", Tables.nation(s, dir), "n_nationkey"),
         ("events.user_id", Tables.events(s, dir), "user_id")))),
+    // C18: functional-dependency discovery — does A determine B
+    // within a table (the hierarchy half of the catalog profile);
+    // violating-key counts separate "nearly holds" from "unrelated"
+    "q_fd_discovery" -> ((s, dir) =>
+      Reconcile.functionalDependencies(Tables.orders(s, dir), "orders", Seq(
+        ("o_orderkey", "o_custkey"), ("o_orderkey", "o_orderstatus"),
+        ("o_custkey", "o_orderpriority"), ("o_orderstatus", "o_orderpriority")))
+        .unionByName(
+          Reconcile.functionalDependencies(Tables.lineitem(s, dir), "lineitem",
+            Seq(("l_orderkey", "l_suppkey"), ("l_partkey", "l_returnflag"))))),
+    // E74: audience-overlap matrix — distinct users per event-type
+    // pair from ONE scan (per-user set collapse + in-map expansion)
+    "q_audience_overlap" -> ((s, dir) =>
+      graft.operators.Analytics.audienceOverlap(Tables.events(s, dir))),
+    // D95: template-family mining by shared 8-word head — catches
+    // form-letter/boilerplate instances whose tails diverge enough
+    // to defeat whole-doc near-dup thresholds
+    "q_template_mining" -> ((s, dir) =>
+      TextOps.templateFamilies(Tables.documents(s, dir), 8)),
+    // E75: Benford-style first-digit audit over order totals, per
+    // priority class; digit from exact integer cents, never log10
+    "q_benford" -> ((s, dir) =>
+      graft.operators.Analytics.firstDigitProfile(
+        Tables.orders(s, dir), "o_orderpriority", "o_totalprice")),
     // B34: reverse referential check — dimension rows no fact uses
     // (facts restricted to the big-ticket slice so the check has
     // positives at every SF — the "active subset" a migration loads)
@@ -5138,6 +5175,22 @@ object SparkEntry {
         |       AND (next_blocker IS NULL OR next_blocker >= next_target)
         |      THEN next_target END AS target_ts
         |FROM x WHERE event_type = 'view'""".stripMargin,
+    // the streaming monitor emits only resolved outcomes: same
+    // window replay, restricted to starts whose target arrived
+    "q_stream_pattern" ->
+      """WITH x AS (SELECT user_id, event_id, ts, event_type,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) OVER w AS next_target,
+        |  min(CASE WHEN event_type = 'error' THEN ts END) OVER w AS next_blocker
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS start_event_id, ts AS start_ts,
+        | CASE WHEN next_blocker IS NOT NULL AND next_blocker < next_target
+        |        THEN 'blocked'
+        |      ELSE 'converted' END AS outcome,
+        | CASE WHEN next_blocker IS NULL OR next_blocker >= next_target
+        |      THEN next_target END AS target_ts
+        |FROM x WHERE event_type = 'view' AND next_target IS NOT NULL""".stripMargin,
     // exact BIGINT moments over day-joined (x_t, x_{t-lag}) pairs;
     // one double division + sqrts at the end, same op order both sides
     "q_autocorr" ->
@@ -5194,6 +5247,57 @@ object SparkEntry {
         | CAST(n_common AS DOUBLE) / cb.n AS containment_b_in_a
         |FROM j JOIN counts ca ON ca.tag = col_a
         |JOIN counts cb ON cb.tag = col_b""".stripMargin,
+    // one sub-select per candidate pair: nd = distinct dependents per
+    // determinant value; the FD holds iff no key has nd > 1
+    "q_fd_discovery" -> {
+      def one(tbl: String, a: String, b: String) =
+        s"""SELECT '$tbl.$a' AS determinant, '$tbl.$b' AS dependent,
+           | CAST(count(*) AS BIGINT) AS n_keys,
+           | CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           | sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $a AS det, count(DISTINCT $b) AS nd
+           |      FROM $tbl GROUP BY 1)""".stripMargin
+      Seq(("orders", "o_orderkey", "o_custkey"),
+        ("orders", "o_orderkey", "o_orderstatus"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("orders", "o_orderstatus", "o_orderpriority"),
+        ("lineitem", "l_orderkey", "l_suppkey"),
+        ("lineitem", "l_partkey", "l_returnflag"))
+        .map { case (t, a, b) => one(t, a, b) }.mkString("\nUNION ALL\n")
+    },
+    // distinct (user, type) pairs self-join on user — the oracle's
+    // readable twin of the one-scan set-collapse plan
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |   CAST(count(*) AS BIGINT) AS nboth
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |   AND a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT ta AS type_a, tb AS type_b, ca.n AS users_a, cb.n AS users_b,
+        | nboth AS users_both,
+        | CAST(nboth AS DOUBLE) / (ca.n + cb.n - nboth) AS jaccard
+        |FROM p JOIN c ca ON ca.event_type = ta
+        |JOIN c cb ON cb.event_type = tb""".stripMargin,
+    "q_template_mining" ->
+      """WITH p AS (SELECT doc_id, source,
+        |   array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS prefix
+        |  FROM documents)
+        |SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        | MIN(doc_id) AS min_doc_id
+        |FROM p GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    // digit from the BIGINT cents string — engines print integers
+    // identically, unlike floating log10
+    "q_benford" ->
+      """WITH c AS (SELECT o_orderpriority AS grp,
+        |   substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |     AS VARCHAR), 1, 1) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT grp, digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2)
+        |SELECT grp, digit, n,
+        | CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY grp) AS DOUBLE) AS share
+        |FROM g""".stripMargin,
     "q_unused_dims" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_unused_customers
         |FROM customer

@@ -14,6 +14,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // non-ANSI: fingerprint/rolling-hash arithmetic relies on wrap-around
       .config("spark.sql.ansi.enabled", "false")
+      // typed-aggregate scale guard: ObjectHashAggregate falls back to
+      // SORT-based aggregation after only 128 in-memory keys (the
+      // Spark default) — for small-state aggregates like the top-k
+      // heaps that is a catastrophic cliff (the 100x soak measured the
+      // kNN-graph top-k stage sorting ~300M scored rows instead of
+      // heap-folding them); 256k keys x ~200B heap state stays well
+      // under task memory while removing the cliff for every realistic
+      // key density
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       // µs parquet timestamps so DuckDB reads the same instants back
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()

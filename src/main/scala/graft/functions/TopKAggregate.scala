@@ -49,6 +49,16 @@ final class TopKBuffer(val k: Int) {
   * and shuffles k rows per group instead of every row. The
   * window-function formulation (`row_number() <= k`) must shuffle
   * and sort the full input; this is the plan you want at 100 TB.
+  *
+  * Deployment note: TypedImperativeAggregate plans as
+  * ObjectHashAggregate, whose in-memory map falls back to SORT-based
+  * aggregation after `spark.sql.objectHashAggregate.sortBased.
+  * fallbackThreshold` keys — a default of 128 (!). For a small-state
+  * aggregate like this heap that fallback is a cliff: the 100× soak
+  * measured the kNN-graph top-k stage sorting ~300M scored rows
+  * instead of heap-folding them. Size the threshold to the expected
+  * distinct groups per task (this repo's mains set 262144; ~200 B of
+  * heap state per key keeps that well under task memory).
   */
 case class TopKByScore(
     score: Expression,

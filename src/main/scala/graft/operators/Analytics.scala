@@ -1740,10 +1740,14 @@ object Analytics {
       .orderBy(col("ts").desc, col("event_id").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     events
-      .withColumn("next_target",
-        min(when(col("event_type") === targetType, col("ts"))).over(wDesc))
-      .withColumn("next_blocker",
-        min(when(col("event_type") === blockerType, col("ts"))).over(wDesc))
+      // one select so both lookaheads land in ONE Window operator
+      // (chained withColumn leaves two Window nodes around the
+      // extracted aggregate input — same single sort, noisier plan)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        min(when(col("event_type") === targetType, col("ts")))
+          .over(wDesc).as("next_target"),
+        min(when(col("event_type") === blockerType, col("ts")))
+          .over(wDesc).as("next_blocker"))
       .filter(col("event_type") === startType)
       .select(
         col("user_id"), col("event_id").as("start_event_id"),
@@ -1756,6 +1760,74 @@ object Analytics {
           (col("next_blocker").isNull ||
             col("next_blocker") >= col("next_target")), col("next_target"))
           .as("target_ts"))
+  }
+
+  /** Audience-overlap matrix: for every pair of event types, how many
+    * users do both — the segmentation view behind "do purchasers also
+    * hit errors?". ONE corpus scan, no self-join: each user collapses
+    * to their sorted distinct-type set (bounded by the type-space
+    * size), pairs expand in-map from that set, and the pair counts
+    * plus per-type distinct-user counts meet in a types²-sized join.
+    * Jaccard = both / (a + b − both) — one double division.
+    *
+    * Scale: the per-user set aggregation is map-side combined and its
+    * state is ≤ |types| per user; the expansion output is ≤
+    * |types|²/2 per user; everything after is dimension-sized. The
+    * self-join alternative shuffles the (user, type) table twice and
+    * hot users fan out quadratically IN THE SHUFFLE — here the
+    * fan-out happens after the per-user collapse, which a hot user
+    * cannot grow beyond the type space.
+    */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+    val pairs = perUser.select(
+      explode(flatten(transform(col("types"), (x, i) =>
+        transform(
+          slice(col("types"), i + 2, greatest(size(col("types")) - i - 1, lit(0))),
+          y => struct(x.as("type_a"), y.as("type_b")))))).as("p"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .agg(count(lit(1)).as("users_both"))
+    val counts = events
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n"))
+    pairs
+      .join(broadcast(counts.select(col("event_type").as("type_a"),
+        col("n").as("users_a"))), "type_a")
+      .join(broadcast(counts.select(col("event_type").as("type_b"),
+        col("n").as("users_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+        col("users_both"),
+        (col("users_both").cast("double") /
+          (col("users_a") + col("users_b") - col("users_both"))).as("jaccard"))
+  }
+
+  /** First-significant-digit distribution per group (Benford-style
+    * audit) — the fraud/data-entry screen: organically-grown money
+    * amounts lead with 1 far more than 9; fabricated or truncated
+    * feeds don't. The digit comes from the DECIMAL-exact integer
+    * cents rendered as a string (both engines print a BIGINT
+    * identically), never from floating log10 — so the distribution is
+    * bit-deterministic. Output is the per-digit observed share;
+    * comparing against log10(1+1/d) is the analyst's last step (kept
+    * out of the engine: libm log10 is not bit-portable).
+    *
+    * Scale: one map-side-combined aggregation to groups×9 rows; the
+    * share division rides a groups-sized window.
+    */
+  def firstDigitProfile(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100.0 + 0.5).cast("long")
+    val counted = df
+      .filter(col(valueCol) > 0)
+      .select(col(groupCol).as("grp"),
+        substring(cents.cast("string"), 1, 1).as("digit"))
+      .groupBy(col("grp"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val wg = Window.partitionBy(col("grp"))
+    counted
+      .withColumn("share", col("n").cast("double") / sum(col("n")).over(wg))
   }
 
   /** Autocorrelation profile of each event type's daily-count series

@@ -362,6 +362,37 @@ object Reconcile {
     * `vocabJaccardMatrix` machinery) — same report, fixed-size
     * per-column state; exact form stays the oracle twin.
     */
+  /** Functional-dependency discovery: does column A determine column
+    * B? — the other half of the data-catalog profile
+    * ([[joinKeyDiscovery]] finds the keys that JOIN; this finds the
+    * hierarchies WITHIN a table: order → customer, city → region). A
+    * dependency A→B holds iff no A value maps to two B values; the
+    * report counts the violating keys, so a "nearly holds" (data
+    * error) is distinguishable from "unrelated".
+    *
+    * Scale: all candidate pairs stack into ONE union and reduce
+    * map-side to (pair, det_value) groups — the heavy aggregation is
+    * one pass over pairs×rows projections of the scan, and the second
+    * aggregation input is distinct-keys-sized. Values compare as
+    * strings so any column type participates.
+    */
+  def functionalDependencies(df: DataFrame, tag: String,
+                             pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate pair")
+    val stacked = pairs.map { case (a, b) =>
+      df.select(
+        lit(s"$tag.$a").as("determinant"), lit(s"$tag.$b").as("dependent"),
+        col(a).cast("string").as("det"), col(b).cast("string").as("dep"))
+    }.reduce(_ unionByName _)
+    stacked
+      .groupBy(col("determinant"), col("dependent"), col("det"))
+      .agg(count_distinct(col("dep")).as("nd"))
+      .groupBy(col("determinant"), col("dependent"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+      .withColumn("holds", col("n_violating") === 0L)
+  }
+
   def joinKeyDiscovery(cols: Seq[(String, DataFrame, String)]): DataFrame = {
     require(cols.size >= 2, "need at least two candidate columns")
     val tagged = cols.map { case (tag, df, c) =>

@@ -222,6 +222,65 @@ object EventStream {
       .withColumn("ts", timestamp_micros(col("us"))).drop("us")
   }
 
+  /** Streaming pattern-with-negation (E72's monitor form): per-user
+    * keyed state carries the PENDING starts — each with the earliest
+    * blocker timestamp seen since it opened — across micro-batches;
+    * a target event resolves every pending start at once (blocked iff
+    * its earliest blocker is STRICTLY earlier than the target, the
+    * batch form's tie rule). A streaming monitor emits DECISIONS:
+    * `converted` / `blocked` rows appear when the target arrives;
+    * a start whose target never comes stays pending (batch's `none`
+    * is an end-of-data artifact, which a stream never reaches) — in
+    * batch mode the group closes after one pass, so unresolved
+    * pendings simply don't emit and the output equals the batch
+    * operator filtered to resolved outcomes (oracle-pinned).
+    *
+    * State is the open-start list per user — bounded by how many
+    * starts a user can have between targets; attach a state timeout
+    * in deployments where users abandon forever.
+    */
+  def patternNegationStream(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                            startType: String, targetType: String,
+                            blockerType: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val NoBlocker = Long.MaxValue
+    events
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[List[(Long, Long, Long)]]) =>
+          var pending = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[(Long, Long, Long, String, Option[Long])]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, id, tpe) =>
+            if (tpe == startType) {
+              pending ::= ((id, us, NoBlocker))
+            } else if (tpe == blockerType) {
+              pending = pending.map { case (sid, sus, b) =>
+                (sid, sus, math.min(b, us))
+              }
+            } else if (tpe == targetType) {
+              pending.foreach { case (sid, sus, b) =>
+                if (b < us) out += ((user, sid, sus, "blocked", None))
+                else out += ((user, sid, sus, "converted", Some(us)))
+              }
+              pending = Nil
+            }
+          }
+          state.update(pending)
+          out.result().iterator
+      }
+      .toDF("user_id", "start_event_id", "start_us", "outcome", "target_us")
+      .withColumn("start_ts", timestamp_micros(col("start_us")))
+      .withColumn("target_ts", timestamp_micros(col("target_us")))
+      .select("user_id", "start_event_id", "start_ts", "outcome", "target_ts")
+  }
+
   /** Streaming Count-Min sketch: the CMS counters
     * ([[graft.functions.CmsBuffer]]) as keyed streaming state — the
     * continuous any-key frequency monitor next to
@@ -267,12 +326,16 @@ object EventStream {
   /** Continuous rollup maintenance — the streaming form of the
     * reference's connect-daemon + DBLoader + aggregation-scheduler
     * loop (chill.py:159-192). Each micro-batch writes its 5-minute
-    * rollup as a DELTA partitioned by (bucket_start, _batch_id):
+    * rollup as a DELTA partitioned by (_day, _batch_id) — DAY dirs
+    * with the 5-minute buckets as rows, never a dir per bucket (288
+    * tiny dirs/day is the over-partitioning q_compaction_plan exists
+    * to flag, and the per-dir commit protocol dominated the rig's
+    * wall time when we tried it):
     *  - lossless across batches: a bucket spanning two micro-batches
     *    keeps both deltas (a whole-bucket overwrite would keep only
     *    the last batch's counts);
     *  - idempotent replay: a reprocessed batch dynamic-overwrites
-    *    exactly its own (bucket, batch) delta partitions, so
+    *    exactly its own (day, batch) delta partitions, so
     *    foreachBatch's at-least-once never double-counts;
     *  - write path never reads the warehouse (no read-modify-write
     *    race, no scaling cliff); [[readRollup]] merges deltas at read
@@ -283,8 +346,12 @@ object EventStream {
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val delta = graft.operators.Rollups.fiveMinute(batch)
         .withColumn("_batch_id", lit(batchId))
+        .withColumn("_day", floor(col("bucket_start") / 86400L))
+        // one file per (day, batch) dir: without the cluster-by,
+        // every day dir collects a fragment from every write task
+        .repartition(col("_day"))
       graft.operators.Maintenance.overwritePartitions(
-        delta, warehousePath, Seq("bucket_start", "_batch_id"))
+        delta, warehousePath, Seq("_day", "_batch_id"))
     }
   }
 
@@ -297,7 +364,7 @@ object EventStream {
     graft.operators.Rollups.mergeFiveMinute(
       spark.read.parquet(warehousePath)
         .withColumn("bucket_start", col("bucket_start").cast("long"))
-        .drop("_batch_id"))
+        .drop("_batch_id", "_day"))
 
   /** Fold the accumulated per-batch deltas down to one row per
     * (bucket, type): each bucket's deltas merge (decimal re-agg,
@@ -317,7 +384,7 @@ object EventStream {
   def compactRollup(spark: SparkSession, warehousePath: String): Unit = {
     val deltas = spark.read.parquet(warehousePath)
       .withColumn("bucket_start", col("bucket_start").cast("long"))
-    // partition-metadata-sized collect: exactly the (bucket, batch)
+    // partition-metadata-sized collect: exactly the (day, batch)
     // pairs this compaction consumed — the SAME set the warehouse's
     // partition count is being bounded down from, and the only dirs
     // it is allowed to delete (a micro-batch landing after this read
@@ -325,23 +392,26 @@ object EventStream {
     val consumed = deltas
       // partition-dir values are type-inferred on read (ints for
       // small batch ids) — pin both to long
-      .select(col("bucket_start"), col("_batch_id").cast("long")).distinct()
+      .select(col("_day").cast("long"), col("_batch_id").cast("long")).distinct()
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .filter(_._2 != CompactedBatchId)
     val compacted = graft.operators.Rollups.mergeFiveMinute(
-        deltas.drop("_batch_id"))
+        deltas.drop("_batch_id", "_day"))
       .withColumn("_batch_id", lit(CompactedBatchId))
+      .withColumn("_day", floor(col("bucket_start") / 86400L))
+      // one compacted file per day dir (see rollupMaintenance)
+      .repartition(col("_day"))
     // pin the merged rows before overwriting the dir they were read from
     compacted.cache().count()
     try graft.operators.Maintenance.overwritePartitions(
-      compacted, warehousePath, Seq("bucket_start", "_batch_id"))
+      compacted, warehousePath, Seq("_day", "_batch_id"))
     finally compacted.unpersist()
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sessionState.newHadoopConf())
-    consumed.foreach { case (bucket, batch) =>
+    consumed.foreach { case (day, batch) =>
       fs.delete(new org.apache.hadoop.fs.Path(
-        s"$warehousePath/bucket_start=$bucket/_batch_id=$batch"), true)
+        s"$warehousePath/_day=$day/_batch_id=$batch"), true)
     }
   }
 

@@ -1102,6 +1102,33 @@ object TextOps {
         col("n_novel").cast("double") / col("n_grams"))
   }
 
+  /** Template-family mining by shared head: documents opening with
+    * the SAME first `prefixWords` words are almost always instances
+    * of one template (auto-generated reports, scraped boilerplate
+    * pages, form letters) even when their tails diverge enough to
+    * defeat whole-doc near-dup thresholds. One map-side-combined
+    * group on the prefix; only families with ≥ 2 members survive.
+    * Reports the family size, how many sources it spans (a
+    * cross-source template is syndication/spam, not coincidence) and
+    * the smallest member id as the canonical example.
+    *
+    * Scale: the group key is the prefix string here for oracle
+    * transparency — at 100 TB hash it to a long
+    * ([[graft.functions.TextHashFunctions]]) so 8 bytes shuffle per
+    * doc, same note as [[repeatedGrams]]; output is
+    * families-with-duplicates-sized.
+    */
+  def templateFamilies(docs: DataFrame, prefixWords: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, prefixWords))
+          .as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") >= 2)
+
   /** Dataset card: the one-row corpus summary a dataset release
     * ships with — document/source/language counts, token totals,
     * exact median length, and the exact-duplicate rate. Two passes,

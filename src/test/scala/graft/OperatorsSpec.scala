@@ -11,6 +11,15 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // typed-aggregate scale guard: ObjectHashAggregate falls back to
+      // SORT-based aggregation after only 128 in-memory keys (the
+      // Spark default) — for small-state aggregates like the top-k
+      // heaps that is a catastrophic cliff (the 100x soak measured the
+      // kNN-graph top-k stage sorting ~300M scored rows instead of
+      // heap-folding them); 256k keys x ~200B heap state stays well
+      // under task memory while removing the cliff for every realistic
+      // key density
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -1352,6 +1361,65 @@ class OperatorsSpec extends AnyFunSuite {
     val diverged = singles.join(ref, "doc_id")
       .filter(col("split") =!= col("ref_split")).count()
     assert(diverged == 0, s"$diverged singleton docs diverge from splitAssign")
+  }
+
+  test("functionalDependencies: separates holds / nearly-holds / unrelated") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "x"), (1L, "a", "x"), (2L, "a", "y"), (3L, "b", "y"))
+      .toDF("k", "g", "v")
+    val out = operators.Reconcile.functionalDependencies(df, "t",
+      Seq(("k", "g"), ("g", "v"), ("v", "g")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_keys"), r.getAs[Long]("n_violating"),
+          r.getAs[Boolean]("holds")))).toMap
+    assert(out("t.k") == ((3L, 0L, true)), s"k->g must hold: $out")
+    assert(out("t.g") == ((2L, 1L, false)), s"g->v nearly holds: $out")
+    assert(out("t.v") == ((2L, 1L, false)), s"v->g has a violation: $out")
+  }
+
+  test("audienceOverlap: exact pair counts and jaccard from the set collapse") {
+    import spark.implicits._
+    def t(s: Int) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val ev = Seq(
+      (1L, "click", t(0)), (1L, "view", t(1)),
+      (2L, "click", t(0)), (2L, "view", t(1)), (2L, "click", t(2)),
+      (3L, "click", t(0)))
+      .toDF("user_id", "event_type", "ts")
+    val out = operators.Analytics.audienceOverlap(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("type_a") == "click" && r.getAs[String]("type_b") == "view")
+    assert(r.getAs[Long]("users_a") == 3 && r.getAs[Long]("users_b") == 2
+      && r.getAs[Long]("users_both") == 2)
+    assert(r.getAs[Double]("jaccard") == 2.0 / 3.0)
+  }
+
+  test("templateFamilies: shared heads group, divergent tails don't split them") {
+    import spark.implicits._
+    val head = "dear valued customer your account statement is now"
+    val docs = Seq(
+      (1L, s"$head ready for january", "s1"),
+      (2L, s"$head ready for february", "s2"),
+      (3L, "completely unrelated text body", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = text.TextOps.templateFamilies(docs, 8).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_docs") == 2
+      && out.head.getAs[Long]("n_sources") == 2
+      && out.head.getAs[Long]("min_doc_id") == 1L)
+  }
+
+  test("firstDigitProfile: digit from exact cents, shares sum to 1 per group") {
+    import spark.implicits._
+    val df = Seq(("a", 10.00), ("a", 19.99), ("a", 950.00), ("b", 0.42))
+      .toDF("grp", "v")
+    val out = operators.Analytics.firstDigitProfile(df, "grp", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("share")))).toMap
+    assert(out(("a", "1")) == ((2L, 2.0 / 3.0)))
+    assert(out(("a", "9")) == ((1L, 1.0 / 3.0)))
+    assert(out(("b", "4")) == ((1L, 1.0)))
   }
 
   test("dominantEigen: unit-norm component, positive eigenvalue, " +

@@ -774,6 +774,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pattern negation: both lookaheads share ONE window sort, no join") {
+    val p = plan("q_pattern_negation")
+    assert("Window".r.findAllIn(p).length == 1,
+      s"the two lookahead mins must ride one window:\n$p")
+    assert(!p.contains("Join"), s"no self-join in the pattern plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "one user-keyed exchange only")
+  }
+
+  test("audience overlap: per-user set collapse, never an events self-join") {
+    val p = plan("q_audience_overlap")
+    assert(!p.contains("SortMergeJoin"),
+      s"events must not self-join shuffle-side:\n$p")
+    assert(p.contains("collect_set"), "the per-user set collapse is the plan")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      "type counts join the pair table broadcast-side")
+  }
+
+  test("join discovery: distincts collapse each column before the value join") {
+    val p = plan("q_join_discovery")
+    // every per-column branch partial-aggregates (distinct) before
+    // the union meets the value join
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "distinct collapses must sit under the join")
+  }
+
+  test("fd discovery: two-level aggregation with map-side partials, no join") {
+    val p = plan("q_fd_discovery")
+    assert(!p.contains("Join"), s"FD check is pure aggregation:\n$p")
+    assert(p.contains("partial_count"), "map-side partials expected")
+  }
+
+  test("top eigen: result is a bounded local table; the heavy lifting is " +
+    "embedCovariance's audited one-scan kernel") {
+    val p = plan("q_top_eigen")
+    assert(p.contains("LocalTableScan"),
+      s"power iteration output must be the d-row local table:\n$p")
+    val cov = plan("q_embed_cov")
+    assert(cov.contains("vec_moments") || cov.contains("VecMoments"),
+      s"covariance must come from the one-scan kernel:\n$cov")
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key

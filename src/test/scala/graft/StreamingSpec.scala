@@ -238,6 +238,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming pattern negation resolves pending starts across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long, String)]
+    val ev = ms.toDF.toDF("user_id", "tss", "event_id", "event_type")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val q = streaming.EventStream.patternNegationStream(ev, "view", "purchase", "error")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_pattern").start()
+    try {
+      // batch 1: user 1 opens a start; user 2 opens a start then hits
+      // a blocker — both stay PENDING (no target yet, nothing emits)
+      ms.addData(
+        (1L, "2024-01-01 10:00:00", 1L, "view"),
+        (2L, "2024-01-01 10:00:00", 2L, "view"),
+        (2L, "2024-01-01 10:30:00", 3L, "error"))
+      q.processAllAvailable()
+      assert(spark.table("stream_pattern").count() == 0)
+      // batch 2: targets arrive — user 1 converts (no blocker ever),
+      // user 2 is blocked ONLY if the blocker memory carried across
+      // the micro-batch boundary
+      ms.addData(
+        (1L, "2024-01-02 09:00:00", 4L, "purchase"),
+        (2L, "2024-01-02 09:00:00", 5L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_pattern").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("outcome")).toMap
+      assert(rows == Map(1L -> "converted", 2L -> "blocked"), s"got $rows")
+      // batch 3: blocker and target at the SAME timestamp — the tie
+      // resolves to the target (batch parity)
+      ms.addData(
+        (3L, "2024-01-03 08:00:00", 6L, "view"),
+        (3L, "2024-01-03 09:00:00", 7L, "error"),
+        (3L, "2024-01-03 09:00:00", 8L, "purchase"))
+      q.processAllAvailable()
+      val u3 = spark.table("stream_pattern").collect()
+        .filter(_.getAs[Long]("user_id") == 3L).map(_.getAs[String]("outcome"))
+      assert(u3.toSeq == Seq("converted"), s"tie must convert: ${u3.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate event_ids") {
     val dir = streamDir
     val stream = streaming.EventStream.readEventStream(spark, dir)
