@@ -20,10 +20,12 @@ object Bench {
       // Spark default) — for small-state aggregates like the top-k
       // heaps that is a catastrophic cliff (the 100x soak measured the
       // kNN-graph top-k stage sorting ~300M scored rows instead of
-      // heap-folding them); 256k keys x ~200B heap state stays well
-      // under task memory while removing the cliff for every realistic
-      // key density
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // heap-folding them). 16k keys covers every per-task key density
+      // in the suite while bounding the map even for the BIG-state
+      // aggregates (HyperBall's 4KB HLL registers: 16k x 4KB = 64MB
+      // per task — a 256k threshold OOM'd exactly there; states
+      // beyond the threshold degrade gracefully to the sort path)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // fail fast on testdata schema drift (round-5 lesson)
@@ -88,7 +90,12 @@ object Bench {
       }
     }
     val results = queries.keys.map { name =>
-      name -> passes.map(_(name)).min
+      // min over SUCCESSFUL passes only: a failure (e.g. a dying
+      // context taking out the tail of a pass) must not clobber a
+      // good measurement from another pass; -1 only if every pass
+      // failed
+      val ok = passes.map(_(name)).filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -19,10 +19,12 @@ object Verify {
       // Spark default) — for small-state aggregates like the top-k
       // heaps that is a catastrophic cliff (the 100x soak measured the
       // kNN-graph top-k stage sorting ~300M scored rows instead of
-      // heap-folding them); 256k keys x ~200B heap state stays well
-      // under task memory while removing the cliff for every realistic
-      // key density
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // heap-folding them). 16k keys covers every per-task key density
+      // in the suite while bounding the map even for the BIG-state
+      // aggregates (HyperBall's 4KB HLL registers: 16k x 4KB = 64MB
+      // per task — a 256k threshold OOM'd exactly there; states
+      // beyond the threshold degrade gracefully to the sort path)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
       // µs parquet timestamps so DuckDB reads the same instants back
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()

@@ -57,8 +57,10 @@ final class TopKBuffer(val k: Int) {
   * aggregate like this heap that fallback is a cliff: the 100× soak
   * measured the kNN-graph top-k stage sorting ~300M scored rows
   * instead of heap-folding them. Size the threshold to the expected
-  * distinct groups per task (this repo's mains set 262144; ~200 B of
-  * heap state per key keeps that well under task memory).
+  * distinct groups per task TIMES the per-key state: this repo's
+  * mains set 16384, which covers the suite's key densities while
+  * bounding even 4KB-state aggregates (HyperBall registers) to
+  * ~64MB of map per task — a 256k threshold OOM'd exactly there.
   */
 case class TopKByScore(
     score: Expression,
