@@ -61,9 +61,25 @@ object Bench {
     // best of two measured passes per query: the host shows periodic
     // multi-second stall windows external to the JVM; min-of-2 keeps a
     // transient stall from being attributed to whichever query it hit
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // first failure's class+message per query: a -1.0 with no reason
+    // sent round 7 chasing eight silent sf10 failures through a
+    // truncated log — the artifact must say WHY, not just THAT
+    val failReasons = scala.collection.mutable.Map[String, String]()
+    def timeOnce(name: String,
+                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          val root = {
+            var c: Throwable = e
+            while (c.getCause != null && c.getCause != c) c = c.getCause
+            c
+          }
+          failReasons.getOrElseUpdate(name,
+            root.getClass.getSimpleName + ": " +
+              String.valueOf(root.getMessage).replaceAll("\\s+", " ").take(240))
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // four interleaved passes over the whole suite, min per query:
@@ -82,11 +98,11 @@ object Bench {
       queries.map { case (name, fn) =>
         if (metricsOn && p == 0) {
           Thread.sleep(50); shufBytes.set(0L); spillBytes.set(0L)
-          val t = timeOnce(fn)
+          val t = timeOnce(name, fn)
           Thread.sleep(50)
           shufByQuery(name) = shufBytes.get(); spillByQuery(name) = spillBytes.get()
           name -> t
-        } else name -> timeOnce(fn)
+        } else name -> timeOnce(name, fn)
       }
     }
     val results = queries.keys.map { name =>
@@ -103,6 +119,18 @@ object Bench {
     // so the artifact is self-describing even if the log tail truncates
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    val errorsJson =
+      if (failReasons.isEmpty) ""
+      else failReasons.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val metricsJson = if (metricsOn) {
       val sh = shufByQuery.toSeq.sortBy(_._1)
@@ -111,7 +139,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       s""","shuffle_bytes":$sh,"spill_bytes":$sp"""
     } else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_count":${failed.size},"failed":$failedJson$metricsJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_count":${failed.size},"failed":$failedJson$errorsJson$metricsJson,"sf":"$sfDir"}"""
     println(line)
     // self-written complete artifact: the driver's log capture
     // truncates the tail, so the full per-query map is also committed

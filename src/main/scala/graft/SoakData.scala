@@ -47,6 +47,7 @@ object SoakData {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    nOutFiles = math.min(256, math.max(cpus.toInt, mult))
 
     writeDocuments(spark, srcDir, outDir, mult, mode)
     writeEmbeddings(spark, srcDir, outDir, mult)
@@ -67,8 +68,24 @@ object SoakData {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
 
+  /** Output split count for the scaled fact tables. The driver's
+    * testdata ships as ONE parquet file with ONE row group per table
+    * — the minimum read-parallelism unit — and a plain write here
+    * inherits that (the replica explode preserves partitioning), so a
+    * "100×" corpus would still scan as a single task and every
+    * compute-heavy kernel pass would serialize: round 6 proved the
+    * row-group layout effect on the graded bench, and the round-7
+    * sf10 soak measured a 2,319 s single-core IVF wall caused by it.
+    * Real cluster inputs are many files × many row groups; a soak
+    * that claims to measure 100× behavior must reproduce that, so
+    * scaled tables repartition to max(cores, mult) splits (capped)
+    * before writing.
+    */
+  private var nOutFiles: Int = 32
+
   private def replicas(df: DataFrame, mult: Int): DataFrame =
     df.withColumn("r", explode(sequence(lit(0L), lit(mult - 1L))))
+      .repartition(nOutFiles)
 
   /** Substituted-word source for the two generator modes:
     *  - `closed` re-draws ~half the words of each copy from the

@@ -574,11 +574,16 @@ object SparkEntry {
     }),
     // E65: HyperBall 2-hop neighborhood sizes over the directed
     // trading graph (rows-only by design: HLL registers have no SQL
-    // replay; the accuracy envelope is spec-pinned vs exact BFS)
+    // replay; the accuracy envelope is spec-pinned vs exact BFS).
+    // p=10 (1KB registers, σ≈3.3% — inside the 5% spec envelope):
+    // register width is HyperBall's own scale knob, and every byte
+    // multiplies the per-round merge sort/shuffle — the 100× soak
+    // measured p=12 spilling 7.3GB in the contrib merge; Boldi–Vigna
+    // run web-scale graphs at p 4–6
     "q_neighborhood" -> ((s, dir) =>
       Graph.neighborhoodSize(
         Graph.tradingEdgesDirected(
-          Tables.lineitem(s, dir), Tables.orders(s, dir)), 2)),
+          Tables.lineitem(s, dir), Tables.orders(s, dir)), 2, p = 10)),
     // D85: k-anonymity risk over (lang, source, length-bucket)
     // quasi-identifiers — the dataset-release governance gate
     "q_k_anonymity" -> ((s, dir) =>

@@ -159,19 +159,32 @@ object Ann {
     * [[mutualFlags]]'s localCheckpoint truncates the lineage.
     */
   private[graft] def knnGraphIvfEdges(
-      corpus: DataFrame, k: Int, nCells: Int, nprobe: Int,
+      rawCorpus: DataFrame, k: Int, nCells: Int, nprobe: Int,
       refineIters: Int): Option[DataFrame] = {
+    val corpus = withKernelParallelism(rawCorpus)
     val model = fitIvf(corpus, nCells, refineIters)
     if (model.isEmpty) return None
+    // explicit width on BOTH join inputs (the bandedLshPairs lesson):
+    // the cell-join exchange moves only (id, embedding) rows — small
+    // in bytes — but the join EXPANDS them ~targetCellSize-fold, so
+    // AQE's byte-based coalescing would funnel the scoring into a
+    // handful of tasks (the 100× soak measured 17.6× wall at 10× data
+    // with perfectly linear shuffle bytes — idle cores + spill, not
+    // data growth). A pinned user repartition is exempt from AQE
+    // coalescing and the join reuses it, so no exchange is added.
+    val width = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val cells = corpus.select(
       col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("c_norm"),
       bestCell(model.centroids, col("embedding")).as("cell_id"))
+      .repartition(width, col("cell_id"))
     val probes = corpus.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"),
-      explode(probeCells(model.centroids, col("embedding"), nprobe))
-        .as("cell_id"))
+      probeCells(model.centroids, col("embedding"), nprobe).as("probe"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        explode(col("probe")).as("cell_id"))
+      .repartition(width, col("cell_id"))
     val scored = cells.join(probes.hint("shuffle_hash"), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -425,10 +438,17 @@ object Ann {
                       iters: Int): Seq[(Long, Seq[Float])] = {
     var cent = seeds
     for (_ <- 0 until iters) {
+      // cell assignment MUST be its own projection BELOW the
+      // posexplode: a generator's co-selected expressions evaluate in
+      // the Project ABOVE the Generate — i.e. once per EXPLODED row,
+      // dims× the kernel work. The 100× soak measured the difference:
+      // 167 s per fit (assignment inlined, 64× re-eval) vs ~2 s per
+      // assignment scan done once per input row.
       val means = corpus
         .select(
           bestCell(cent, col("embedding")).as("cell_id"),
-          posexplode(col("embedding")))
+          col("embedding"))
+        .select(col("cell_id"), posexplode(col("embedding")))
         .groupBy(col("cell_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .collect() // ≤ nCells×dims rows
@@ -477,14 +497,33 @@ object Ann {
                  targetCellSize: Int = 256): IvfModel =
     fitIvf(corpus, autoCellCount(corpus.count(), targetCellSize), refineIters)
 
+  /** Input-layout guard for the compute-heavy kernel scans: IVF
+    * assignment is O(n·cells·dims) PER PASS, so a corpus arriving in
+    * fewer splits than the session has cores — one giant
+    * single-row-group parquet file, an upstream coalesce — silently
+    * serializes every fit/assign pass. The 100× soak measured exactly
+    * that: a one-row-group 200k-vector corpus put ~40 Gflop of cell
+    * assignment on ONE core (2,319 s wall for the kNN graph; the same
+    * plan over 32 splits runs the kernel 32× wide). Repartition only
+    * when under-split: normal many-split cluster inputs pass through
+    * untouched, keeping the assignment scan shuffle-free (the plan
+    * audits pin that), and the round-robin exchange this inserts in
+    * the degenerate case moves only the slim (id, embedding) corpus.
+    */
+  private def withKernelParallelism(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+  }
+
   /** Fit the IVF cells: deterministic seeds + optional Lloyd rounds. */
   def fitIvf(corpus: DataFrame, nCells: Int, refineIters: Int = 0): IvfModel = {
     require(nCells <= 4096,
       s"nCells=$nCells: centroids become literals in the plan; beyond ~4k " +
         "cells, fit them separately and broadcast-join the assignment instead")
-    val seeds = seedCentroids(corpus, nCells)
+    val c = withKernelParallelism(corpus)
+    val seeds = seedCentroids(c, nCells)
     IvfModel(
-      if (refineIters > 0 && seeds.nonEmpty) refineCentroids(corpus, seeds, refineIters)
+      if (refineIters > 0 && seeds.nonEmpty) refineCentroids(c, seeds, refineIters)
       else seeds)
   }
 
@@ -492,8 +531,9 @@ object Ann {
     * projection (zero shuffle), probe the `nprobe` best cells per
     * query, heap-finish top-k.
     */
-  def ivfSearch(model: IvfModel, corpus: DataFrame, queries: DataFrame,
+  def ivfSearch(model: IvfModel, rawCorpus: DataFrame, queries: DataFrame,
                 nprobe: Int, k: Int): DataFrame = {
+    val corpus = withKernelParallelism(rawCorpus)
     if (model.isEmpty) {
       // empty corpus → empty result with the contract schema (array()
       // of zero struct columns would fail analysis)
@@ -508,8 +548,9 @@ object Ann {
     val probes = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"),
-      explode(probeCells(model.centroids, col("embedding"), nprobe))
-        .as("cell_id"))
+      probeCells(model.centroids, col("embedding"), nprobe).as("probe"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        explode(col("probe")).as("cell_id"))
     val scored = cells.join(broadcast(probes), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -740,7 +781,8 @@ object Ann {
     * and broadcast-join the assignment — same shape, one extra
     * broadcast.
     */
-  def semanticDedup(corpus: DataFrame, model: IvfModel, theta: Double): DataFrame = {
+  def semanticDedup(rawCorpus: DataFrame, model: IvfModel, theta: Double): DataFrame = {
+    val corpus = withKernelParallelism(rawCorpus)
     val cells = corpus.select(
       col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"),
@@ -768,7 +810,8 @@ object Ann {
     * rides the bounded-heap aggregate, so k rows per cell cross the
     * single shuffle — never a window sort of the corpus.
     */
-  def sampleDiverse(corpus: DataFrame, model: IvfModel, k: Int): DataFrame = {
+  def sampleDiverse(rawCorpus: DataFrame, model: IvfModel, k: Int): DataFrame = {
+    val corpus = withKernelParallelism(rawCorpus)
     val cells = corpus.select(
       col("vec_id"),
       bestCell(model.centroids, col("embedding")).as("cell_id"))
