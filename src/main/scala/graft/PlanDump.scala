@@ -100,7 +100,13 @@ object PlanDump {
         "filtered query/probe set — limited by the declared probe\n" +
         "predicate, not one row — broadcasts against the corpus; the\n" +
         "at-scale siblings (IVF/LSH) replace these with hash-partitioned\n" +
-        "cell joins and are plan-asserted never-broadcast.\n")
+        "cell joins and are plan-asserted never-broadcast.\n" +
+        "RoundRobinPartitioning exchanges in the IVF plans are the\n" +
+        "input-layout guard (Ann.withKernelParallelism): they appear\n" +
+        "only because this dump reads single-file testdata whose split\n" +
+        "count is below the session parallelism — many-split cluster\n" +
+        "inputs take the guard's no-op branch and keep the assignment\n" +
+        "scan exchange-free.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name\n\n```\n")
