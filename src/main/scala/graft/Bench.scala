@@ -65,10 +65,31 @@ object Bench {
     // sent round 7 chasing eight silent sf10 failures through a
     // truncated log — the artifact must say WHY, not just THAT
     val failReasons = scala.collection.mutable.Map[String, String]()
+    // optional per-query wall budget (SPARK_GRAFT_TIMEOUT_S): a full
+    // 100x soak over the whole suite must not wedge on one runaway
+    // query — the watchdog cancels the query's job group and the
+    // failure is recorded with its reason like any other
+    val timeoutS = sys.env.get("SPARK_GRAFT_TIMEOUT_S").map(_.toInt)
     def timeOnce(name: String,
                  fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        timeoutS match {
+          case None => fn(spark, sfDir).count()
+          case Some(ts) =>
+            @volatile var done = false
+            spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+            val watchdog = new Thread(() => {
+              val deadline = System.nanoTime() + ts.toLong * 1000000000L
+              while (!done && System.nanoTime() < deadline) Thread.sleep(500)
+              if (!done) spark.sparkContext.cancelJobGroup(name)
+            })
+            watchdog.setDaemon(true)
+            watchdog.start()
+            try { fn(spark, sfDir).count() }
+            finally { done = true; spark.sparkContext.clearJobGroup() }
+        }
+      } catch {
         case e: Throwable =>
           val root = {
             var c: Throwable = e

@@ -431,6 +431,25 @@ class OperatorsSpec extends AnyFunSuite {
       s"probe side must never broadcast:\n$p")
   }
 
+  test("ivf layout guard: an under-split corpus widens to session " +
+    "parallelism, a well-split corpus passes through untouched") {
+    val emb = Tables.embeddings(spark, sf)
+    val want = spark.sparkContext.defaultParallelism
+    // degenerate input: one split — the read shape of a single-file,
+    // single-row-group parquet table (the 100× soak's 2,319 s wall)
+    val pOne = ann.Ann.knnGraphIvfEdges(emb.coalesce(1), 3, 8, 2, 0).get
+      .queryExecution.executedPlan.toString
+    assert(pOne.contains(s"RoundRobinPartitioning($want)"),
+      s"guard must widen a single-split corpus to $want:\n$pOne")
+    // healthy input: already at session width — the guard must not
+    // add a data shuffle to the steady-state cluster plan
+    val pWide = ann.Ann.knnGraphIvfEdges(
+      emb.repartition(want, col("vec_id")), 3, 8, 2, 0).get
+      .queryExecution.executedPlan.toString
+    assert(!pWide.contains("RoundRobinPartitioning"),
+      s"guard must no-op on a well-split corpus:\n$pWide")
+  }
+
   test("nn-descent converges fast on clustered data, degrades gracefully " +
     "to coverage on isotropic data, stays deterministic") {
     import spark.implicits._
