@@ -1084,11 +1084,31 @@ object Ann {
     slice(embCol, s * subDim + 1, subDim)
 
   /** Codewords of one subspace ranked by (distance asc, j asc) — the
-    * deterministic argmin, [[rankedCells]]'s form. */
-  private def bestCode(cbLit: Column, embCol: Column, s: Int, subDim: Int): Column =
+    * deterministic argmin. This HOF form is the PARITY REFERENCE
+    * (like [[rankedCells]] for IVF): production paths assign via the
+    * native [[graft.functions.PqBestCodes]] kernel — the 100× soak
+    * measured this interpreted form at 114 s for the PQ fit+encode of
+    * 200k×64f (m·k tree walks + m struct sorts PER ROW); a spec pins
+    * the two forms element-equal.
+    */
+  private[graft] def bestCode(cbLit: Column, embCol: Column, s: Int, subDim: Int): Column =
     element_at(array_sort(transform(cbLit, w =>
       struct(l2sq(pqSub(embCol, s, subDim), w.getField("c_emb")).as("d"),
         w.getField("j").as("j")))), 1).getField("j")
+
+  /** All m code assignments at once via the native kernel. */
+  private[graft] def allCodes(cb: Seq[Seq[Seq[Float]]], subDim: Int): Column =
+    graft.functions.VectorFunctions.pqBestCodes(col("embedding"), cb, subDim)
+
+  /** The HOF parity form of [[allCodes]], for the kernel-equality
+    * spec only — never in a production path (interpreted, per-row
+    * sorts).
+    */
+  private[graft] def refCodes(cb: Seq[Seq[Seq[Float]]], subDim: Int): Column =
+    array(cb.indices.map { s =>
+      val cbLit = typedLit(cb(s).zipWithIndex.map { case (w, j) => PqWord(j, w) })
+      bestCode(cbLit, col("embedding"), s, subDim)
+    }: _*)
 
   /** Fit a product quantizer: split each vector into `m` equal
     * subspaces, k-means each subspace independently. Seeds are the
@@ -1110,16 +1130,20 @@ object Ann {
     var cb: Seq[Seq[Seq[Float]]] = (0 until m).map(s =>
       seeds.map(_._2.slice(s * subDim, (s + 1) * subDim)))
     for (_ <- 0 until iters) {
-      val lits = cb.map(words => typedLit(words.zipWithIndex.map {
-        case (w, j) => PqWord(j, w) }))
-      val subs = array((0 until m).map(s => struct(
-        lit(s).as("s"),
-        bestCode(lits(s), col("embedding"), s, subDim).as("j"),
-        pqSub(col("embedding"), s, subDim).as("sub"))): _*)
+      // assignment runs ONCE per row via the native kernel, in its
+      // own projection BELOW the posexplode (the Lloyd lesson from
+      // the IVF family: a generator's co-selected expressions
+      // re-evaluate per exploded row); the per-(s, j, dim) mean
+      // reads subspace/dim straight off the flat position
       val means = corpus
-        .select(explode(subs).as("a"))
-        .select(col("a.s").as("s"), col("a.j").as("j"), posexplode(col("a.sub")))
-        .groupBy(col("s"), col("j"), col("pos"))
+        .select(allCodes(cb, subDim).as("js"), col("embedding"))
+        .select(col("js"), posexplode(col("embedding")))
+        .select(
+          (col("pos") / subDim).cast("int").as("s"),
+          element_at(col("js"), (col("pos") / subDim).cast("int") + 1).as("j"),
+          pmod(col("pos"), lit(subDim)).cast("int").as("sub_pos"),
+          col("col"))
+        .groupBy(col("s"), col("j"), col("sub_pos"))
         .agg(avg(col("col")).as("mean"))
         .collect() // ≤ m·k·subDim rows
         .groupBy(r => (r.getInt(0), r.getInt(1)))
@@ -1136,13 +1160,9 @@ object Ann {
     * zero shuffle, and the downstream tables carry m ints instead of
     * the float vector.
     */
-  def pqEncode(corpus: DataFrame, model: PqModel): DataFrame = {
-    val lits = model.codebooks.map(words => typedLit(words.zipWithIndex.map {
-      case (w, j) => PqWord(j, w) }))
+  def pqEncode(corpus: DataFrame, model: PqModel): DataFrame =
     corpus.select(col("vec_id"),
-      array((0 until model.m).map(s =>
-        bestCode(lits(s), col("embedding"), s, model.subDim)): _*).as("codes"))
-  }
+      allCodes(model.codebooks, model.subDim).as("codes"))
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query
     * precomputes its m×k lookup table of exact subspace distances in

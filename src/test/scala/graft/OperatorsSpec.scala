@@ -149,6 +149,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq_best_codes kernel equals the HOF best-code reference " +
+    "(all subspaces, element-for-element)") {
+    val emb = Tables.embeddings(spark, sf)
+    for ((m, iters) <- Seq((8, 0), (4, 2))) {
+      val model = ann.Ann.fitPq(emb, m, 16, iters)
+      val bad = emb.select(
+        ann.Ann.allCodes(model.codebooks, model.subDim).as("fast"),
+        ann.Ann.refCodes(model.codebooks, model.subDim).as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(bad == 0, s"m=$m iters=$iters: $bad rows diverge from the HOF form")
+    }
+  }
+
   test("autoCellCount: tracks ⌈n/target⌉, clamps to [lo, 4096]") {
     assert(ann.Ann.autoCellCount(0L, 256) == 1)
     assert(ann.Ann.autoCellCount(255L, 256) == 1)
