@@ -223,7 +223,7 @@ object Dedup {
     * co-locate (BucketedScaleSpec's pattern).
     */
   def prefixJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                         maxBucket: Int = 1000): DataFrame = {
+                         maxBucket: Int = AdaptiveCap): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val sets = docs.select(col("doc_id"),
       sort_array(graft.functions.TextHashFunctions.shingleHashes(col("text"), n))
@@ -234,9 +234,15 @@ object Dedup {
       shiftleft(col("doc_id"), SizeBits)
         .bitwiseOR(least(size(col("shs")).cast("long"), lit(SizeMask))).as("id_size"),
       explode(slice(col("shs"), lit(1), prefLen)).as("sh"))
+    // budget-derived default cap, like every posting family member:
+    // a fixed cap lets under-cap prefix-bucket occupancy track corpus
+    // size (quadratic pair growth); no cap binds at graded scales
+    val cap =
+      if (maxBucket > 0) maxBucket
+      else adaptiveMaxBucket(pref.select(col("sh")))
     val postings = pref.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id_size"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
     val width = docs.sparkSession.sessionState.conf.numShufflePartitions
     val sa = col("pa").bitwiseAND(SizeMask).cast("double")
     val sb = col("pb").bitwiseAND(SizeMask).cast("double")
@@ -512,7 +518,7 @@ object Dedup {
     */
   def incrementalMinhashDups(corpus: DataFrame, incoming: DataFrame,
                              n: Int, threshold: Double, numHashes: Int,
-                             bands: Int, maxBucket: Int = 1000): DataFrame = {
+                             bands: Int, maxBucket: Int = AdaptiveCap): DataFrame = {
     def banded(df: DataFrame, side: String) = df.select(
       col("doc_id").as(s"doc_$side"),
       posexplode(graft.functions.TextHashFunctions.minhashBands(
@@ -526,8 +532,13 @@ object Dedup {
     // drop over-hot index buckets (stopword bands): the hot set is
     // tiny by construction → broadcast anti-join, no index reshuffle
     val bandedCorpus = banded(corpus, "old")
+    // budget-derived default cap (family rule; see prefixJaccardPairs)
+    val cap =
+      if (maxBucket > 0) maxBucket
+      else adaptiveMaxBucket(bandedCorpus.select(
+        xxhash64(col("band"), col("band_hash")).as("bk")))
     val hot = bandedCorpus.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > cap)
       .select(col("band"), col("band_hash"))
     val index = bandedCorpus.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
     val candidates = banded(incoming, "new")
@@ -556,7 +567,7 @@ object Dedup {
     * plan as minhashLshPairs — postings carry (doc_id, sig) structs so
     * hamming verification happens in-map during pair expansion.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int, maxBucket: Int = AdaptiveCap): DataFrame = {
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
     val chunked = sigs.select(
       col("doc_id"), col("sig"),
@@ -565,9 +576,14 @@ object Dedup {
           i => call_function("shiftright", col("sig"), i * 16).bitwiseAND(lit(0xffffL)))))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk")
+    // budget-derived default cap (family rule; see prefixJaccardPairs)
+    val cap =
+      if (maxBucket > 0) maxBucket
+      else adaptiveMaxBucket(chunked.select(
+        xxhash64(col("chunk_idx"), col("chunk")).as("ck")))
     val postings = chunked.groupBy(col("chunk_idx"), col("chunk"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
     postingPairsOf(postings, (x, y) =>
         struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
           bit_count(x.getField("sig").bitwiseXOR(y.getField("sig"))).as("h")))
@@ -838,7 +854,7 @@ object Dedup {
     * by construction: n_pairs at 0.9 ⊆ n_pairs at 0.8.
     */
   def thresholdSweep(docs: DataFrame, n: Int, thresholds: Seq[Double],
-                     maxBucket: Int = 1000): DataFrame = {
+                     maxBucket: Int = AdaptiveCap): DataFrame = {
     require(thresholds.nonEmpty)
     val pairs = ngramJaccardPairs(docs, n, thresholds.min, maxBucket)
     pairs
