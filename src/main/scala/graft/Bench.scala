@@ -111,16 +111,20 @@ object Bench {
     // soak runs at 100× data dial it down via SPARK_GRAFT_PASSES
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
     // shuffle/spill bytes are measured on the first pass only (they
-    // are deterministic per query; listener events drain async, so
-    // each measured window gets a short flush wait)
+    // are deterministic per query; listener events arrive async, so
+    // each measured window is bracketed by a DETERMINISTIC bus drain
+    // — a fixed sleep could bleed one query's stage bytes into the
+    // next query's bucket on a slow bus)
     val shufByQuery = scala.collection.mutable.Map[String, Long]()
     val spillByQuery = scala.collection.mutable.Map[String, Long]()
+    def drainBus(): Unit =
+      org.apache.spark.GraftListenerGlue.drain(spark.sparkContext)
     val passes = (0 until nPasses).map { p =>
       queries.map { case (name, fn) =>
         if (metricsOn && p == 0) {
-          Thread.sleep(50); shufBytes.set(0L); spillBytes.set(0L)
+          drainBus(); shufBytes.set(0L); spillBytes.set(0L)
           val t = timeOnce(name, fn)
-          Thread.sleep(50)
+          drainBus()
           shufByQuery(name) = shufBytes.get(); spillByQuery(name) = spillBytes.get()
           name -> t
         } else name -> timeOnce(name, fn)

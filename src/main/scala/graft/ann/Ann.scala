@@ -140,6 +140,10 @@ object Ann {
   def knnGraphIvfAuto(corpus: DataFrame, k: Int, nprobe: Int,
                       refineIters: Int = 0,
                       targetCellSize: Int = 256): DataFrame = {
+    // fail HERE, not inside fitIvf's require: the `lo` floor is applied
+    // after autoCellCount's 4096 clamp, so a larger nprobe would yield
+    // nCells > 4096 and a confusing downstream message
+    require(nprobe <= 4096, s"nprobe=$nprobe exceeds the 4096 cell-count clamp")
     val nCells = autoCellCount(corpus.count(), targetCellSize, lo = nprobe.toLong)
     knnGraphIvf(corpus, k, nCells, nprobe, refineIters)
   }

@@ -124,6 +124,45 @@ object Dedup {
   private[graft] def adaptiveMaxBucket(features: DataFrame,
                                        budgetFactor: Long = 16L,
                                        floorCap: Int = 64): Int = {
+    // Amortization (r7 verdict): miners in the same run frequently
+    // derive the SAME feature projection over the SAME corpus (e.g.
+    // q_dedup_recall runs two n-gram miners; a curation pipeline runs
+    // jaccard + containment + filter over one shingle set), and each
+    // invocation was paying its own df-histogram job. Memoize per
+    // (canonicalized feature plan, budget, floor): the canonicalized
+    // LogicalPlan normalizes expression ids/aliases, so identical
+    // derivations hit regardless of call site. Per-JVM, LRU-bounded.
+    // Staleness contract: a cap derived from a corpus snapshot stays
+    // valid for the JVM's lifetime — rewriting files IN PLACE under a
+    // path this JVM already histogrammed requires clearCapCache()
+    // (the temp-rig queries always write fresh dirs, so they never
+    // alias). A stale cap can only shift candidate-recall economics,
+    // never the correctness of verified pairs.
+    val plan = features.queryExecution.analyzed.canonicalized
+    val key = (plan.semanticHash(), budgetFactor, floorCap)
+    capCache.synchronized {
+      val hit = capCache.get(key)
+      if (hit != null && hit._1.sameResult(plan)) { capCacheHits += 1; return hit._2 }
+    }
+    val cap = computeAdaptiveMaxBucket(features, budgetFactor, floorCap)
+    capCache.synchronized { capCache.put(key, (plan, cap)) }
+    cap
+  }
+
+  private type CapKey = (Int, Long, Int)
+  private type CapVal = (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int)
+  private val capCache =
+    new java.util.LinkedHashMap[CapKey, CapVal](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[CapKey, CapVal]): Boolean = size > 64
+    }
+  private[graft] var capCacheHits = 0L
+  private[graft] def clearCapCache(): Unit =
+    capCache.synchronized { capCache.clear() }
+
+  private def computeAdaptiveMaxBucket(features: DataFrame,
+                                       budgetFactor: Long,
+                                       floorCap: Int): Int = {
     val f = features.columns.head
     val rows = features
       .groupBy(col(f)).agg(count(lit(1)).as("df"))
@@ -952,19 +991,38 @@ object Dedup {
     // two id joins (the bandedLshPairs fetch shape). Explicit width
     // on both join inputs: the block-key exchange is bytes-small but
     // expands ~blocksize-fold, which AQE's coalescing cannot see.
+    // The exact code-point length rides INSIDE the candidate id (the
+    // packed-posting trick): |len_a − len_b| > maxDist certifies
+    // dist > maxDist, so length-incompatible pairs die while still
+    // id-only — before the pair-dedup aggregate and both text-fetch
+    // joins, not after. The SizeMask clamp only SHRINKS apparent
+    // length differences, so a clamped length can admit an extra
+    // pair but never drop a qualifying one; packed ordering is
+    // doc_id ordering (length is constant per doc).
     val width = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val left = kept.select(col("tok0"), col("bkey"),
-      col("doc_id").as("doc_a")).repartition(width, col("tok0"), col("bkey"))
-    val right = kept.select(col("tok0"), col("bkey"),
-      col("doc_id").as("doc_b")).repartition(width, col("tok0"), col("bkey"))
+    val packed = kept.select(col("tok0"), col("bkey"),
+      (shiftleft(col("doc_id"), SizeBits)
+        .bitwiseOR(least(length(col("text")).cast("long"), lit(SizeMask)))).as("p"))
+    val left = packed.select(col("tok0"), col("bkey"), col("p").as("pa"))
+      .repartition(width, col("tok0"), col("bkey"))
+    val right = packed.select(col("tok0"), col("bkey"), col("p").as("pb"))
+      .repartition(width, col("tok0"), col("bkey"))
     val cand = left.join(right, Seq("tok0", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+      .filter(col("pa") < col("pb") &&
+        abs(col("pa").bitwiseAND(SizeMask) - col("pb").bitwiseAND(SizeMask)) <= maxDist)
+      .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
+        shiftrightunsigned(col("pb"), SizeBits).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val txt = docs.select(col("doc_id"), col("text"))
     cand
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      // bag-distance lower bound before the DP: one linear histogram
+      // pass rejects pairs that provably cannot be within maxDist
+      // (exact-safe — see EditBagLowerBound), so the O(len·maxDist)
+      // banded Levenshtein runs only on pairs the cheap bound admits
+      .filter(graft.functions.TextHashFunctions
+        .editBagLowerBound(col("ta"), col("tb")) <= maxDist)
       .withColumn("dist",
         levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)

@@ -205,7 +205,11 @@ case class IvfBestCells(child: Expression,
       var t = r + 1
       while (t < m) {
         val a = idx(t); val b = idx(best)
-        if (d(a) < d(b) || (d(a) == d(b) && cellIds(a) < cellIds(b))) best = t
+        // Double.compare, not <: replicates array_sort's TOTAL order
+        // (-0.0 < 0.0, NaN last) so the ±0.0/NaN edge cases cannot
+        // diverge from the HOF parity reference
+        val cmp = java.lang.Double.compare(d(a), d(b))
+        if (cmp < 0 || (cmp == 0 && cellIds(a) < cellIds(b))) best = t
         t += 1
       }
       val tmp = idx(r); idx(r) = idx(best); idx(best) = tmp

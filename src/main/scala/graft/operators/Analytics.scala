@@ -1806,10 +1806,13 @@ object Analytics {
   /** First-significant-digit distribution per group (Benford-style
     * audit) — the fraud/data-entry screen: organically-grown money
     * amounts lead with 1 far more than 9; fabricated or truncated
-    * feeds don't. The digit comes from the DECIMAL-exact integer
-    * cents rendered as a string (both engines print a BIGINT
-    * identically), never from floating log10 — so the distribution is
-    * bit-deterministic. Output is the per-digit observed share;
+    * feeds don't. The digit comes from integer cents rendered as a
+    * string (both engines print a BIGINT identically), never from
+    * floating log10. Cents are floor(value*100.0 + 0.5) — double
+    * arithmetic, but the SQL twin evaluates the IDENTICAL expression,
+    * so the distribution is engine-deterministic rather than
+    * decimal-exact; values in (0, 0.005) land in a digit-'0' bucket
+    * by this rounding. Output is the per-digit observed share;
     * comparing against log10(1+1/d) is the analyst's last step (kept
     * out of the engine: libm log10 is not bit-portable).
     *

@@ -344,24 +344,6 @@ object Reconcile {
         (!(col("l_max") <=> col("r_max"))).as("max_changed"))
   }
 
-  /** Join-key discovery: which columns JOIN — the data-catalog
-    * primitive behind "can I enrich this fact with that dimension?"
-    * on an undocumented warehouse. Every candidate column reduces to
-    * its distinct value set (tagged with `table.column`), the sets
-    * meet in ONE value-keyed equi-join, and each surviving pair
-    * reports overlap and directional containment — containment ≈ 1.0
-    * in one direction is the foreign-key signature (every fact key
-    * exists in the dimension), ≈ 1.0 both ways is a shared domain.
-    *
-    * Scale: the distinct collapses each column map-side BEFORE the
-    * join, so the join carries one row per distinct value per column
-    * — key-space-sized, not fact-sized; the pair report is
-    * columns²-sized. A hot value (a default/sentinel shared by many
-    * columns) fans out at most columns² per value. At 100 TB swap
-    * the exact sets for bottom-k minwise sketches (the
-    * `vocabJaccardMatrix` machinery) — same report, fixed-size
-    * per-column state; exact form stays the oracle twin.
-    */
   /** Functional-dependency discovery: does column A determine column
     * B? — the other half of the data-catalog profile
     * ([[joinKeyDiscovery]] finds the keys that JOIN; this finds the
@@ -393,6 +375,24 @@ object Reconcile {
       .withColumn("holds", col("n_violating") === 0L)
   }
 
+  /** Join-key discovery: which columns JOIN — the data-catalog
+    * primitive behind "can I enrich this fact with that dimension?"
+    * on an undocumented warehouse. Every candidate column reduces to
+    * its distinct value set (tagged with `table.column`), the sets
+    * meet in ONE value-keyed equi-join, and each surviving pair
+    * reports overlap and directional containment — containment ≈ 1.0
+    * in one direction is the foreign-key signature (every fact key
+    * exists in the dimension), ≈ 1.0 both ways is a shared domain.
+    *
+    * Scale: the distinct collapses each column map-side BEFORE the
+    * join, so the join carries one row per distinct value per column
+    * — key-space-sized, not fact-sized; the pair report is
+    * columns²-sized. A hot value (a default/sentinel shared by many
+    * columns) fans out at most columns² per value. At 100 TB swap
+    * the exact sets for bottom-k minwise sketches (the
+    * `vocabJaccardMatrix` machinery) — same report, fixed-size
+    * per-column state; exact form stays the oracle twin.
+    */
   def joinKeyDiscovery(cols: Seq[(String, DataFrame, String)]): DataFrame = {
     require(cols.size >= 2, "need at least two candidate columns")
     val tagged = cols.map { case (tag, df, c) =>

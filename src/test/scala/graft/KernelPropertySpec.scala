@@ -87,6 +87,56 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("EditBagLowerBound never exceeds Levenshtein, subsumes length diff") {
+    // alphabet mixes ASCII, a >127 char (é), and a supplementary code
+    // point (𝕏, a surrogate pair) so the wide-histogram path and the
+    // code-point stepping are both exercised
+    val ch = Gen.oneOf("a", "b", "c", " ", "é", "𝕏")
+    val str = Gen.listOf(ch).map(_.mkString)
+    holds(Prop.forAll(str, str) { (a, b) =>
+      val ua = org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      val ub = org.apache.spark.unsafe.types.UTF8String.fromString(b)
+      val lb = EditBagLowerBound(Literal(a), Literal(b))
+        .eval(null).asInstanceOf[Int]
+      val dist = ua.levenshteinDistance(ub)
+      val lenDiff = math.abs(a.codePointCount(0, a.length) - b.codePointCount(0, b.length))
+      lb <= dist && lb >= lenDiff && (a != b || lb == 0)
+    })
+  }
+
+  test("editDistancePairs output is unchanged by the prefilters " +
+    "(planted near/far pairs at every distance around the threshold)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // pairs at dist 0..6 around maxDist=4, same first token so all are
+    // block-mates; plus length-incompatible pairs the packed filter
+    // must not wrongly drop at exactly |Δlen| = maxDist
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),   // d=0
+      (3L, "alpha beta gamma delt"),                                    // d=1 vs 1
+      (4L, "alpha beta gamms deltx"),                                   // d=2 vs 1
+      (5L, "alpha bXta gamms dZltx"),                                   // d=4 vs 1
+      (6L, "alpha bXtQ gamWs dZltx"),                                   // d=6 vs 1 (out)
+      (7L, "alpha beta gamma delta XYZW"),                              // Δlen=5 vs 1 (out)
+      (8L, "alpha beta gamma delta XYZ")                                // Δlen=4 vs 1 (in iff dist≤4)
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.editDistancePairs(docs, maxDist = 4, bandWidth = 32)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // reference: brute-force over all pairs
+    val texts = Seq(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "alpha beta gamma delt", 4L -> "alpha beta gamms deltx",
+      5L -> "alpha bXta gamms dZltx", 6L -> "alpha bXtQ gamWs dZltx",
+      7L -> "alpha beta gamma delta XYZW", 8L -> "alpha beta gamma delta XYZ")
+    val expect = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      d = org.apache.spark.unsafe.types.UTF8String.fromString(ta)
+        .levenshteinDistance(org.apache.spark.unsafe.types.UTF8String.fromString(tb))
+      if d <= 4
+    } yield (ia, ib, d.toLong)).sorted
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
   test("FreqBuffer: never overcounts, MG error bound, heavy items always present") {
     val itemGen = Gen.frequency(
       5 -> Gen.const("hot"), 3 -> Gen.const("warm"),

@@ -192,6 +192,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.count() == 1) // floor cap never drops a tiny corpus
   }
 
+  test("adaptive posting cap memoizes per canonicalized feature plan") {
+    import spark.implicits._
+    dedup.Dedup.clearCapCache()
+    def features() = // built fresh each call: same SEMANTIC plan, new objects
+      ((1 to 500).map(i => s"g$i") ++ Seq.fill(10)("hot")).toDF("f")
+        .select(col("f"))
+    val h0 = dedup.Dedup.capCacheHits
+    val c1 = dedup.Dedup.adaptiveMaxBucket(features())
+    assert(dedup.Dedup.capCacheHits == h0, "first call must compute, not hit")
+    val c2 = dedup.Dedup.adaptiveMaxBucket(features())
+    assert(c2 == c1)
+    assert(dedup.Dedup.capCacheHits == h0 + 1,
+      "identical feature derivation must hit the memo")
+    // a different budget is a different key — no false sharing
+    val c3 = dedup.Dedup.adaptiveMaxBucket(features(), budgetFactor = 1L)
+    assert(dedup.Dedup.capCacheHits == h0 + 1)
+    // a semantically different plan misses
+    dedup.Dedup.adaptiveMaxBucket(
+      (1 to 100).map(i => s"z$i").toDF("f").select(col("f")))
+    assert(dedup.Dedup.capCacheHits == h0 + 1)
+    assert(c3 <= c1)
+  }
+
   test("minhash LSH candidates cover all high-jaccard pairs (recall)") {
     val docs = Tables.documents(spark, sf)
     val exact = dedup.Dedup.ngramJaccardPairs(docs, 3, 0.8)

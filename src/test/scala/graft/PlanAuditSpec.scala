@@ -160,6 +160,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(df.count() == 47)
   }
 
+  test("many-file raw parse with tag + filename rules: body never " +
+    "exchanges on _file; only the tag-filtered capture does") {
+    val dir = java.nio.file.Files.createTempDirectory("sliceaudit2")
+    (0 until 20).foreach { f =>
+      java.nio.file.Files.writeString(dir.resolve(s"NODE${f}_20240101.csv"),
+        (Seq("HDR|x|0", s"#REGION=R${f * 10}") ++
+          (1 to 30).map(i => s"$i|t$i|${i * 7}") :+ "EOF|x|0").mkString("\n"))
+    }
+    val raw = graft.etl.ChillPipeline.rawCsv(spark, dir.toString + "/*.csv", "|",
+      Seq("id", "t", "cents"), skipHeader = 2, skipFooter = 1, ignoreLines = Set())
+    val tagRule = graft.etl.FromTag("region", "#REGION",
+      c => org.apache.spark.sql.functions.regexp_extract(c, "#REGION=(R\\d+)", 1))
+    val df = graft.etl.FieldRule.applyAll(
+      graft.etl.ChillPipeline.withTagColumns(spark, dir.toString + "/*.csv", raw,
+        Seq(tagRule)),
+      Seq(graft.etl.FromFilename("node_id", "NODE(\\d+)_", 1), tagRule))
+    val p = df.queryExecution.executedPlan.toString
+    val fileExchanges = "Exchange hashpartitioning\\(_file".r.findAllIn(p).length
+    assert(fileExchanges <= 1,
+      s"feed body must not shuffle on _file (1 tag-capture exchange allowed):\n$p")
+    assert(p.contains("Contains(value"),
+      s"the _file exchange must sit above the tag FILTER, not the body:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-split offsets and per-file tags must broadcast:\n$p")
+    // semantic check: every row carries its file's node id + region
+    val rows = df.groupBy("node_id", "region")
+      .count().collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 20 && rows.forall { case (n, reg, c) =>
+      reg == s"R${n.toInt * 10}" && c == 30 })
+  }
+
   test("bm25 is join-free: literal stats, bounded top-k, no exchange of doc rows") {
     val p = plan("q_bm25_search")
     assert(!p.contains("Join"), s"bm25 must not join — stats are literals:\n$p")
