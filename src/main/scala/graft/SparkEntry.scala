@@ -1897,18 +1897,21 @@ object SparkEntry {
             4096, probes, "by_time"))
     }),
     // D78: BPE tokenizer training — 8 merge rounds over the
-    // vocabulary-sized (word, count) state (rows-only by design:
-    // iterative regex rewrites have no SQL replay; the classic hand
-    // example is spec-pinned)
+    // vocabulary-sized (word, count) state. FULL oracle since r8: the
+    // fixed round count unrolls into chained CTEs, and the lookaround
+    // rewrite replays in RE2-land via the double-space padding
+    // identity (see the oracle entry); the classic hand example stays
+    // spec-pinned besides
     "q_bpe_train" -> ((s, dir) => {
       import s.implicits._
-      TextOps.bpeTrain(Tables.documents(s, dir), 8)
+      TextOps.bpeTrain(Tables.documents(s, dir), BpeMerges)
         .toDF("rank", "left", "right", "pair_count")
     }),
     // D78b: encode the corpus with the learned merges — the
-    // fertility-vs-merges number a tokenizer evaluation tracks
+    // fertility-vs-merges number a tokenizer evaluation tracks (full
+    // oracle since r8, same unrolled-merge replay)
     "q_bpe_encode" -> ((s, dir) => {
-      val merges = TextOps.bpeTrain(Tables.documents(s, dir), 8)
+      val merges = TextOps.bpeTrain(Tables.documents(s, dir), BpeMerges)
       TextOps.bpeEncode(Tables.documents(s, dir), merges)
     }),
     // D77: modality-blind exact binary dedup by content digest —
@@ -5643,6 +5646,83 @@ object SparkEntry {
         |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_islands,
         | CAST(SUM(n) AS BIGINT) AS n_orders,
         | CAST(SUM(date_diff('day', gs, ge) + 1) AS BIGINT) AS covered_days
-        |FROM g GROUP BY 1""".stripMargin
+        |FROM g GROUP BY 1""".stripMargin,
+    // D78: full-oracle BPE training replay — the fixed 8 merge rounds
+    // unroll into 8 chained CTEs (count pairs → argmax → rewrite).
+    // DuckDB's RE2 has no lookarounds, so the rewrite uses the
+    // double-space padding identity instead of Spark's
+    // (?<=^|\s)a b(?=\s|$): with every symbol gap widened to two
+    // spaces, a plain left-to-right ' a  b ' → ' ab ' replace consumes
+    // only its own boundary spaces, reproducing the regex's
+    // non-overlapping greedy semantics exactly (incl. the "a a a" →
+    // "aa a" convention), then '  '→' ' collapses the gaps back
+    "q_bpe_train" ->
+      (s"WITH ${bpeTrainCtes()}\n" +
+        (1 to BpeMerges).map(k =>
+          s"""SELECT $k AS rank, a AS "left", b AS "right", freq AS pair_count FROM m$k""")
+          .mkString(" UNION ALL ")),
+    // D78b: full-oracle encode replay — the 8 learned merges apply to
+    // every word's spaced form in rank order (same padding identity),
+    // then symbols count per doc; docs with zero words still count
+    // via the LEFT JOIN
+    "q_bpe_encode" -> {
+      val applied = (1 to BpeMerges).foldLeft(
+        """trim(regexp_replace(w, '(?s)(.)', '\1 ', 'g'))""") {
+        (s, k) => bpeMergeStep(s, s"m$k.a", s"m$k.b")
+      }
+      s"""WITH ${bpeTrainCtes()},
+         |perword AS (
+         |  SELECT doc_id, len(string_split($applied, ' '))::BIGINT AS n_sym
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |       CROSS JOIN ${(1 to BpeMerges).map("m" + _).mkString(" CROSS JOIN ")}
+         |  WHERE w <> ''),
+         |perdoc AS (
+         |  SELECT d.doc_id, d.source,
+         |    coalesce(pw.n_words, 0) AS n_words, coalesce(pw.n_sym, 0) AS n_sym
+         |  FROM documents d LEFT JOIN (
+         |    SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_sym)::BIGINT AS n_sym
+         |    FROM perword GROUP BY doc_id) pw USING (doc_id))
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+         |  CAST(sum(n_sym) AS BIGINT)::DOUBLE / CAST(sum(n_words) AS BIGINT) AS fertility
+         |FROM perdoc GROUP BY source""".stripMargin
+    }
   )
+
+  /** The graded BPE merge-round count — shared by the Spark queries
+    * and the unrolled oracle CTE chain so they can never drift.
+    */
+  private val BpeMerges = 8
+
+  /** One BPE merge rewrite in DuckDB SQL: the double-space padding
+    * identity (see the q_bpe_train oracle comment).
+    */
+  private def bpeMergeStep(s: String, a: String, b: String): String =
+    s"trim(replace(replace(' ' || replace($s,' ','  ') || ' ', " +
+      s"' ' || $a || '  ' || $b || ' ', ' ' || $a || $b || ' '), '  ', ' '))"
+
+  /** The shared CTE chain of both BPE oracles: vocabulary → spaced
+    * symbol strings → ($BpeMerges ×) pair count, argmax, rewrite.
+    */
+  private def bpeTrainCtes(): String = {
+    val head = Seq(
+      """words AS (
+        |  SELECT w, count(*)::BIGINT AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w)""".stripMargin,
+      """v0 AS (SELECT trim(regexp_replace(w, '(?s)(.)', '\1 ', 'g')) AS s, n FROM words)""")
+    val rounds = (1 to BpeMerges).flatMap { k =>
+      Seq(
+        s"""p$k AS (
+           |  SELECT sy[i] AS a, sy[i+1] AS b, sum(n)::BIGINT AS freq
+           |  FROM (SELECT string_split(s, ' ') AS sy, n FROM v${k - 1}),
+           |       unnest(range(1, len(sy))) AS u(i)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"m$k AS (SELECT a, b, freq FROM p$k ORDER BY freq DESC, a, b LIMIT 1)",
+        s"v$k AS (SELECT ${bpeMergeStep("v.s", "m.a", "m.b")} AS s, v.n " +
+          s"FROM v${k - 1} v CROSS JOIN m$k m)")
+    }
+    (head ++ rounds).mkString(",\n")
+  }
 }
