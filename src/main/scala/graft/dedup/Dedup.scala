@@ -1000,19 +1000,27 @@ object Dedup {
     // pair but never drop a qualifying one; packed ordering is
     // doc_id ordering (length is constant per doc).
     val width = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val packed = kept.select(col("tok0"), col("bkey"),
+    val packed = kept.select(col("tok0"), col("bkey"), col("b"),
       (shiftleft(col("doc_id"), SizeBits)
         .bitwiseOR(least(length(col("text")).cast("long"), lit(SizeMask)))).as("p"))
-    val left = packed.select(col("tok0"), col("bkey"), col("p").as("pa"))
-      .repartition(width, col("tok0"), col("bkey"))
-    val right = packed.select(col("tok0"), col("bkey"), col("p").as("pb"))
-      .repartition(width, col("tok0"), col("bkey"))
+    val left = packed.select(col("tok0"), col("bkey"), col("b").as("ba"),
+      col("p").as("pa")).repartition(width, col("tok0"), col("bkey"))
+    val right = packed.select(col("tok0"), col("bkey"), col("b").as("bb"),
+      col("p").as("pb")).repartition(width, col("tok0"), col("bkey"))
+    // structural pair dedup, NOT dropDuplicates: the {b, b+1}
+    // replication lets a pair meet at most twice (same-band pairs meet
+    // at both b and b+1; adjacent-band pairs exactly once, at the
+    // higher band), so `bkey == greatest(b_a, b_b)` picks each pair's
+    // unique meeting key — global uniqueness WITHOUT shuffling the
+    // full candidate set through a dedup aggregate (at 100× that
+    // aggregate moved ~10⁹ id-pairs; this is a free filter in the
+    // join's own stage)
     val cand = left.join(right, Seq("tok0", "bkey"))
       .filter(col("pa") < col("pb") &&
+        col("bkey") === greatest(col("ba"), col("bb")) &&
         abs(col("pa").bitwiseAND(SizeMask) - col("pb").bitwiseAND(SizeMask)) <= maxDist)
       .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
         shiftrightunsigned(col("pb"), SizeBits).as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
     val txt = docs.select(col("doc_id"), col("text"))
     cand
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
