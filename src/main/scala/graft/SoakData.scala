@@ -84,8 +84,16 @@ object SoakData {
   private var nOutFiles: Int = 32
 
   private def replicas(df: DataFrame, mult: Int): DataFrame =
-    df.withColumn("r", explode(sequence(lit(0L), lit(mult - 1L))))
-      .repartition(nOutFiles)
+    // repartition BEFORE the explode: the driver's source tables are
+    // single-file parquet (one scan split), so a post-explode
+    // repartition puts the whole ×mult explosion — and its shuffle
+    // map write — on ONE task (measured: 600 M lineitem rows
+    // serializing through 1.5 cores at mult=1000). Pre-partitioning
+    // fans the source rows across nOutFiles tasks first; each task
+    // explodes its slice in place, no post-explode shuffle exists at
+    // all, and the writer still emits nOutFiles files.
+    df.repartition(nOutFiles)
+      .withColumn("r", explode(sequence(lit(0L), lit(mult - 1L))))
 
   /** Substituted-word source for the two generator modes:
     *  - `closed` re-draws ~half the words of each copy from the
