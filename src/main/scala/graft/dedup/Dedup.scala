@@ -973,10 +973,17 @@ object Dedup {
     // scales the whole distribution fits and the exact oracle is
     // untouched (gate-pinned). The hot set is tiny by construction →
     // broadcast anti-join, no data reshuffle.
+    // budgetFactor 256, not the old 1024: the bound is linear either
+    // way, but the CONSTANT is what a single node pays in shuffle —
+    // the 1000× decade probe measured the 1024 budget admitting
+    // ~3.5 B candidates (56 GB shuffle + 49 GB spill = local-disk
+    // death) where 256 keeps the same corpus inside the disk while
+    // the recall artifact (RECALL_*.json, edit rows) gates the
+    // recall cost of the tighter cap
     val cap =
       if (maxBlock > 0) maxBlock
       else adaptiveMaxBucket(keyed.select(
-        xxhash64(col("tok0"), col("bkey")).as("bk")), budgetFactor = 1024L)
+        xxhash64(col("tok0"), col("bkey")).as("bk")), budgetFactor = 256L)
     val kept =
       if (cap == Int.MaxValue) keyed
       else {
