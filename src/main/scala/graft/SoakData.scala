@@ -32,12 +32,20 @@ import org.apache.spark.sql.functions._
   */
 object SoakData {
   def main(args: Array[String]): Unit = {
-    val (srcDir, outDir, multStr, mode) = args match {
-      case Array(s, o, m)     => (s, o, m, "closed")
-      case Array(s, o, m, md) => (s, o, m, md)
+    // args: srcDir outDir mult [mode] [tables]
+    //   tables: comma list of {documents,embeddings,events,facts,dims}
+    //   (default all). A 1000x decade probe touching only the
+    //   documents/events queries need not pay for 600M lineitem rows.
+    val (srcDir, outDir, multStr, mode, tables) = args match {
+      case Array(s, o, m)         => (s, o, m, "closed", "all")
+      case Array(s, o, m, md)     => (s, o, m, md, "all")
+      case Array(s, o, m, md, ts) => (s, o, m, md, ts)
     }
     require(mode == "closed" || mode == "heaps",
       s"mode must be closed|heaps, got $mode")
+    val wanted: String => Boolean =
+      if (tables == "all") _ => true
+      else tables.split(",").map(_.trim).toSet
     val mult = multStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -49,11 +57,11 @@ object SoakData {
     spark.sparkContext.setLogLevel("WARN")
     nOutFiles = math.min(256, math.max(cpus.toInt, mult))
 
-    writeDocuments(spark, srcDir, outDir, mult, mode)
-    writeEmbeddings(spark, srcDir, outDir, mult)
-    writeEvents(spark, srcDir, outDir, mult)
-    writeFacts(spark, srcDir, outDir, mult)
-    copyDims(spark, srcDir, outDir)
+    if (wanted("documents")) writeDocuments(spark, srcDir, outDir, mult, mode)
+    if (wanted("embeddings")) writeEmbeddings(spark, srcDir, outDir, mult)
+    if (wanted("events")) writeEvents(spark, srcDir, outDir, mult)
+    if (wanted("facts")) writeFacts(spark, srcDir, outDir, mult)
+    if (wanted("dims")) copyDims(spark, srcDir, outDir)
     spark.stop()
   }
 
