@@ -941,9 +941,10 @@ object Dedup {
     * graded form). The length band is an equi-join: each doc
     * replicates to bands {b, b+1} so any two docs within one band of
     * each other share a key — 2× posting duplication instead of a
-    * non-equi band join that would broadcast-nested-loop. Pairs
-    * dedupe BEFORE the Levenshtein so the double-collision of
-    * same-band pairs costs a hash probe, not a second DP run.
+    * non-equi band join that would broadcast-nested-loop. The {b,b+1}
+    * replication's double-collisions are resolved structurally inside
+    * the join (each pair's unique meeting key), so no pair reaches
+    * the Levenshtein twice and no dedup aggregate exists.
     *
     * `blockTokens` sets how many leading tokens form the key: the
     * pair count grows quadratically in block size, so a key that
@@ -992,28 +993,42 @@ object Dedup {
           .select(col("tok0"), col("bkey"))
         keyed.join(broadcast(hot), Seq("tok0", "bkey"), "left_anti")
       }
-    // candidates stay id-only through the distinct — the blocking
-    // join's fan-out must not drag two full texts per pair through
-    // the dedup aggregate; texts are fetched per SURVIVING pair by
-    // two id joins (the bandedLshPairs fetch shape). Explicit width
-    // on both join inputs: the block-key exchange is bytes-small but
-    // expands ~blocksize-fold, which AQE's coalescing cannot see.
-    // The exact code-point length rides INSIDE the candidate id (the
-    // packed-posting trick): |len_a − len_b| > maxDist certifies
-    // dist > maxDist, so length-incompatible pairs die while still
-    // id-only — before the pair-dedup aggregate and both text-fetch
-    // joins, not after. The SizeMask clamp only SHRINKS apparent
-    // length differences, so a clamped length can admit an extra
-    // pair but never drop a qualifying one; packed ordering is
-    // doc_id ordering (length is constant per doc).
+    // The verify runs ENTIRELY inside the blocking join's stage: the
+    // structural band dedup (below) removed the one aggregate that
+    // used to force candidates onto the wire, so nothing requires a
+    // candidate row to ever be shuffled — and the 1000× decade probe
+    // showed what happens when one is (the id-only candidate shuffle
+    // into a text-fetch join was 32 GB and climbing at sf100 when
+    // the 1800 s watchdog fired; the second fetch join would have
+    // carried a full text per candidate besides). Instead the TEXTS
+    // ride the posting shuffle — 2 postings per doc, linear in the
+    // corpus by construction, ~10 GB at 5M docs — and every filter
+    // below runs per candidate in-stage, cheapest first:
+    //   1. packed |Δlen| > maxDist (codegen, certifies dist > maxDist;
+    //      the SizeMask clamp only SHRINKS apparent differences, so
+    //      it can admit an extra pair but never drop a qualifying
+    //      one; packed ordering is doc_id ordering),
+    //   2. folded 8-bucket char-bag bound (codegen on two longs —
+    //      kills most length-compatible non-dups before any
+    //      interpreted eval),
+    //   3. full code-point bag bound (interpreted, O(len), exact-safe
+    //      — see EditBagLowerBound),
+    //   4. banded Levenshtein (O(len·maxDist), the verdict).
+    // Explicit width on both join inputs: the block-key exchange is
+    // bytes-small but expands ~blocksize-fold inside the join, which
+    // AQE's shuffle-bytes coalescing cannot see.
     val width = docs.sparkSession.sessionState.conf.numShufflePartitions
     val packed = kept.select(col("tok0"), col("bkey"), col("b"),
       (shiftleft(col("doc_id"), SizeBits)
-        .bitwiseOR(least(length(col("text")).cast("long"), lit(SizeMask)))).as("p"))
+        .bitwiseOR(least(length(col("text")).cast("long"), lit(SizeMask)))).as("p"),
+      graft.functions.TextHashFunctions.packedCharBag(col("text")).as("h"),
+      col("text"))
     val left = packed.select(col("tok0"), col("bkey"), col("b").as("ba"),
-      col("p").as("pa")).repartition(width, col("tok0"), col("bkey"))
+      col("p").as("pa"), col("h").as("ha"), col("text").as("ta"))
+      .repartition(width, col("tok0"), col("bkey"))
     val right = packed.select(col("tok0"), col("bkey"), col("b").as("bb"),
-      col("p").as("pb")).repartition(width, col("tok0"), col("bkey"))
+      col("p").as("pb"), col("h").as("hb"), col("text").as("tb"))
+      .repartition(width, col("tok0"), col("bkey"))
     // structural pair dedup, NOT dropDuplicates: the {b, b+1}
     // replication lets a pair meet at most twice (same-band pairs meet
     // at both b and b+1; adjacent-band pairs exactly once, at the
@@ -1022,26 +1037,19 @@ object Dedup {
     // full candidate set through a dedup aggregate (at 100× that
     // aggregate moved ~10⁹ id-pairs; this is a free filter in the
     // join's own stage)
-    val cand = left.join(right, Seq("tok0", "bkey"))
+    left.join(right, Seq("tok0", "bkey"))
       .filter(col("pa") < col("pb") &&
         col("bkey") === greatest(col("ba"), col("bb")) &&
-        abs(col("pa").bitwiseAND(SizeMask) - col("pb").bitwiseAND(SizeMask)) <= maxDist)
-      .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
-        shiftrightunsigned(col("pb"), SizeBits).as("doc_b"))
-    val txt = docs.select(col("doc_id"), col("text"))
-    cand
-      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
-      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
-      // bag-distance lower bound before the DP: one linear histogram
-      // pass rejects pairs that provably cannot be within maxDist
-      // (exact-safe — see EditBagLowerBound), so the O(len·maxDist)
-      // banded Levenshtein runs only on pairs the cheap bound admits
-      .filter(graft.functions.TextHashFunctions
-        .editBagLowerBound(col("ta"), col("tb")) <= maxDist)
+        abs(col("pa").bitwiseAND(SizeMask) - col("pb").bitwiseAND(SizeMask)) <= maxDist &&
+        graft.functions.TextHashFunctions
+          .foldedBagDistance(col("ha"), col("hb")) <= maxDist &&
+        graft.functions.TextHashFunctions
+          .editBagLowerBound(col("ta"), col("tb")) <= maxDist)
       .withColumn("dist",
         levenshtein(col("ta"), col("tb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
-      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
+        shiftrightunsigned(col("pb"), SizeBits).as("doc_b"), col("dist"))
   }
 
   /** [[editDistancePairs]] with the blocking key sized from the

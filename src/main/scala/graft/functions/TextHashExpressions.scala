@@ -195,6 +195,106 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     copy(child = newChild)
 }
 
+/** Packed folded character bag: 8 buckets of SATURATING 8-bit
+  * code-point counts in one long — the per-DOCUMENT half of the
+  * in-join edit-distance prefilter (see [[FoldedBagDistance]]).
+  * Bucket = top 3 bits of the Knuth multiplicative mix of the code
+  * point, so near-alphabet characters spread instead of clustering.
+  * Folding (many code points per bucket) and saturation (counts
+  * clamp at 255) both only CONTRACT per-bucket differences, so the
+  * folded bag distance computed from two of these packs is a valid
+  * lower bound on the full bag distance — and therefore on the
+  * Levenshtein distance ([[EditBagLowerBound]]'s argument). Computed
+  * once per document (n rows), consumed per candidate pair (up to
+  * budget·n rows): the asymmetry is the point — 8 bytes ride the
+  * blocking join the way the packed length does, and pairs die
+  * inside the join stage instead of shuffling to a text fetch.
+  */
+case class PackedCharBag(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "packed_char_bag"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cnt = new Array[Int](8)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cnt((cp * -1640531527) >>> 29) += 1
+      i += Character.charCount(cp)
+    }
+    var h = 0L
+    var b = 0
+    while (b < 8) {
+      h |= (math.min(cnt(b), 255).toLong & 255L) << (8 * b)
+      b += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Folded bag distance from two [[PackedCharBag]] longs:
+  * max(Σ_b max(0, a_b − b_b), Σ_b max(0, b_b − a_b)) over the 8
+  * packed buckets. A valid Levenshtein lower bound (folding and
+  * saturation only shrink the unfolded bag distance, which is itself
+  * a lower bound), so filtering candidates on `folded > maxDist` is
+  * EXACT-safe for the `dist ≤ maxDist` predicate. This is the
+  * expression that runs once per CANDIDATE pair (billions at soak
+  * scale) — hence full codegen, 8 shift/mask iterations on two
+  * longs, no memory access.
+  */
+case class FoldedBagDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "folded_bag_distance"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FoldedBagDistance.compute(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val pos = ctx.freshName("pos")
+      val neg = ctx.freshName("neg")
+      s"""
+         |int $pos = 0; int $neg = 0;
+         |for (int $i = 0; $i < 64; $i += 8) {
+         |  int $d = (int) (($a >>> $i) & 255L) - (int) (($b >>> $i) & 255L);
+         |  if ($d > 0) $pos += $d; else $neg -= $d;
+         |}
+         |${ev.value} = java.lang.Math.max($pos, $neg);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FoldedBagDistance {
+  def compute(ha: Long, hb: Long): Int = {
+    var pos = 0
+    var neg = 0
+    var i = 0
+    while (i < 64) {
+      val d = ((ha >>> i) & 255L).toInt - ((hb >>> i) & 255L).toInt
+      if (d > 0) pos += d else neg -= d
+      i += 8
+    }
+    math.max(pos, neg)
+  }
+}
+
 /** Lower bound on the Levenshtein distance of two strings in ONE
   * linear pass: the bag (multiset) distance max(Σ excess_a, Σ
   * excess_b) over code-point histograms. Each character edit removes
@@ -278,5 +378,14 @@ object TextHashFunctions {
   def editBagLowerBound(a: Column, b: Column): Column =
     org.apache.spark.sql.graftglue.ColumnGlue.column(
       EditBagLowerBound(org.apache.spark.sql.graftglue.ColumnGlue.expr(a),
+        org.apache.spark.sql.graftglue.ColumnGlue.expr(b)))
+
+  def packedCharBag(text: Column): Column =
+    org.apache.spark.sql.graftglue.ColumnGlue.column(
+      PackedCharBag(org.apache.spark.sql.graftglue.ColumnGlue.expr(text)))
+
+  def foldedBagDistance(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftglue.ColumnGlue.column(
+      FoldedBagDistance(org.apache.spark.sql.graftglue.ColumnGlue.expr(a),
         org.apache.spark.sql.graftglue.ColumnGlue.expr(b)))
 }

@@ -104,6 +104,39 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("FoldedBagDistance of PackedCharBags never exceeds the full bag " +
+    "bound (hence Levenshtein); interpreted and codegen agree") {
+    val ch = Gen.oneOf("a", "b", "c", " ", "é", "𝕏", "0", "9", "w")
+    val str = Gen.listOf(ch).map(_.mkString)
+    holds(Prop.forAll(str, str) { (a, b) =>
+      val ha = PackedCharBag(Literal(a)).eval(null).asInstanceOf[Long]
+      val hb = PackedCharBag(Literal(b)).eval(null).asInstanceOf[Long]
+      val folded = FoldedBagDistance(Literal(ha), Literal(hb))
+        .eval(null).asInstanceOf[Int]
+      val full = EditBagLowerBound(Literal(a), Literal(b))
+        .eval(null).asInstanceOf[Int]
+      val dist = org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .levenshteinDistance(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      // the static helper is what codegen emits — assert it matches eval
+      folded == FoldedBagDistance.compute(ha, hb) &&
+        folded <= full && folded <= dist && (a != b || folded == 0)
+    })
+  }
+
+  test("FoldedBagDistance stays a valid lower bound past 8-bit saturation") {
+    // 300 'a's vs 300 'b's + shared tail: both hot buckets saturate at
+    // 255; the folded bound must CONTRACT (never exceed the true DP)
+    val a = "a" * 300 + "zz"
+    val b = "b" * 300 + "zz"
+    val ha = PackedCharBag(Literal(a)).eval(null).asInstanceOf[Long]
+    val hb = PackedCharBag(Literal(b)).eval(null).asInstanceOf[Long]
+    val folded = FoldedBagDistance.compute(ha, hb)
+    val dist = org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .levenshteinDistance(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    assert(folded <= dist)
+    assert(folded <= 255) // saturated counts can never claim more
+  }
+
   test("editDistancePairs output is unchanged by the prefilters " +
     "(planted near/far pairs at every distance around the threshold)") {
     val spark = SparkTestSession.spark

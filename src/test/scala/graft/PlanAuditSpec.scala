@@ -524,6 +524,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"band blocking must stay an equi-join:\n$p")
     assert(p.contains("levenshtein"), "bounded verify must be in-plan")
+    // the whole verify (bag bounds + banded DP) runs inside the ONE
+    // blocking join's stage — a second shuffle join means a candidate
+    // row crossed the wire (the sf100 decade-probe wall)
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1,
+      s"verify must run inside the single blocking join, no fetch joins:\n$p")
   }
 
   test("seeded pagerank: final ranks are a checkpointed leaf like pagerank's") {
