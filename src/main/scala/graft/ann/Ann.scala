@@ -1035,7 +1035,12 @@ object Ann {
         .filter(col("src") =!= col("dst"))
         .unionByName(directed)
         .distinct()
+      // scoreAndSelect checkpoints each round's pool; free the prior
+      // round's blocks once the new pool is materialized (IterState:
+      // O(one round) scratch, not O(iters))
+      val prev = edges
       edges = scoreAndSelect(cand)
+      graft.operators.IterState.free(prev)
     }
     val out = mutualFlags(edges.filter(col("rnk") <= k))
     c.unpersist()

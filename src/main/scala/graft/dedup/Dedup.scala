@@ -394,7 +394,10 @@ object Dedup {
           col("prev_label"))
         .localCheckpoint() // eager: materializes AND truncates lineage
       changed = next.filter(col("label") < col("prev_label")).count()
-      ckpt.unpersist()
+      // Dataset.unpersist only knows cacheManager entries — a
+      // localCheckpoint's blocks live at the RDD layer and need
+      // IterState.free, or every round's state is retained to exit
+      graft.operators.IterState.free(ckpt)
       ckpt = next
       labels = next.select(col("node"), col("label"))
       rounds += 1

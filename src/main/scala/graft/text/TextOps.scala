@@ -477,12 +477,12 @@ object TextOps {
         val (a, b, f) = (best.getString(0), best.getString(1), best.getLong(2))
         merges += ((r + 1, a, b, f))
         val q = java.util.regex.Pattern.quote _
-        vocab = vocab
+        vocab = graft.operators.IterState.roll(vocab
           .select(regexp_replace(col("s"),
             "(?<=^|\\s)" + q(a) + " " + q(b) + "(?=\\s|$)",
             // $ and \ in the replacement are regex metacharacters
-            java.util.regex.Matcher.quoteReplacement(a + b)).as("s"), col("n"))
-          .localCheckpoint()
+            java.util.regex.Matcher.quoteReplacement(a + b)).as("s"), col("n")),
+          prev = vocab)
         r += 1
       }
     }

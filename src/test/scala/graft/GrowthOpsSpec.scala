@@ -406,6 +406,42 @@ class GrowthOpsSpec extends AnyFunSuite {
     assert(reach(2) == r2)
   }
 
+  test("hyperball: deep rounds propagate through the changed-only " +
+    "register path; extra rounds past the diameter are a no-op") {
+    // a path a -> b -> c -> d -> e: rounds >= 2 exercise the
+    // systolic register loop (round 1 is the update-mode shortcut)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    def reach(rounds: Int, p: Int = 12) =
+      Graph.neighborhoodSize(edges, rounds, p)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r3 = reach(3)
+    val exact3 = Map("a" -> 4.0, "b" -> 4.0, "c" -> 3.0, "d" -> 2.0, "e" -> 1.0)
+    for ((n, x) <- exact3) assert(math.abs(r3(n) - x) < 0.05, s"r3 $n")
+    val r4 = reach(4)
+    assert(math.abs(r4("a") - 5.0) < 0.05)
+    // rounds beyond the diameter change nothing: the changed set
+    // empties and the loop exits early with identical sketches
+    assert(reach(9) == r4)
+    // the adaptive floor precision stays exact on small sets (the
+    // linear-counting regime) — the decade-probe code path
+    val r3floor = reach(3, p = 8)
+    for ((n, x) <- exact3) assert(math.abs(r3floor(n) - x) < 0.1, s"p8 $n")
+  }
+
+  test("adaptive HLL precision: requested at small graphs, budget-" +
+    "bound past ~10^6 nodes, floored at p=8") {
+    // small graph: budget never binds, requested p wins
+    assert(Graph.adaptiveHllPrecision(1000L, 12) == 12)
+    assert(Graph.adaptiveHllPrecision(0L, 10) == 10)
+    // the 16M-node decade probe: 8 GB / 16M = 536 B/node -> p=9
+    assert(Graph.adaptiveHllPrecision(16000000L, 12) == 9)
+    // web-scale node counts hit the Boldi–Vigna floor, never below
+    assert(Graph.adaptiveHllPrecision(10000000000L, 12) == 8)
+    // requested below the derived width is honored (caller's cap)
+    assert(Graph.adaptiveHllPrecision(1000L, 6) == 6)
+  }
+
   test("interval overlap: grid cells dedup, exact overlap days, " +
     "keys isolate") {
     def d(x: String) = java.sql.Date.valueOf(x)

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.catalyst.expressions.{Literal, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BinaryType, LongType}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -117,7 +118,9 @@ class KernelPropertySpec extends AnyFunSuite {
         .eval(null).asInstanceOf[Int]
       val dist = org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .levenshteinDistance(org.apache.spark.unsafe.types.UTF8String.fromString(b))
-      // the static helper is what codegen emits — assert it matches eval
+      // the static helper MIRRORS the loop doGenCode emits (codegen
+      // itself is exercised by SqlFunctionsSpec's whole-stage
+      // projection parity test) — assert helper and eval agree
       folded == FoldedBagDistance.compute(ha, hb) &&
         folded <= full && folded <= dist && (a != b || folded == 0)
     })
@@ -249,5 +252,33 @@ class KernelPropertySpec extends AnyFunSuite {
           est >= f && est <= all.size.toLong
         }
     })
+  }
+
+  test("hll_union / hll_singleton match aggregate-built sketches " +
+    "bit-for-bit; union passes nulls through") {
+    def sk(xs: List[Long], p: Int): Array[Byte] = {
+      val b = new HllBuffer(p)
+      xs.foreach(x => b.addHash(HllSketch.hashValue(x, LongType)))
+      b.regs
+    }
+    val vals = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    holds(Prop.forAll(vals, vals, Gen.choose(4, 12)) { (as, bs, p) =>
+      val u = HllUnion(Literal(sk(as, p), BinaryType),
+        Literal(sk(bs, p), BinaryType)).eval(null).asInstanceOf[Array[Byte]]
+      // max-merge of register arrays IS the sketch of the union
+      java.util.Arrays.equals(u, sk(as ++ bs, p))
+    })
+    holds(Prop.forAll(Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(4, 12)) { (v, p) =>
+      val s = HllSingleton(Literal(v), p).eval(null).asInstanceOf[Array[Byte]]
+      java.util.Arrays.equals(s, sk(List(v), p))
+    })
+    val s = sk(List(7L), 8)
+    val viaNullLeft = HllUnion(Literal(null, BinaryType),
+      Literal(s, BinaryType)).eval(null).asInstanceOf[Array[Byte]]
+    val viaNullRight = HllUnion(Literal(s, BinaryType),
+      Literal(null, BinaryType)).eval(null).asInstanceOf[Array[Byte]]
+    assert(java.util.Arrays.equals(viaNullLeft, s))
+    assert(java.util.Arrays.equals(viaNullRight, s))
   }
 }

@@ -73,4 +73,28 @@ class SqlFunctionsSpec extends AnyFunSuite {
       assert(spark.table("sw_agg").count() == batch.count())
     } finally q.stop()
   }
+
+  test("PackedCharBag/FoldedBagDistance through a DataFrame projection " +
+    "(whole-stage codegen) match the interpreted kernels") {
+    import spark.implicits._
+    import graft.functions.TextHashFunctions.{foldedBagDistance, packedCharBag}
+    import graft.functions.{FoldedBagDistance, PackedCharBag}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // real doc text (includes unicode/punctuation) so the generated
+    // Java runs the same inputs the dedup prefilter sees
+    val texts = Tables.documents(spark, sf).limit(40)
+      .select(col("text")).as[String].collect().toSeq ++
+      Seq("", "é𝕏é", "a" * 300)
+    val pairs = texts.zipWithIndex.flatMap { case (a, i) =>
+      texts.drop(i).take(3).map(b => (a, b)) }
+    val viaCodegen = pairs.toDF("a", "b")
+      .select(foldedBagDistance(packedCharBag(col("a")),
+        packedCharBag(col("b"))).as("d"))
+      .collect().map(_.getInt(0)).toSeq
+    val viaEval = pairs.map { case (a, b) =>
+      FoldedBagDistance.compute(
+        PackedCharBag(Literal(a)).eval(null).asInstanceOf[Long],
+        PackedCharBag(Literal(b)).eval(null).asInstanceOf[Long]) }
+    assert(viaCodegen == viaEval)
+  }
 }

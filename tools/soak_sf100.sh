@@ -1,0 +1,23 @@
+#!/bin/bash
+# Decade probe (sf100 = 1000x graded scale): one JVM per query so a
+# dying context cannot void its neighbors (the round-8 lesson), each
+# run watchdogged and metric-instrumented. Per-query artifacts land in
+# .soak/sf100_<q>.json; merge with tools/merge_soak.py afterwards.
+#
+# Usage: tools/soak_sf100.sh <outdir> <timeout_s> <driver_mem> q1 [q2 ...]
+set -u
+OUT=${1:?outdir}; TMO=${2:?timeout_s}; MEM=${3:?driver_mem}; shift 3
+mkdir -p "$OUT"
+cd /root/repo
+for q in "$@"; do
+  echo "=== $q (timeout ${TMO}s, heap $MEM) $(date -u +%H:%M:%S) ==="
+  SPARK_GRAFT_SF_DIR=/root/repo/localdata/sf100 \
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE=64 \
+  SPARK_GRAFT_PASSES=1 SPARK_GRAFT_NO_WARMUP=1 SPARK_GRAFT_METRICS=1 \
+  SPARK_GRAFT_TIMEOUT_S="$TMO" SPARK_GRAFT_ONLY="$q" \
+  SPARK_DRIVER_MEM="$MEM" \
+  SPARK_GRAFT_BENCH_OUT="$OUT/sf100_${q}.json" \
+  timeout $((TMO + 600)) sbt -batch "runMain graft.Bench" \
+    > "$OUT/sf100_${q}.log" 2>&1
+  echo "    exit=$? $(tail -c 300 "$OUT/sf100_${q}.json" 2>/dev/null)"
+done
