@@ -122,7 +122,16 @@ object RecallSoak {
     Seq(editAuto, editKey1, editTruth).foreach(_.unpersist())
 
     val nFail = results.count(!_.pass)
+    // the gates LOOK one-lost-pair thin (ngram 0.99 vs measured
+    // 0.992) because that is the design: each floor is the miner's
+    // MEASURED at-scale economics, so any drop below it is a cap
+    // regression by definition. Do not loosen a gate to quiet a red
+    // run — re-measure, and move the floor only with the measurement.
+    val gateNote = "gates encode each miner's measured at-scale recall floor; " +
+      "a one-pair drop below the floor IS the regression this artifact catches " +
+      "- re-measure before moving any gate"
     val line = s"""{"soak":"dedup_recall","sf_dir":"$sfDir","n_fail":$nFail,""" +
+      s""""gate_note":"$gateNote",""" +
       s""""miners":{${results.map(_.json).mkString(",")}}}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")

@@ -583,9 +583,11 @@ object SparkEntry {
     // round 1 aggregates raw edges (no register ever shuffles) and
     // later rounds ship only CHANGED sketches (the paper's systolic
     // form) — see Graph.neighborhoodSize
+    // (the Multi edge feed: register max-merge is idempotent over
+    // duplicate edges, so the fact-sized dedup exchange buys nothing)
     "q_neighborhood" -> ((s, dir) =>
       Graph.neighborhoodSize(
-        Graph.tradingEdgesDirected(
+        Graph.tradingEdgesDirectedMulti(
           Tables.lineitem(s, dir), Tables.orders(s, dir)), 2, p = 10)),
     // D85: k-anonymity risk over (lang, source, length-bucket)
     // quasi-identifiers — the dataset-release governance gate
@@ -2077,6 +2079,28 @@ object SparkEntry {
       |FROM l GROUP BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // E6d: FULL-oracle CMS replay — the counter matrix is plain
+    // deterministic arithmetic (Kirsch–Mitzenmacher over xxh64, sum-
+    // merge), so DuckDB rebuilds each probed cell as "count of events
+    // whose user shares bucket_d with the probe" and takes the min
+    // over the 4 rows; daily-sketch-then-merge equals one sketch over
+    // all events because the merge is elementwise sum (linearity).
+    // The xxh64 replay is the cmsHashChain helper below.
+    "q_cms_counts" ->
+      s"""WITH ev AS (SELECT event_type, user_id FROM events),
+         |u AS (SELECT DISTINCT user_id::UBIGINT AS v FROM ev),
+         |hh AS (SELECT v, aout AS h1u, bout AS h2u FROM (${cmsHashChain("SELECT v FROM u")})),
+         |bk AS (SELECT v, d, (((h1u::HUGEINT + d * h2u::HUGEINT) % $UMod)::UBIGINT % 512)::BIGINT AS b
+         |       FROM hh, (SELECT unnest([0,1,2,3]) AS d)),
+         |cnt AS (SELECT e.event_type, bk.d, bk.b, count(*)::BIGINT AS c
+         |        FROM ev e JOIN bk ON e.user_id::UBIGINT = bk.v GROUP BY 1, 2, 3),
+         |probes AS (SELECT DISTINCT user_id FROM ev WHERE user_id < 5),
+         |pb AS (SELECT p.user_id, bk.d, bk.b FROM probes p JOIN bk ON bk.v = p.user_id::UBIGINT)
+         |SELECT t.event_type, pb.user_id, min(coalesce(cnt.c, 0))::BIGINT AS est_events
+         |FROM (SELECT DISTINCT event_type FROM ev) t
+         |CROSS JOIN pb
+         |LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = pb.d AND cnt.b = pb.b
+         |GROUP BY 1, 2""".stripMargin,
     "q_rollup_5m" ->
       """SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_start, event_type,
         | count(*) AS n_events,
@@ -5697,6 +5721,56 @@ object SparkEntry {
     * and the unrolled oracle CTE chain so they can never drift.
     */
   private val BpeMerges = 8
+
+  // ---- DuckDB replay of Spark's XXH64.hashLong (the CMS oracle) ----
+  // All arithmetic is unsigned mod 2^64: UBIGINT values, multiplies
+  // through 32-bit limbs in HUGEINT (a full 64x64 product overflows
+  // even INT128), rotates as disjoint shift halves. Verified
+  // bit-identical to o.a.s.catalyst.expressions.XXH64.hashLong over
+  // signed/unsigned probe values before landing.
+  private val UMod = "18446744073709551616::HUGEINT"
+  private val XP1 = BigInt("11400714785074694791")
+  private val XP2 = BigInt("14029467366897019727")
+  private val XP3 = BigInt("1609587929392839161")
+  private val XP4 = BigInt("9650029242287828579")
+  private val XP5 = BigInt("2870177450012600261")
+
+  private def uMul(a: String, b: BigInt): String = {
+    val bh = b >> 32; val bl = b & 0xFFFFFFFFL
+    s"((((($a) >> 32)::HUGEINT * $bl + (($a) & 4294967295)::HUGEINT * $bh)" +
+      s" * 4294967296 + (($a) & 4294967295)::HUGEINT * $bl) % $UMod)::UBIGINT"
+  }
+  private def uRotl(x: String, r: Int): String =
+    s"(((($x) % ${BigInt(1) << (64 - r)})::HUGEINT * ${BigInt(1) << r})::UBIGINT" +
+      s" + (($x) >> ${64 - r}))"
+  private def uXor(a: String, b: String): String =
+    s"xor(($a)::UBIGINT, ($b)::UBIGINT)"
+
+  /** The ten chained column steps of one xxh64-of-a-long: k-mix,
+    * seed-xor, rot-mul-add, then the 5-step avalanche.
+    */
+  private def xxh64Steps(v: String, seed: Long, pfx: String): Seq[(String, String)] = {
+    val c0 = (BigInt(seed) + XP5 + 8) % (BigInt(1) << 64)
+    Seq(
+      s"${pfx}k1" -> uMul(v, XP2),
+      s"${pfx}k2" -> uRotl(s"${pfx}k1", 31),
+      s"${pfx}k3" -> uMul(s"${pfx}k2", XP1),
+      s"${pfx}h1" -> uXor(s"$c0::UBIGINT", s"${pfx}k3"),
+      s"${pfx}h2" -> s"(((${uMul(uRotl(s"${pfx}h1", 27), XP1)})::HUGEINT + $XP4) % $UMod)::UBIGINT",
+      s"${pfx}f1" -> uXor(s"${pfx}h2", s"(${pfx}h2 >> 33)"),
+      s"${pfx}f2" -> uMul(s"${pfx}f1", XP2),
+      s"${pfx}f3" -> uXor(s"${pfx}f2", s"(${pfx}f2 >> 29)"),
+      s"${pfx}f4" -> uMul(s"${pfx}f3", XP3),
+      s"${pfx}out" -> uXor(s"${pfx}f4", s"(${pfx}f4 >> 32)"))
+  }
+
+  /** Kirsch–Mitzenmacher hash pair over a `v` column: h1 = xxh64(v,
+    * 42) (HllSketch.Seed), h2 = xxh64(h1, 1337) (CmsSketch.Seed2) —
+    * nested-select chain ending with columns aout (h1) / bout (h2).
+    */
+  private def cmsHashChain(base: String): String =
+    (xxh64Steps("v", 42L, "a") ++ xxh64Steps("aout", 1337L, "b"))
+      .foldLeft(base) { case (inner, (k, e)) => s"SELECT *, $e AS $k FROM ($inner)" }
 
   /** One BPE merge rewrite in DuckDB SQL: the double-space padding
     * identity (see the q_bpe_train oracle comment).

@@ -35,12 +35,23 @@ object Graph {
     * direction-sensitive scores ([[hits]]) consume.
     */
   def tradingEdgesDirected(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    tradingEdgesDirectedMulti(lineitem, orders).distinct()
+
+  /** [[tradingEdgesDirected]] WITHOUT the final dedup — the feed for
+    * consumers whose per-edge aggregation is idempotent (HyperBall's
+    * register max-merge: a duplicate edge re-maxes identical bytes).
+    * The distinct is the single most expensive exchange in the graph
+    * pipeline at scale (a fact-sized shuffle + dedup that, measured
+    * at 1000x, removes ~2% of rows), so an idempotent consumer paying
+    * it is pure waste; sum-sensitive scores (pageRank, hits) MUST
+    * keep the deduped form.
+    */
+  def tradingEdgesDirectedMulti(lineitem: DataFrame, orders: DataFrame): DataFrame =
     lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
 
   /** Fixed-point PageRank over a directed edge list (src, dst):
     * `iters` damped propagation rounds from a uniform start of `init`
@@ -67,7 +78,8 @@ object Graph {
     // inside every round would recompute the same co-partitioned
     // merge `iters` times (bench-measured on the trading graph)
     val ed = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+        .hint("shuffle_hash"), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
@@ -76,12 +88,16 @@ object Graph {
     val teleport = 15L * init / 100L
     var ranks = nodes.withColumn("rank", lit(init)).localCheckpoint()
     (1 to iters).foreach { _ =>
+      // shuffle_hash on the DIMENSION side: a sort-merge join here
+      // re-sorts the edge table every round (spill-measured wall at
+      // 1000x: 2.5 GB/round/side); hashing the node-sized rank table
+      // instead costs ~MBs per task and the edge side streams
       val gathered = ed
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), expr("rank div out_deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
       ranks = IterState.roll(nodes
-        .join(gathered, Seq("node"), "left")
+        .join(gathered.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank")),
@@ -130,9 +146,10 @@ object Graph {
       .unionByName(edges.select(col("s2").as("src"), col("s1").as("dst")))
       .repartition(width, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // alive is node-sized: hash it, never sort the edge stream
     def coreDeg(alive: DataFrame): DataFrame = sym
-      .join(alive.withColumnRenamed("node", "src"), "src")
-      .join(alive.withColumnRenamed("node", "dst"), "dst")
+      .join(alive.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+      .join(alive.withColumnRenamed("node", "dst").hint("shuffle_hash"), "dst")
       .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
     var alive = sym.select(col("src").as("node")).distinct().localCheckpoint()
     (1 to rounds).foreach { _ =>
@@ -161,18 +178,25 @@ object Graph {
     * of nesting (the components() lesson).
     */
   def bfsDepth(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // partition ONCE on the per-round join key: every expansion then
+    // moves only the frontier (hash-built, node-sized) — without this
+    // the edge table exchanged AND sort-merged every round
+    // (28 GB shuffle + 15 GB spill measured at 1000x)
     val sym = edges.select(col("s1").as("src"), col("s2").as("dst"))
       .unionByName(edges.select(col("s2").as("src"), col("s1").as("dst")))
-      .persist()
+      .repartition(width, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var depths = seeds
       .select(col("node").cast("long").as("node"), lit(0).as("depth"))
       .localCheckpoint()
     (1 to rounds).foreach { r =>
       val frontier = depths.filter(col("depth") === r - 1)
         .select(col("node").as("src"))
-      val next = sym.join(frontier, "src")
+      val next = sym.join(frontier.hint("shuffle_hash"), "src")
         .select(col("dst").as("node")).distinct()
-        .join(depths.select(col("node")), Seq("node"), "left_anti")
+        .join(depths.select(col("node")).hint("shuffle_hash"),
+          Seq("node"), "left_anti")
         .select(col("node"), lit(r).as("depth"))
       depths = IterState.roll(depths.unionByName(next), prev = depths)
     }
@@ -223,7 +247,7 @@ object Graph {
       .localCheckpoint()
     (1 to rounds).foreach { _ =>
       labels = IterState.roll(sym
-        .join(labels.withColumnRenamed("node", "src"), "src")
+        .join(labels.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("node"))
@@ -320,21 +344,23 @@ object Graph {
     var auths: DataFrame = null
     (1 to iters).foreach { _ =>
       val a = e
-        .join(hubs.select(col("node").as("src"), col("hub")), "src")
+        .join(hubs.select(col("node").as("src"), col("hub"))
+          .hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub")).as("authority"))
       val nextAuths = nodes
-        .join(a, Seq("node"), "left")
+        .join(a.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("authority"), lit(0L)).as("authority"))
       auths = if (auths == null) nextAuths.localCheckpoint()
               else IterState.roll(nextAuths, prev = auths)
       val h = e
-        .join(auths.select(col("node").as("dst"), col("authority")), "dst")
+        .join(auths.select(col("node").as("dst"), col("authority"))
+          .hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("authority")).as("hub"))
       hubs = IterState.roll(nodes
-        .join(h, Seq("node"), "left")
+        .join(h.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub")),
         prev = hubs)
     }
@@ -368,7 +394,8 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // hoisted edge⋈degree join, as in [[pageRank]]
     val ed = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+        .hint("shuffle_hash"), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
@@ -383,11 +410,12 @@ object Graph {
       .localCheckpoint()
     (1 to iters).foreach { _ =>
       val gathered = ed
-        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .join(ranks.select(col("node").as("src"), col("rank"))
+          .hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), expr("rank div out_deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
       ranks = IterState.roll(nodes
-        .join(gathered, Seq("node"), "left")
+        .join(gathered.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"), col("is_seed"),
           (col("is_seed").cast("long") * boost +
             expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank")),
@@ -439,11 +467,13 @@ object Graph {
     *  2. **Only CHANGED sketches propagate** (the paper's systolic
     *     optimization): a neighbor whose registers didn't grow last
     *     round contributes nothing new under max-merge, so rounds ≥ 2
-    *     join the dst-partitioned edge list against the changed subset
-    *     only, partial-merge per (partition, src) map-side, and the
-    *     self side never re-shuffles — it meets the contrib in a
-    *     co-partitioned join closed by the scalar `hll_union`. When
-    *     nothing changed the loop exits early.
+    *     prune the cached edge scan with a broadcast bloom over the
+    *     changed keys (only edges into changed nodes + ~2% fp ever
+    *     reach the shuffle), join the changed subset, partial-merge
+    *     per (partition, src) map-side, and the self side never
+    *     re-shuffles — it meets the contrib in a co-partitioned join
+    *     closed by the scalar `hll_union`. An empty contrib ends the
+    *     loop before paying the merge or a re-checkpoint.
     *  3. **Precision adapts to the node count** ([[adaptiveHllPrecision]])
     *     so total register bytes are budget-bounded at any graph size,
     *     and the in-memory merge map is sized to the registers
@@ -461,7 +491,8 @@ object Graph {
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pEff = adaptiveHllPrecision(nodes.count(), p)
+    val nNodes = nodes.count()
+    val pEff = adaptiveHllPrecision(nNodes, p)
     // scope the object-hash-agg fallback so the merge map holds
     // ~64 MB of registers per task instead of the 128-key default
     // (which would sort-spill register-width rows at any real scale)
@@ -480,21 +511,37 @@ object Graph {
         .agg(hllSketch(col("dst"), pEff).as("sk"))
         .localCheckpoint()
       if (rounds >= 2) {
-        // rounds ≥ 2 move registers — but only changed ones, and the
-        // edge list (no self-loops: merging your own current sketch
-        // is a no-op under max) is exchanged ONCE into dst clustering
-        val eDst = e.repartition(width, col("dst"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
         var changed = sk
           .filter(not(col("sk") === hllSingleton(col("node"), pEff)))
         var r = 2
         var live = !changed.isEmpty
         while (r <= rounds && live) {
-          val contrib = eDst
+          // rounds ≥ 2 move registers — but only along edges INTO a
+          // changed node (self-loops excluded: re-maxing your own
+          // sketch is a no-op), and the edge side never pays a full
+          // exchange: a broadcast bloom over the changed keys prunes
+          // the cached edge scan in place, so only candidate edges
+          // (+ ~2% fp, removed by the exact join) reach the shuffle.
+          // When change is sparse — every converging HyperBall round,
+          // and ALL rounds past a bipartite layer — that is the
+          // difference between a fact-sized exchange and ~nothing.
+          val bloom = BloomJoin.buildBloom(
+            changed.select(xxhash64(col("node")).as("k")), "k",
+            math.max(1000L, nNodes), 0.02)
+          val contrib = e
+            .filter(col("src") =!= col("dst"))
+            .filter(BloomJoin.mightContain(bloom, xxhash64(col("dst"))))
+            .repartition(width, col("dst"))
             .join(changed.select(col("node").as("dst"), col("sk").as("csk"))
               .hint("shuffle_hash"), "dst")
             .groupBy(col("src").as("node"))
             .agg(hllMerge(col("csk")).as("csk"))
+            .localCheckpoint()
+          // nothing flows into anyone (changed nodes have no in-edges
+          // left to serve): the merge join and a full re-checkpoint of
+          // identical sketches would be pure I/O — stop here
+          if (contrib.isEmpty) { IterState.free(contrib); live = false }
+          else {
           val next = IterState.roll(
             sk.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
               .select(col("node"),
@@ -503,12 +550,13 @@ object Graph {
               .select(col("node"), col("nsk").as("sk"),
                 not(col("nsk") === col("osk")).as("chg")),
             prev = sk)
+          IterState.free(contrib)
           sk = next.select(col("node"), col("sk"))
           changed = next.filter(col("chg")).select(col("node"), col("sk"))
           r += 1
           live = r <= rounds && !changed.isEmpty
+          }
         }
-        eDst.unpersist()
       }
       e.unpersist(); nodes.unpersist()
       sk.select(col("node"), hllEstimate(col("sk")).as("reach_est"))
