@@ -583,12 +583,15 @@ object SparkEntry {
     // round 1 aggregates raw edges (no register ever shuffles) and
     // later rounds ship only CHANGED sketches (the paper's systolic
     // form) — see Graph.neighborhoodSize
-    // (the Multi edge feed: register max-merge is idempotent over
-    // duplicate edges, so the fact-sized dedup exchange buys nothing)
+    // (the Multi long-id edge feed: register max-merge is idempotent
+    // over duplicate edges, so the fact-sized dedup exchange buys
+    // nothing; long ids halve every remaining byte moved)
     "q_neighborhood" -> ((s, dir) =>
       Graph.neighborhoodSize(
-        Graph.tradingEdgesDirectedMulti(
-          Tables.lineitem(s, dir), Tables.orders(s, dir)), 2, p = 10)),
+        Graph.tradingEdgesLongDirectedMulti(
+          Tables.lineitem(s, dir), Tables.orders(s, dir)), 2, p = 10)
+        .select(Graph.tradingNodeLabel(col("node")).as("node"),
+          col("reach_est"))),
     // D85: k-anonymity risk over (lang, source, length-bucket)
     // quasi-identifiers — the dataset-release governance gate
     "q_k_anonymity" -> ((s, dir) =>
@@ -1343,10 +1346,13 @@ object SparkEntry {
     // E30: fixed-point PageRank (3 damped rounds) over the
     // customer—supplier trading graph — BIGINT arithmetic end to
     // end, so the iteration is bit-reproducible across engines
+    // long-encoded node ids inside the iteration (string labels
+    // restored on the node-sized output — Graph.tradingNodeLabel)
     "q_pagerank" -> ((s, dir) =>
       Graph.pageRank(
-        Graph.tradingEdges(Tables.lineitem(s, dir), Tables.orders(s, dir)),
-        3)),
+        Graph.tradingEdgesLong(Tables.lineitem(s, dir), Tables.orders(s, dir)),
+        3)
+        .select(Graph.tradingNodeLabel(col("node")).as("node"), col("rank"))),
     // E32: per-node triangle count + clustering coefficient over the
     // co-supplier graph (>= 30 common orders) — degree-ordered
     // compact-forward, O(m^1.5) wedges, one double division
@@ -1574,10 +1580,11 @@ object SparkEntry {
     // custkey%100=0 seed customers over the trading graph
     "q_pagerank_seeded" -> ((s, dir) =>
       Graph.personalizedPageRank(
-        Graph.tradingEdges(Tables.lineitem(s, dir), Tables.orders(s, dir)),
+        Graph.tradingEdgesLong(Tables.lineitem(s, dir), Tables.orders(s, dir)),
         Tables.orders(s, dir).filter(col("o_custkey") % 100 === 0)
-          .select(concat(lit("c"), col("o_custkey")).as("node")),
-        3)),
+          .select((col("o_custkey").cast("long") * 2).as("node")),
+        3)
+        .select(Graph.tradingNodeLabel(col("node")).as("node"), col("rank"))),
     // D61: Heaps-law vocabulary growth — cumulative distinct word
     // trigrams per 50-document ingestion-order prefix
     "q_vocab_growth" -> ((s, dir) =>
@@ -1692,8 +1699,10 @@ object SparkEntry {
     // directed customer->supplier trading graph
     "q_hits" -> ((s, dir) =>
       Graph.hits(
-        Graph.tradingEdgesDirected(
-          Tables.lineitem(s, dir), Tables.orders(s, dir)), 2)),
+        Graph.tradingEdgesLongDirected(
+          Tables.lineitem(s, dir), Tables.orders(s, dir)), 2)
+        .select(Graph.tradingNodeLabel(col("node")).as("node"),
+          col("hub"), col("authority"))),
     // B18b: the hysteresis alarm as keyed streaming state (one
     // latched boolean per family), absolute 73/60 thresholds
     "q_stream_alarm" -> ((s, dir) => {

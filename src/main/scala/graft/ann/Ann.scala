@@ -150,13 +150,35 @@ object Ann {
 
   def knnGraphIvf(corpus: DataFrame, k: Int, nCells: Int, nprobe: Int,
                   refineIters: Int = 0): DataFrame =
-    knnGraphIvfEdges(corpus, k, nCells, nprobe, refineIters)
-      .map(mutualFlags)
-      .getOrElse {
-        import corpus.sparkSession.implicits._
-        Seq.empty[(Long, Long, Int, Double, Boolean)]
-          .toDF("query_id", "neighbor_id", "rnk", "cos_sim", "mutual")
-      }
+    withTopKAggRoom(corpus.sparkSession) {
+      knnGraphIvfEdges(corpus, k, nCells, nprobe, refineIters)
+        .map(mutualFlags)
+        .getOrElse {
+          import corpus.sparkSession.implicits._
+          Seq.empty[(Long, Long, Int, Double, Boolean)]
+            .toDF("query_id", "neighbor_id", "rnk", "cos_sim", "mutual")
+        }
+    }
+
+  /** Scoped headroom for the per-query top-k heap aggregation: the
+    * object-hash aggregate falls back to SORT-based after the session
+    * threshold's key count (16k in the bench rig), and at corpus-as-
+    * queries scale a partition of the scored stream carries hundreds
+    * of thousands of distinct query keys — the fallback then sorts
+    * BILLIONS of scored rows (76 GB of measured spill at 1000x,
+    * 99% of the probe's wall). A k-heap buffer is ~16·k+64 bytes, so
+    * 256k in-map keys is ~64 MB per task — partial aggregation stays
+    * a heap-fold, and only k rows per query ever cross the shuffle.
+    * Scoped (set/restore) around the operator whose checkpoints
+    * materialize inside it, like Graph.neighborhoodSize's register
+    * merge.
+    */
+  private def withTopKAggRoom[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val old = spark.conf.get(key, "128")
+    spark.conf.set(key, math.max(262144L, old.toLong).toString)
+    try body finally spark.conf.set(key, old)
+  }
 
   /** The pre-mutuality IVF edge table (None on an empty corpus),
     * exposed so specs can audit the probe-join physical plan before
