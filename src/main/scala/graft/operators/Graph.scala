@@ -311,10 +311,24 @@ object Graph {
     * Node ids must fit in an int's range (the (deg, id) total order
     * packs into one sortable long).
     *
+    * The wedge stream is the scale cost — O(m^1.5) rows, and at the
+    * 1000× probe shuffling it to meet the closing edges moved 37 GB
+    * and spilled 28 GB (sort-merge sorts the whole stream). Two
+    * structural moves keep it off the wire: the oriented edge list is
+    * hash-partitioned by src ONCE before its checkpoint, so the wedge
+    * self-join is exchange-free (both sides read the same
+    * co-partitioned blocks); and a broadcast bloom over the oriented
+    * (src,dst) hashes kills non-closing wedges AT THE SCAN (most
+    * wedges don't close — triangles ≪ wedges), so only candidate
+    * triangles (+ ~2% fp, removed by the exact closure join, which
+    * hash-builds on the edge side instead of sorting the stream) pay
+    * the closure shuffle.
+    *
     * Clustering = 2·triangles / (deg·(deg−1)) — integer numerator
     * and denominator, ONE double division, so it grades exactly.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
     val und = edges.select(col("s1").as("a"), col("s2").as("b"))
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
@@ -330,13 +344,21 @@ object Graph {
         .otherwise(
           struct(col("b").as("src"), col("a").as("dst"), col("rk_a").as("rk_dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.rk_dst").as("rk_dst"))
+      .repartition(width, col("src"))
       .localCheckpoint()
+    val nEdges = oriented.count()
+    val edgeBloom = BloomJoin.buildBloom(
+      oriented.select(xxhash64(col("src"), col("dst")).as("k")), "k",
+      math.max(1000L, nEdges), 0.02)
     val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+      .join(oriented.as("e2").hint("shuffle_hash"),
+        col("e1.src") === col("e2.src"))
       .filter(col("e1.rk_dst") < col("e2.rk_dst"))
       .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+      .filter(BloomJoin.mightContain(edgeBloom, xxhash64(col("v"), col("w"))))
     val tris = wedges.join(
-      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      oriented.select(col("src").as("v"), col("dst").as("w")).hint("shuffle_hash"),
+      Seq("v", "w"))
     val perNode = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
