@@ -96,9 +96,15 @@ object Bench {
             while (c.getCause != null && c.getCause != c) c = c.getCause
             c
           }
+          // message + the root cause's top frames: a soak artifact
+          // whose failure names only "NPE: buf is null" costs the
+          // next reader a full reproduce cycle (round-9 lesson)
+          val frames = root.getStackTrace.take(6)
+            .map(_.toString).mkString(" <- ")
           failReasons.getOrElseUpdate(name,
-            root.getClass.getSimpleName + ": " +
-              String.valueOf(root.getMessage).replaceAll("\\s+", " ").take(240))
+            (root.getClass.getSimpleName + ": " +
+              String.valueOf(root.getMessage) + " @ " + frames)
+              .replaceAll("\\s+", " ").take(900))
           return -1.0
       }
       (System.nanoTime() - t0) / 1e9

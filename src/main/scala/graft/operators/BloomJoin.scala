@@ -43,13 +43,48 @@ object BloomJoin {
         col(largeKey) === col("__bloom_probe_key"), "left_semi")
   }
 
-  /** One aggregation job → serialized bloom over `key`'s longs. */
+  /** One aggregation job → serialized bloom over `key`'s longs.
+    *
+    * Not `df.stat.bloomFilter`, for two scale reasons found at the
+    * 1000× probe: (1) on an EMPTY build side `bloom_filter_agg`
+    * returns NULL (its zero-cardinality contract) and stat.bloomFilter
+    * NPEs deserializing it — here an empty build side yields an empty
+    * bloom, the correct filter (every probe misses, the exact join
+    * confirms); (2) the runtime-filter numBits cap (64 Mbit default)
+    * silently degrades fpp past ~5M keys — the caps are raised for
+    * the build job so the requested fpp holds to ~10⁸ keys, bounded
+    * at 2^30 bits (128 MB) so a billion-key build degrades gracefully
+    * instead of OOMing the driver.
+    */
   def buildBloom(df: DataFrame, key: String, expectedItems: Long,
                  fpp: Double): Array[Byte] = {
-    val bf = df.stat.bloomFilter(col(key).cast("long"), expectedItems, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    bos.toByteArray
+    val spark = df.sparkSession
+    val items = math.max(1L, expectedItems)
+    val bits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp),
+      1L << 30)
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (spark.conf.get(itemsKey, "4000000"),
+      spark.conf.get(bitsKey, "67108864"))
+    spark.conf.set(itemsKey, math.max(items, oldItems.toLong).toString)
+    spark.conf.set(bitsKey, math.max(bits, oldBits.toLong).toString)
+    try {
+      val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(ColumnGlue.expr(col(key).cast("long")),
+          Literal(items), Literal(bits)).toAggregateExpression()
+      val bytes = df.select(ColumnGlue.column(agg)).head().getAs[Array[Byte]](0)
+      if (bytes != null) bytes
+      else {
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+    } finally {
+      spark.conf.set(itemsKey, oldItems)
+      spark.conf.set(bitsKey, oldBits)
+    }
   }
 
   /** Scan-local bloom probe predicate (Spark's own runtime-filter

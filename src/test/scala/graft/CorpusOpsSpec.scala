@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -460,5 +461,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     val got = BloomJoin.bloomSemiJoin(large, "k", small, "k", 100L)
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(3L, 7L, 42L))
+  }
+
+  test("bloom build on an empty or all-null build side filters everything") {
+    // bloom_filter_agg yields NULL at zero cardinality (the sf100
+    // q_triangles NPE); buildBloom must return a valid empty bloom
+    // that rejects every probe instead
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("k", LongType))))
+    val probe = Seq(1L, 2L, 3L).toDF("k")
+    for (build <- Seq(empty, Seq[Option[Long]](None, None).toDF("k"))) {
+      val bloom = BloomJoin.buildBloom(build, "k", 1000L, 0.02)
+      assert(probe.filter(
+        BloomJoin.mightContain(bloom, col("k"))).count() == 0)
+      assert(BloomJoin.bloomSemiJoin(probe, "k", build, "k", 1000L).count() == 0)
+    }
+  }
+
+  test("bloom keeps its fpp past the runtime-filter numBits cap") {
+    // 10M expected items needs ~81 Mbit at fpp 0.02 — past the 64 Mbit
+    // default cap that silently degrades stat.bloomFilter; buildBloom
+    // raises the cap for its build job, so a disjoint probe set must
+    // still miss at ~the requested rate (allow 4x headroom)
+    val build = spark.range(0, 200000).select((col("id") * 2).as("k"))
+    val bloom = BloomJoin.buildBloom(build, "k", 10000000L, 0.02)
+    val probes = 100000L
+    val hits = spark.range(0, probes).select((col("id") * 2 + 1).as("k"))
+      .filter(BloomJoin.mightContain(bloom, col("k"))).count()
+    assert(hits < probes * 0.08, s"fp rate ${hits.toDouble / probes}")
   }
 }

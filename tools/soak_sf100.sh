@@ -3,6 +3,9 @@
 # dying context cannot void its neighbors (the round-8 lesson), each
 # run watchdogged and metric-instrumented. Per-query artifacts land in
 # .soak/sf100_<q>.json; merge with tools/merge_soak.py afterwards.
+# Runs on the compiled classes directly (tools/jrun.sh) so probes
+# never contend for the sbt build lock; scratch dirs left behind by a
+# watchdog-killed JVM are swept before the next query starts.
 #
 # Usage: tools/soak_sf100.sh <outdir> <timeout_s> <driver_mem> q1 [q2 ...]
 set -u
@@ -10,6 +13,7 @@ OUT=${1:?outdir}; TMO=${2:?timeout_s}; MEM=${3:?driver_mem}; shift 3
 mkdir -p "$OUT"
 cd /root/repo
 for q in "$@"; do
+  rm -rf /tmp/blockmgr-* /tmp/spark-* 2>/dev/null
   echo "=== $q (timeout ${TMO}s, heap $MEM) $(date -u +%H:%M:%S) ==="
   SPARK_GRAFT_SF_DIR=/root/repo/localdata/sf100 \
   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE=64 \
@@ -17,7 +21,8 @@ for q in "$@"; do
   SPARK_GRAFT_TIMEOUT_S="$TMO" SPARK_GRAFT_ONLY="$q" \
   SPARK_DRIVER_MEM="$MEM" \
   SPARK_GRAFT_BENCH_OUT="$OUT/sf100_${q}.json" \
-  timeout $((TMO + 600)) sbt -batch "runMain graft.Bench" \
+  timeout $((TMO + 300)) tools/jrun.sh graft.Bench \
     > "$OUT/sf100_${q}.log" 2>&1
   echo "    exit=$? $(tail -c 300 "$OUT/sf100_${q}.json" 2>/dev/null)"
 done
+rm -rf /tmp/blockmgr-* /tmp/spark-* 2>/dev/null
