@@ -150,9 +150,28 @@ object Graph {
     * count per pair — instead of the fact×fact self-join on the order
     * key, which would shuffle the lineitem table twice and explode
     * before aggregating. Output is the canonical (s1 < s2) edge list.
+    *
+    * The collect_set runs through ObjectHashAggregate, and at the
+    * 1000× probe its per-task cost dominated all four consumers of
+    * this graph: at the session width each task owns millions of
+    * order groups, so it either sort-falls-back at the 128-key
+    * default (sorting ~10M fact rows per task — ~15 GB of spill,
+    * ~600 s) or GC-thrashes millions of tiny set buffers if the
+    * threshold is raised (measured WORSE, 1257 s). The fix is
+    * partitioning width, not the threshold: the set agg runs 8× wider
+    * than the session width, so each task sorts/aggregates a small
+    * cache-friendly slice (measured 208 s, 3× the default width —
+    * exactly what a 1000-executor cluster would do by having more
+    * tasks than this box has cores). The edge list is eagerly
+    * checkpointed: it is edge-sized, every consumer re-partitions or
+    * persists it anyway, and each would otherwise re-pay the
+    * fact-table aggregation per derived job.
     */
-  def coSupplierEdges(lineitem: DataFrame, minOrders: Long): DataFrame =
+  def coSupplierEdges(lineitem: DataFrame, minOrders: Long): DataFrame = {
+    val width =
+      8 * lineitem.sparkSession.sessionState.conf.numShufflePartitions
     lineitem
+      .repartition(width, col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("supps"))
       .select(explode(graft.functions.TextHashFunctions.pairCombos(col("supps"))).as("p"))
@@ -160,6 +179,8 @@ object Graph {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minOrders)
       .select(col("s1"), col("s2"))
+      .localCheckpoint()
+  }
 
   /** k-core of an undirected canonical (s1 < s2) edge list: `rounds`
     * synchronous peeling iterations — each round recomputes every

@@ -8,21 +8,26 @@
 # watchdog-killed JVM are swept before the next query starts.
 #
 # Usage: tools/soak_sf100.sh <outdir> <timeout_s> <driver_mem> q1 [q2 ...]
+# SOAK_DIR overrides the input dir (default localdata/sf100); the
+# co-supplier graph family probes against localdata/sf100g (facts
+# derived sf0.01 x 10000, where minOrders=30 leaves a real graph).
 set -u
 OUT=${1:?outdir}; TMO=${2:?timeout_s}; MEM=${3:?driver_mem}; shift 3
+DIR=${SOAK_DIR:-/root/repo/localdata/sf100}
+TAGBASE=$(basename "$DIR")
 mkdir -p "$OUT"
 cd /root/repo
 for q in "$@"; do
   rm -rf /tmp/blockmgr-* /tmp/spark-* 2>/dev/null
-  echo "=== $q (timeout ${TMO}s, heap $MEM) $(date -u +%H:%M:%S) ==="
-  SPARK_GRAFT_SF_DIR=/root/repo/localdata/sf100 \
+  echo "=== $q @ $TAGBASE (timeout ${TMO}s, heap $MEM) $(date -u +%H:%M:%S) ==="
+  SPARK_GRAFT_SF_DIR="$DIR" \
   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE=64 \
   SPARK_GRAFT_PASSES=1 SPARK_GRAFT_NO_WARMUP=1 SPARK_GRAFT_METRICS=1 \
   SPARK_GRAFT_TIMEOUT_S="$TMO" SPARK_GRAFT_ONLY="$q" \
   SPARK_DRIVER_MEM="$MEM" \
-  SPARK_GRAFT_BENCH_OUT="$OUT/sf100_${q}.json" \
+  SPARK_GRAFT_BENCH_OUT="$OUT/${TAGBASE}_${q}.json" \
   timeout $((TMO + 300)) tools/jrun.sh graft.Bench \
-    > "$OUT/sf100_${q}.log" 2>&1
-  echo "    exit=$? $(tail -c 300 "$OUT/sf100_${q}.json" 2>/dev/null)"
+    > "$OUT/${TAGBASE}_${q}.log" 2>&1
+  echo "    exit=$? $(tail -c 300 "$OUT/${TAGBASE}_${q}.json" 2>/dev/null)"
 done
 rm -rf /tmp/blockmgr-* /tmp/spark-* 2>/dev/null
