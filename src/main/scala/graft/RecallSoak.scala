@@ -112,14 +112,21 @@ object RecallSoak {
     results += score("minhash_banded", 0.995, truth, minhash, wM)
     Seq(ngram, prefix, minhash, truth).foreach(_.unpersist())
 
-    // Edit-distance family: two blocking strategies → union truth
+    // Edit-distance family: two blocking strategies → union truth.
+    // The fixed-key comparator uses TWO leading tokens: on the
+    // round-9 driver corpus (31-word closed vocabulary) one token
+    // gives only 31 possible blocks, every block is cap-hot, and
+    // 1-token recall measured 0.23 — not a cap regression but the
+    // key space collapsing. 31² two-token keys stay discriminative;
+    // the price is pairs whose edit touches the first two tokens,
+    // covered by the auto-keyed sibling in the union truth.
     val (editAuto, wA) = timed(persisted(Dedup.editDistancePairsAuto(docs, maxDist = 4)))
-    val (editKey1, wK) = timed(persisted(Dedup.editDistancePairs(docs, maxDist = 4,
-      bandWidth = 32, blockTokens = 1)))
-    val editTruth = persisted(editAuto.unionByName(editKey1).distinct())
+    val (editKey2, wK) = timed(persisted(Dedup.editDistancePairs(docs, maxDist = 4,
+      bandWidth = 32, blockTokens = 2)))
+    val editTruth = persisted(editAuto.unionByName(editKey2).distinct())
     results += score("edit_auto", 0.90, editTruth, editAuto, wA)
-    results += score("edit_key1", 0.90, editTruth, editKey1, wK)
-    Seq(editAuto, editKey1, editTruth).foreach(_.unpersist())
+    results += score("edit_key2", 0.90, editTruth, editKey2, wK)
+    Seq(editAuto, editKey2, editTruth).foreach(_.unpersist())
 
     val nFail = results.count(!_.pass)
     // the gates LOOK one-lost-pair thin (ngram 0.99 vs measured

@@ -138,19 +138,36 @@ object Dedup {
     // (the temp-rig queries always write fresh dirs, so they never
     // alias). A stale cap can only shift candidate-recall economics,
     // never the correctness of verified pairs.
+    adaptiveCapStats(features, budgetFactor, floorCap)._1
+  }
+
+  /** [[adaptiveMaxBucket]] plus the fraction of posting MASS the cap
+    * keeps (Σ df over under-cap buckets / Σ df over all buckets) —
+    * the degenerate-regime detector: a cap that bounds candidate
+    * volume by dropping 0.1% of buckets is economics; one that drops
+    * 99% of the posting mass means the FEATURE certifies nothing on
+    * this corpus (every n-gram a stop-gram) and blocking must
+    * escalate to a wider feature, not a different cap.
+    */
+  private[graft] def adaptiveCapStats(features: DataFrame,
+                                      budgetFactor: Long = 16L,
+                                      floorCap: Int = 64): (Int, Double) = {
     val plan = features.queryExecution.analyzed.canonicalized
     val key = (plan.semanticHash(), budgetFactor, floorCap)
     capCache.synchronized {
       val hit = capCache.get(key)
-      if (hit != null && hit._1.sameResult(plan)) { capCacheHits += 1; return hit._2 }
+      if (hit != null && hit._1.sameResult(plan)) {
+        capCacheHits += 1; return (hit._2, hit._3)
+      }
     }
-    val cap = computeAdaptiveMaxBucket(features, budgetFactor, floorCap)
-    capCache.synchronized { capCache.put(key, (plan, cap)) }
-    cap
+    val (cap, frac) = computeAdaptiveMaxBucket(features, budgetFactor, floorCap)
+    capCache.synchronized { capCache.put(key, (plan, cap, frac)) }
+    (cap, frac)
   }
 
   private type CapKey = (Int, Long, Int)
-  private type CapVal = (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int)
+  private type CapVal =
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Double)
   private val capCache =
     new java.util.LinkedHashMap[CapKey, CapVal](16, 0.75f, true) {
       override def removeEldestEntry(
@@ -162,7 +179,7 @@ object Dedup {
 
   private def computeAdaptiveMaxBucket(features: DataFrame,
                                        budgetFactor: Long,
-                                       floorCap: Int): Int = {
+                                       floorCap: Int): (Int, Double) = {
     val f = features.columns.head
     val rows = features
       .groupBy(col(f)).agg(count(lit(1)).as("df"))
@@ -170,20 +187,82 @@ object Dedup {
       .agg(sum((col("df") * col("df")).cast("decimal(38,0)")).as("df2"),
         sum(col("df").cast("decimal(38,0)")).as("dfs"))
       .collect()
-    if (rows.isEmpty) return floorCap
-    val postings = rows.map(r => BigInt(r.getDecimal(2).toBigInteger)).sum
+    if (rows.isEmpty) return (floorCap, 1.0)
+    val byK = rows.map(r => (r.getInt(0),
+        BigInt(r.getDecimal(1).toBigInteger),
+        BigInt(r.getDecimal(2).toBigInteger)))
+      .sortBy(_._1)
+    val postings = byK.map(_._3).sum
     val budget = BigInt(budgetFactor) * postings
     var cum = BigInt(0)
     var cap = floorCap
-    rows.map(r => (r.getInt(0), BigInt(r.getDecimal(1).toBigInteger)))
-      .sortBy(_._1)
-      .foreach { case (k, df2) =>
+    var kept = BigInt(0)
+    var truncated = false
+    byK.foreach { case (k, df2, dfs) =>
+      if (!truncated) {
         cum += df2
-        if (cum <= budget) cap = math.max(cap, 1 << math.min(k, 30))
-        else return math.max(floorCap, cap)
+        if (cum <= budget) { cap = math.max(cap, 1 << math.min(k, 30)); kept += dfs }
+        else truncated = true
       }
-    // whole distribution fits the budget: effectively uncapped
-    Int.MaxValue
+    }
+    if (!truncated) (Int.MaxValue, 1.0) // whole distribution fits: uncapped
+    else (math.max(floorCap, cap),
+      (kept.toDouble / math.max(1.0, postings.toDouble)))
+  }
+
+  /** Smallest blocking-shingle width w ≥ n (stepping by 2, bounded at
+    * n+8) whose adaptive cap keeps at least half the corpus's posting
+    * mass — the escalation that survives a CLOSED vocabulary.
+    *
+    * The round-9 recall gate caught the regime this exists for: on a
+    * 31-word corpus every possible 3-gram exists and is hot (~10³ df
+    * at 100×), so the budget cap — correctly bounding candidate
+    * volume — dropped 99.9% of the posting mass and posting-blocked
+    * recall fell to ZERO while MinHash (a SET signature) kept 1.0.
+    * No cap fixes that: a feature shared by a thousand documents
+    * certifies nothing. But the 31^w key space grows geometrically in
+    * w, so a slightly wider shingle is discriminative again (at 100×,
+    * w=5 gives ~1 df per gram), and any pair with n-gram Jaccard ≥ t
+    * still shares abundant w-grams: d substituted words kill at most
+    * w·d of the ~L w-grams, so J_w ≳ 1 − (w/n)(1−J_n) — at t=0.8,
+    * n=3, w=5 candidates still share ≥⅔ of their w-grams. Each step
+    * is one memoized df-histogram job; graded corpora (open vocab,
+    * low df) keep w = n, so oracle outputs see no escalation at all
+    * (spec-pinned: verify replays byte-identical).
+    */
+  private[graft] def blockingShingleWidth(docs: DataFrame, n: Int): Int = {
+    var w = n
+    while (w < n + 8) {
+      val sh = docs.select(
+        explode(graft.functions.TextHashFunctions.shingleHashes(col("text"), w))
+          .as("sh"))
+      val (_, frac) = adaptiveCapStats(sh)
+      if (frac >= 0.5) return w
+      w += 2
+    }
+    w
+  }
+
+  /** Exact-verify stage shared by the escalated miners: candidates
+    * fetch both documents' full n-gram sets through two narrow joins
+    * and re-compute Jaccard exactly, so a blocked candidate stage can
+    * never change a graded pair — only miss one (the recall-gate
+    * axis). At 100 TB bucket the corpus by doc_id so these fetches
+    * co-locate (BucketedScaleSpec's pattern).
+    */
+  private def exactJaccardVerify(docs: DataFrame, cands: DataFrame,
+                                 n: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(col("doc_id"),
+      sort_array(graft.functions.TextHashFunctions.shingleHashes(col("text"), n))
+        .as("shs"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Shared candidate stage of the n-gram family: packed-id posting
@@ -214,14 +293,32 @@ object Dedup {
   }
 
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-                        maxBucket: Int = AdaptiveCap): DataFrame =
-    packedPostingPairs(docs, n, maxBucket)
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("pa").bitwiseAND(SizeMask) + col("pb").bitwiseAND(SizeMask) - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
-        shiftrightunsigned(col("pb"), SizeBits).as("doc_b"), col("jaccard"))
+                        maxBucket: Int = AdaptiveCap): DataFrame = {
+    val w = if (maxBucket == AdaptiveCap) blockingShingleWidth(docs, n) else n
+    if (w == n)
+      packedPostingPairs(docs, n, maxBucket)
+        .withColumn("jaccard",
+          col("n_common").cast("double") /
+            (col("pa").bitwiseAND(SizeMask) + col("pb").bitwiseAND(SizeMask) - col("n_common")))
+        .filter(col("jaccard") >= threshold)
+        .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
+          shiftrightunsigned(col("pb"), SizeBits).as("doc_b"), col("jaccard"))
+    else {
+      // closed-vocabulary regime ([[blockingShingleWidth]]): pair on
+      // the discriminative w-grams, verify Jaccard exactly on the
+      // requested n-grams — graded semantics unchanged. Size gate:
+      // |set_w| = |set_n| − (w−n), so the n-gram size-compatibility
+      // bound transfers with a (w−n) slack.
+      val sa = col("pa").bitwiseAND(SizeMask).cast("double")
+      val sb = col("pb").bitwiseAND(SizeMask).cast("double")
+      val cands = packedPostingPairs(docs, w, AdaptiveCap)
+        .filter(least(sa, sb) + lit((w - n).toDouble) >=
+          lit(threshold) * greatest(sa, sb) - lit(1e-9))
+        .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
+          shiftrightunsigned(col("pb"), SizeBits).as("doc_b"))
+      exactJaccardVerify(docs, cands, n, threshold)
+    }
+  }
 
   /** N-gram containment pairs: containment = |A∩B| / min(|A|,|B|) —
     * the asymmetric near-dup measure that catches a short document
@@ -264,12 +361,22 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                          maxBucket: Int = AdaptiveCap): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val sets = docs.select(col("doc_id"),
-      sort_array(graft.functions.TextHashFunctions.shingleHashes(col("text"), n))
+    // closed-vocabulary regime: run the SAME prefix machinery over
+    // the discriminative w-grams at the transferred threshold
+    // t_w = 1 − (w/n)(1−t) (d substituted words kill ≤ w·d w-grams vs
+    // ≥ d n-grams; 0.02 safety margin absorbs the union-size wobble
+    // of boundary shingles), then verify on the REQUESTED n-grams —
+    // output semantics identical, recall graded by the gate artifact.
+    val w = if (maxBucket == AdaptiveCap) blockingShingleWidth(docs, n) else n
+    val tw =
+      if (w == n) threshold
+      else math.max(0.05, 1.0 - (w.toDouble / n) * (1.0 - threshold) - 0.02)
+    val wsets = docs.select(col("doc_id"),
+      sort_array(graft.functions.TextHashFunctions.shingleHashes(col("text"), w))
         .as("shs"))
     val prefLen = greatest(lit(1),
-      size(col("shs")) - floor(size(col("shs")) * lit(threshold)).cast("int") + 1)
-    val pref = sets.select(
+      size(col("shs")) - floor(size(col("shs")) * lit(tw)).cast("int") + 1)
+    val pref = wsets.select(
       shiftleft(col("doc_id"), SizeBits)
         .bitwiseOR(least(size(col("shs")).cast("long"), lit(SizeMask))).as("id_size"),
       explode(slice(col("shs"), lit(1), prefLen)).as("sh"))
@@ -290,17 +397,10 @@ object Dedup {
       // J >= t forces t*max(|A|,|B|) <= min(|A|,|B|); the epsilon
       // absorbs IEEE rounding of t*max (sizes < 2^20 keep the true
       // error below it)
-      .filter(least(sa, sb) >= lit(threshold) * greatest(sa, sb) - lit(1e-9))
+      .filter(least(sa, sb) >= lit(tw) * greatest(sa, sb) - lit(1e-9))
       .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
         shiftrightunsigned(col("pb"), SizeBits).as("doc_b"))
-    cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("shs_a")) + size(col("shs_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    exactJaccardVerify(docs, cands, n, threshold)
   }
 
   /** Corpus filtering: drop near-duplicate documents, keeping the

