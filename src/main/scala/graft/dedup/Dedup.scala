@@ -295,8 +295,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxBucket: Int = AdaptiveCap): DataFrame = {
     val w = if (maxBucket == AdaptiveCap) blockingShingleWidth(docs, n) else n
+    // reuse the width probe's memoized histogram for the cap: same
+    // feature projection → same cache key → zero extra jobs
+    val capOf = (width: Int) => adaptiveCapStats(docs.select(
+      explode(graft.functions.TextHashFunctions.shingleHashes(col("text"), width))
+        .as("sh")))._1
     if (w == n)
-      packedPostingPairs(docs, n, maxBucket)
+      packedPostingPairs(docs, n,
+        if (maxBucket == AdaptiveCap) capOf(n) else maxBucket)
         .withColumn("jaccard",
           col("n_common").cast("double") /
             (col("pa").bitwiseAND(SizeMask) + col("pb").bitwiseAND(SizeMask) - col("n_common")))
@@ -311,7 +317,7 @@ object Dedup {
       // bound transfers with a (w−n) slack.
       val sa = col("pa").bitwiseAND(SizeMask).cast("double")
       val sb = col("pb").bitwiseAND(SizeMask).cast("double")
-      val cands = packedPostingPairs(docs, w, AdaptiveCap)
+      val cands = packedPostingPairs(docs, w, capOf(w))
         .filter(least(sa, sb) + lit((w - n).toDouble) >=
           lit(threshold) * greatest(sa, sb) - lit(1e-9))
         .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
