@@ -762,8 +762,10 @@ object SparkEntry {
     "q_dedup_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(Tables.documents(s, dir), 3, 0.8)),
     // D2e: prefix-filtered similarity join (PPJoin family) — only
-    // each set's rarest-ordered prefix feeds the inverted index;
-    // recall 1.0 by construction, so it shares the exact oracle
+    // each set's prefix feeds the inverted index; recall 1.0 by
+    // construction in the unescalated (w == n) regime that every
+    // graded corpus is in, so it shares the exact oracle (the
+    // closed-vocabulary escalated path is recall-gate-graded)
     "q_dedup_prefix" -> ((s, dir) =>
       Dedup.prefixJaccardPairs(Tables.documents(s, dir), 3, 0.8)),
     // D2b: the filtered corpus — near-dups dropped, survivors kept

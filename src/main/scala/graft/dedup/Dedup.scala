@@ -312,14 +312,22 @@ object Dedup {
     else {
       // closed-vocabulary regime ([[blockingShingleWidth]]): pair on
       // the discriminative w-grams, verify Jaccard exactly on the
-      // requested n-grams — graded semantics unchanged. Size gate:
-      // |set_w| = |set_n| − (w−n), so the n-gram size-compatibility
-      // bound transfers with a (w−n) slack.
+      // requested n-grams — emitted pairs are exact by construction
+      // (the verify recomputes J_n), but the escalated CANDIDATE
+      // stage is recall-graded, not lossless (the gate artifact's
+      // framing). Size gate: the transferred threshold t_w =
+      // 1 − (w/n)(1−t) − 0.02 (substitution-edit bound, same as
+      // [[prefixJaccardPairs]]' escalated regime) applied to the
+      // w-set sizes — a candidate-volume heuristic inside an already
+      // heuristic stage; it makes no exactness claim. (A size gate
+      // derived from |set_n| does NOT transfer as |set_w| =
+      // |set_n| − (w−n): ShingleHashes dedupes in-row, so periodic/
+      // repetitive text can put |set_w| far from that line.)
+      val tw = math.max(0.05, 1.0 - (w.toDouble / n) * (1.0 - threshold) - 0.02)
       val sa = col("pa").bitwiseAND(SizeMask).cast("double")
       val sb = col("pb").bitwiseAND(SizeMask).cast("double")
       val cands = packedPostingPairs(docs, w, capOf(w))
-        .filter(least(sa, sb) + lit((w - n).toDouble) >=
-          lit(threshold) * greatest(sa, sb) - lit(1e-9))
+        .filter(least(sa, sb) >= lit(tw) * greatest(sa, sb) - lit(1e-9))
         .select(shiftrightunsigned(col("pa"), SizeBits).as("doc_a"),
           shiftrightunsigned(col("pb"), SizeBits).as("doc_b"))
       exactJaccardVerify(docs, cands, n, threshold)
@@ -352,14 +360,23 @@ object Dedup {
     * document-frequency pass), two sets with Jaccard >= t MUST share
     * one of each other's first `|x| - ceil(t*|x|) + 1` elements, so
     * only those prefixes feed the inverted index. At t=0.8 that is
-    * ~20% of the posting rows [[ngramJaccardPairs]] expands, with
-    * recall 1.0 by construction rather than probabilistically.
+    * ~20% of the posting rows [[ngramJaccardPairs]] expands.
     *
-    * The prefix length uses floor(t*|x|) (>= the exact-arithmetic
-    * minimum by at most one element) and the size-compatibility
-    * pre-filter carries an epsilon, so float rounding can only ADMIT
-    * an extra candidate, never drop a qualifying pair — the exact
-    * verify then reproduces [[ngramJaccardPairs]]' output verbatim.
+    * Exactness claims are scoped to the UNESCALATED regime (w == n,
+    * every open-vocabulary corpus): there the prefix-filter theorem
+    * gives recall 1.0 by construction — the prefix length uses
+    * floor(t*|x|) (>= the exact-arithmetic minimum by at most one
+    * element) and the size-compatibility pre-filter carries an
+    * epsilon, so float rounding can only ADMIT an extra candidate,
+    * never drop a qualifying pair — and the exact verify then
+    * reproduces [[ngramJaccardPairs]]' output verbatim. The
+    * closed-vocabulary ESCALATED regime (w > n, via
+    * [[blockingShingleWidth]]) is recall-graded, not lossless: the
+    * transferred threshold t_w = 1 − (w/n)(1−t) − 0.02 is a
+    * substitution-edit bound, and edits that reorder tokens can keep
+    * J_n >= t while dropping J_w below it — emitted pairs stay exact
+    * (the verify recomputes J_n), and recall is measured by the
+    * round's gate artifacts (RECALL_*.json), not claimed 1.0.
     * Candidates fetch their full shingle sets through two narrow
     * joins; at 100 TB bucket the corpus by doc_id so those fetches
     * co-locate (BucketedScaleSpec's pattern).

@@ -65,27 +65,40 @@ object BloomJoin {
       1L << 30)
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val (oldItems, oldBits) = (spark.conf.get(itemsKey, "4000000"),
-      spark.conf.get(bitsKey, "67108864"))
-    spark.conf.set(itemsKey, math.max(items, oldItems.toLong).toString)
-    spark.conf.set(bitsKey, math.max(bits, oldBits.toLong).toString)
-    try {
-      val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(ColumnGlue.expr(col(key).cast("long")),
-          Literal(items), Literal(bits)).toAggregateExpression()
-      val bytes = df.select(ColumnGlue.column(agg)).head().getAs[Array[Byte]](0)
-      if (bytes != null) bytes
-      else {
-        val bf = org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        bos.toByteArray
+    // The cap confs are session-global, so the raise/run/restore
+    // window is serialized: two concurrent builds interleaving their
+    // set/restore could strand the session on the wrong caps and
+    // silently degrade a bloom's fpp. The lock covers the build job
+    // itself — blooms are dimension-sized aggregations, so the
+    // serialization cost is small next to the fact-side work they
+    // prune. (Queries OUTSIDE buildBloom that race Spark's own
+    // runtime-filter injection only ever see RAISED caps — never a
+    // degraded-fpp direction.)
+    confWindowLock.synchronized {
+      val (oldItems, oldBits) = (spark.conf.get(itemsKey, "4000000"),
+        spark.conf.get(bitsKey, "67108864"))
+      spark.conf.set(itemsKey, math.max(items, oldItems.toLong).toString)
+      spark.conf.set(bitsKey, math.max(bits, oldBits.toLong).toString)
+      try {
+        val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(ColumnGlue.expr(col(key).cast("long")),
+            Literal(items), Literal(bits)).toAggregateExpression()
+        val bytes = df.select(ColumnGlue.column(agg)).head().getAs[Array[Byte]](0)
+        if (bytes != null) bytes
+        else {
+          val bf = org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        }
+      } finally {
+        spark.conf.set(itemsKey, oldItems)
+        spark.conf.set(bitsKey, oldBits)
       }
-    } finally {
-      spark.conf.set(itemsKey, oldItems)
-      spark.conf.set(bitsKey, oldBits)
     }
   }
+
+  private val confWindowLock = new Object
 
   /** Scan-local bloom probe predicate (Spark's own runtime-filter
     * expression, codegen'd; the serialized filter ships once per task

@@ -89,6 +89,52 @@ object Graph {
     concat(when(pmod(node, lit(2)) === 0, lit("c")).otherwise(lit("s")),
       shiftright(node, 1).cast("string"))
 
+  /** Edges per map task above which the iterative gathers' partial
+    * aggregation stops combining and starts spilling: each gather
+    * task's partial hash map holds one entry per distinct gather key
+    * it sees, and on a fact-derived graph (customers have ~tens of
+    * edges each, scattered across tasks) that approaches the task's
+    * whole input — at session width and 10⁹ edges that is ~10⁷
+    * entries × ~50 B × 32 concurrent tasks ≈ 15 GB of map, which
+    * sort-falls-back into round-sized spill (23.4 GB measured on the
+    * sf100 PageRank probe). Past this threshold the edge table
+    * partitions [[WideGatherMult]]× wider — the coSupplierEdges
+    * treatment: each task owns a cache-friendly slice, the partial
+    * map stays ~1M entries, and spill vanishes for one extra (cheap,
+    * node-sized-output) exchange of partial results. Below it the
+    * session width is strictly better (fewer tasks, fewer stages).
+    */
+  private val WideGatherEdges = 64000000L
+  private val WideGatherMult = 8
+
+  /** Partition + persist the iterative edge table on its per-round
+    * join key at a width adapted to the edge count ([[WideGatherEdges]]).
+    * One source pass: the session-width cache is built first (the
+    * count materializes it), and only a large graph pays the extra
+    * cached exchange up to the wide layout. Returns (edge table,
+    * edge count); caller unpersists.
+    */
+  /** The gather partitioning width for an `n`-edge graph. */
+  private def iterWidth(df: DataFrame, n: Long): Int = {
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (n < WideGatherEdges) width else WideGatherMult * width
+  }
+
+  private def partitionIterEdges(e0: DataFrame, key: String): (DataFrame, Long) = {
+    val width = e0.sparkSession.sessionState.conf.numShufflePartitions
+    val narrow = e0.repartition(width, col(key))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = narrow.count()
+    if (n < WideGatherEdges) (narrow, n)
+    else {
+      val wide = narrow.repartition(iterWidth(e0, n), col(key))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      wide.count() // materialize from the narrow cache before dropping it
+      narrow.unpersist()
+      (wide, n)
+    }
+  }
+
   /** Fixed-point PageRank over a directed edge list (src, dst):
     * `iters` damped propagation rounds from a uniform start of `init`
     * per node, all in BIGINT —
@@ -96,7 +142,9 @@ object Graph {
     * rank(u) div outdeg(u)) div 100.
     *
     * Each round is ONE narrow shuffle: the dimension-sized rank table
-    * joins the edge list (persisted and partitioned once on src —
+    * joins the edge list (persisted and partitioned once on src at a
+    * width adapted to the edge count — [[WideGatherEdges]] — so the
+    * gather's partial-aggregation maps stay in memory at any scale;
     * edge rows never move again) and the gather is a map-side-combined
     * sum per dst. Ranks are localCheckpoint'ed per round so the plan
     * stays a leaf instead of nesting (the components() lesson).
@@ -106,10 +154,7 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int, init: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "at least one propagation round")
-    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(width, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (e, _) = partitionIterEdges(edges.select(col("src"), col("dst")), "src")
     // out-degree joins the edge list ONCE, up front — re-joining it
     // inside every round would recompute the same co-partitioned
     // merge `iters` times (bench-measured on the trading graph)
@@ -168,19 +213,50 @@ object Graph {
     * fact-table aggregation per derived job.
     */
   def coSupplierEdges(lineitem: DataFrame, minOrders: Long): DataFrame = {
-    val width =
-      8 * lineitem.sparkSession.sessionState.conf.numShufflePartitions
-    lineitem
-      .repartition(width, col("l_orderkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("supps"))
-      .select(explode(graft.functions.TextHashFunctions.pairCombos(col("supps"))).as("p"))
-      .groupBy(col("p.a").as("s1"), col("p.b").as("s2"))
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= minOrders)
-      .select(col("s1"), col("s2"))
-      .localCheckpoint()
+    // Memoized per (session, canonicalized input plan, minOrders):
+    // five graph queries build this same edge list, and each call
+    // otherwise re-pays the fact-table aggregation AND leaks one
+    // eagerly-checkpointed edge list per invocation in a long-lived
+    // session (the checkpoint has no consumer-scoped unpersist point
+    // — the returned Dataset's lifetime belongs to the caller). The
+    // cache is LRU-bounded and evictions free their blocks.
+    val plan = lineitem.queryExecution.analyzed.canonicalized
+    val key = (plan.semanticHash(), minOrders)
+    val spark = lineitem.sparkSession
+    coSupCache.synchronized {
+      val m = coSupCache.computeIfAbsent(spark,
+        _ => new java.util.LinkedHashMap[CoSupKey, CoSupVal](8, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[CoSupKey, CoSupVal]): Boolean = {
+            val evict = size > 4
+            if (evict) IterState.free(e.getValue._2)
+            evict
+          }
+        })
+      val hit = m.get(key)
+      if (hit != null && hit._1.sameResult(plan)) return hit._2
+      val width = 8 * spark.sessionState.conf.numShufflePartitions
+      val built = lineitem
+        .repartition(width, col("l_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("supps"))
+        .select(explode(graft.functions.TextHashFunctions.pairCombos(col("supps"))).as("p"))
+        .groupBy(col("p.a").as("s1"), col("p.b").as("s2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= minOrders)
+        .select(col("s1"), col("s2"))
+        .localCheckpoint()
+      m.put(key, (plan, built))
+      built
+    }
   }
+
+  private type CoSupKey = (Int, Long)
+  private type CoSupVal =
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)
+  private val coSupCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.LinkedHashMap[CoSupKey, CoSupVal]]()
 
   /** k-core of an undirected canonical (s1 < s2) edge list: `rounds`
     * synchronous peeling iterations — each round recomputes every
@@ -411,18 +487,24 @@ object Graph {
     */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "at least one round")
-    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(width, col("src"))
+    // the two per-round gathers join on OPPOSITE keys (hubs flow in
+    // by src, authorities back by dst), so one edge cache cannot
+    // serve both: the dst-side join would re-exchange the whole edge
+    // table every round (the dominant sf100 cost). Cache each
+    // orientation once — 2× edge cache buys zero per-round edge
+    // movement; only rank tables and partial-agged contributions move.
+    val (eSrc, nE) = partitionIterEdges(edges.select(col("src"), col("dst")), "src")
+    val eDst = eSrc.repartition(iterWidth(eSrc, nE), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    eDst.count() // materialize from eSrc's cache, not from source
+    val nodes = eSrc.select(col("src").as("node"))
+      .unionByName(eSrc.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var hubs = nodes.withColumn("hub", lit(1L)).localCheckpoint()
     var auths: DataFrame = null
     (1 to iters).foreach { _ =>
-      val a = e
+      val a = eSrc
         .join(hubs.select(col("node").as("src"), col("hub"))
           .hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node"))
@@ -433,7 +515,7 @@ object Graph {
           coalesce(col("authority"), lit(0L)).as("authority"))
       auths = if (auths == null) nextAuths.localCheckpoint()
               else IterState.roll(nextAuths, prev = auths)
-      val h = e
+      val h = eDst
         .join(auths.select(col("node").as("dst"), col("authority"))
           .hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("node"))
@@ -445,7 +527,7 @@ object Graph {
     }
     val out = hubs.join(auths, "node")
       .select(col("node"), col("hub"), col("authority"))
-    e.unpersist(); nodes.unpersist()
+    eSrc.unpersist(); eDst.unpersist(); nodes.unpersist()
     out
   }
 
@@ -467,10 +549,7 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
                            init: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "at least one propagation round")
-    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(width, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (e, _) = partitionIterEdges(edges.select(col("src"), col("dst")), "src")
     // hoisted edge⋈degree join, as in [[pageRank]]
     val ed = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))

@@ -3,11 +3,22 @@
 # lock, no sbt JVM: probes and plan checks can run while sbt test
 # owns the build. Mirrors build.sbt's fork javaOptions (JDK17
 # add-opens, UTC, UI off, SPARK_DRIVER_MEM heap).
+# GRAFT_TMPDIR (optional): private scratch root for this JVM's
+# block-manager/shuffle dirs — concurrent probes and sbt test each get
+# their own, so cleanup sweeps one run's scratch without nuking a
+# neighbor's live shuffle files (java.io.tmpdir is what Spark's
+# local-dir default derives from).
 # Usage: tools/jrun.sh <mainClass> [args...]
 set -eu
 MAIN=${1:?main class}; shift
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+TMPOPT=()
+if [ -n "${GRAFT_TMPDIR:-}" ]; then
+  mkdir -p "$GRAFT_TMPDIR"
+  TMPOPT=(-Djava.io.tmpdir="$GRAFT_TMPDIR" -Dspark.local.dir="$GRAFT_TMPDIR")
+fi
 exec java \
+  ${TMPOPT[@]+"${TMPOPT[@]}"} \
   --add-opens java.base/java.lang=ALL-UNNAMED \
   --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens java.base/java.lang.reflect=ALL-UNNAMED \
