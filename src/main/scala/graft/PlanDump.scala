@@ -106,7 +106,13 @@ object PlanDump {
         "only because this dump reads single-file testdata whose split\n" +
         "count is below the session parallelism — many-split cluster\n" +
         "inputs take the guard's no-op branch and keep the assignment\n" +
-        "scan exchange-free.\n")
+        "scan exchange-free.\n" +
+        "Fixed-round iterative operators (pagerank/hits/kcore/label-\n" +
+        "prop/bfs/hyperball/markov, and triangleStats' eager output)\n" +
+        "print as checkpoint leaves here — their per-ROUND shapes\n" +
+        "(shuffle_hash gathers, bloom-pruned scans, the exchange-free\n" +
+        "wedge self-join) are captured through IterState's probe and\n" +
+        "pinned by PlanAuditSpec's round-plan audits instead.\n")
     headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name\n\n```\n")

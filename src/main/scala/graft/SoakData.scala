@@ -32,17 +32,23 @@ import org.apache.spark.sql.functions._
   */
 object SoakData {
   def main(args: Array[String]): Unit = {
-    // args: srcDir outDir mult [mode] [tables]
+    // args: srcDir outDir mult [mode] [tables] [graphmode]
     //   tables: comma list of {documents,embeddings,events,facts,dims}
     //   (default all). A 1000x decade probe touching only the
     //   documents/events queries need not pay for 600M lineitem rows.
-    val (srcDir, outDir, multStr, mode, tables) = args match {
-      case Array(s, o, m)         => (s, o, m, "closed", "all")
-      case Array(s, o, m, md)     => (s, o, m, md, "all")
-      case Array(s, o, m, md, ts) => (s, o, m, md, ts)
+    //   graphmode (facts only): replica (default) keeps the graphs as
+    //   `mult` disconnected uniform copies; hub plants a global
+    //   Zipf-head supplier (see [[writeFacts]]).
+    val (srcDir, outDir, multStr, mode, tables, graphMode) = args match {
+      case Array(s, o, m)             => (s, o, m, "closed", "all", "replica")
+      case Array(s, o, m, md)         => (s, o, m, md, "all", "replica")
+      case Array(s, o, m, md, ts)     => (s, o, m, md, ts, "replica")
+      case Array(s, o, m, md, ts, gm) => (s, o, m, md, ts, gm)
     }
     require(mode == "closed" || mode == "heaps",
       s"mode must be closed|heaps, got $mode")
+    require(graphMode == "replica" || graphMode == "hub",
+      s"graphmode must be replica|hub, got $graphMode")
     val known = Set("documents", "embeddings", "events", "facts", "dims")
     val wanted: String => Boolean =
       if (tables == "all") _ => true
@@ -69,7 +75,7 @@ object SoakData {
     if (wanted("documents")) writeDocuments(spark, srcDir, outDir, mult, mode)
     if (wanted("embeddings")) writeEmbeddings(spark, srcDir, outDir, mult)
     if (wanted("events")) writeEvents(spark, srcDir, outDir, mult)
-    if (wanted("facts")) writeFacts(spark, srcDir, outDir, mult)
+    if (wanted("facts")) writeFacts(spark, srcDir, outDir, mult, graphMode)
     if (wanted("dims")) copyDims(spark, srcDir, outDir)
     spark.stop()
   }
@@ -194,9 +200,25 @@ object SoakData {
     * disconnected copies of the original — expected work grows exactly
     * linearly, which is the honest reference line for judging whether
     * the pageRank/kCore/triangle PLANS scale linearly too.
+    *
+    * `graphMode = "hub"` is the adversarial variant the replica mode
+    * cannot produce: uniform disconnected copies have no hot node, so
+    * they never stress the degree-ordered wedge orientation, the
+    * label-majority count, or the gather's partial aggregation under
+    * SKEW — exactly where those designs claim to earn their keep. Hub
+    * mode re-points line 1 of a deterministic ~20% of ALL orders
+    * (hash-keyed on the scaled order key, so selection crosses
+    * replicas) at one GLOBAL supplier: that supplier shares ≥ the
+    * co-supplier threshold of common orders with essentially every
+    * other supplier (each supplier's ~600 orders × 20% ≈ 120 common
+    * ≥ 30) and is adjacent to ~20% of all customers in the trading
+    * graph — one Zipf-head hub, and through it the graph becomes ONE
+    * component at the same byte scale (BFS/label-prop must cross
+    * replica boundaries; frontier round 2 is population-sized).
     */
   private def writeFacts(spark: SparkSession, srcDir: String,
-                         outDir: String, mult: Int): Unit = {
+                         outDir: String, mult: Int,
+                         graphMode: String = "replica"): Unit = {
     val li = Tables.lineitem(spark, srcDir)
     val ord = Tables.orders(spark, srcDir)
     val Array(maxOrder, maxCust) = ord.agg(max("o_orderkey"), max("o_custkey"))
@@ -210,11 +232,19 @@ object SoakData {
         col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    val scaledKey = col("l_orderkey") + col("r") * maxOrder
+    val shiftedSupp = (col("l_suppkey") + col("r") * maxSupp).as("l_suppkey")
+    val suppCol =
+      if (graphMode == "hub")
+        when(pmod(xxhash64(lit(31), scaledKey), lit(5)) === 0 &&
+          col("l_linenumber") === 1, lit(1L)).otherwise(shiftedSupp)
+          .as("l_suppkey")
+      else shiftedSupp
     replicas(li, mult)
       .select(
-        (col("l_orderkey") + col("r") * maxOrder).as("l_orderkey"),
+        scaledKey.as("l_orderkey"),
         (col("l_partkey") + col("r") * maxPart).as("l_partkey"),
-        (col("l_suppkey") + col("r") * maxSupp).as("l_suppkey"),
+        suppCol,
         col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate"))

@@ -789,7 +789,13 @@ object SparkEntry {
     // equals the inverted-index path and shares its exact oracle
     "q_dedup_minhash_v" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(Tables.documents(s, dir), 3, 0.8, 128, 32)),
-    // D4: simhash near-dup (rows-only oracle)
+    // D4: simhash near-dup — FULL oracle: the signature is a
+    // deterministic bitwise majority over per-token xxh64, so DuckDB
+    // replays it token-by-token (simhashOracle below) and rebuilds
+    // every hamming<=3 pair; recall is 1.0 by pigeonhole (4 16-bit
+    // chunks, 3 flips must leave one chunk intact), and the graded
+    // corpus fits the bucket budget so no cap binds (the posting-
+    // family invariant) — candidates == pairs exactly
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), 3)),
     // D5: embedding cosine near-dup in its real regime: the corpus is
@@ -2112,6 +2118,11 @@ object SparkEntry {
          |CROSS JOIN pb
          |LEFT JOIN cnt ON cnt.event_type = t.event_type AND cnt.d = pb.d AND cnt.b = pb.b
          |GROUP BY 1, 2""".stripMargin,
+    // D4: FULL-oracle SimHash replay — per-token xxh64 in HUGEINT
+    // arithmetic (the q_cms_counts precedent extended from hashLong
+    // to variable-length string bytes), 64 bit-majority sums, exact
+    // hamming pair join. See simhashOracle's comment.
+    "q_dedup_simhash" -> simhashOracle(),
     "q_rollup_5m" ->
       """SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_start, event_type,
         | count(*) AS n_events,
@@ -5782,6 +5793,98 @@ object SparkEntry {
   private def cmsHashChain(base: String): String =
     (xxh64Steps("v", 42L, "a") ++ xxh64Steps("aout", 1337L, "b"))
       .foldLeft(base) { case (inner, (k, e)) => s"SELECT *, $e AS $k FROM ($inner)" }
+
+  // ---- DuckDB replay of XXH64.hashUnsafeBytes over a short string ----
+  // SimHash64's per-token hash: xxh64(utf8-bytes(tok), seed 42) for a
+  // VARIABLE-length token < 32 bytes. Same unsigned mod-2^64 HUGEINT
+  // arithmetic as the hashLong replay above; the spec's word / 4-byte
+  // / tail-byte loops unroll into CASE-guarded steps (3 8-byte words,
+  // one 4-byte chunk when len%8 >= 4, then the last len%4 bytes — the
+  // identity rem-after-4-chunk = len%4 collapses the tail guards).
+  // Bytes come from ord(substr(...)), which is byte-true because every
+  // graded token is ASCII (octet_length(encode(tok)) keeps the LENGTH
+  // byte-true regardless). Verified bit-identical to SimHash64's
+  // per-token XXH64 over the full sf0.01 token set before landing.
+
+  /** 0-based byte `pos` (an expression) of `tok` as UBIGINT, 0 past end. */
+  private def tokByte(pos: String): String =
+    s"coalesce(ord(nullif(substr(tok, (($pos)+1)::BIGINT, 1), '')), 0)::UBIGINT"
+
+  /** Little-endian unsigned load of `n` bytes at 0-based offset expr. */
+  private def tokLE(off: String, n: Int): String =
+    (0 until n).map(k =>
+      s"${tokByte(s"$off + $k")} * ${BigInt(1) << (8 * k)}::UBIGINT")
+      .mkString("(", " + ", ")")
+
+  /** The chained column steps hashing column `tok` (len < 32) with
+    * seed 42 into `hout` — appended to a base select via the same
+    * fold as [[cmsHashChain]].
+    */
+  private def xxh64TokenSteps(): Seq[(String, String)] = {
+    val c0 = (BigInt(42) + XP5) % (BigInt(1) << 64)
+    val init = Seq(
+      "len" -> "octet_length(encode(tok))::UBIGINT",
+      "h0" -> s"(($c0::HUGEINT + len::HUGEINT) % $UMod)::UBIGINT")
+    val words = (0 until 3).flatMap { i =>
+      val h = if (i == 0) "h0" else s"h$i"
+      Seq(
+        s"w$i" -> tokLE(s"${8 * i}", 8),
+        s"wk$i" -> uMul(uRotl(uMul(s"w$i", XP2), 31), XP1),
+        s"wx$i" -> uXor(h, s"wk$i"),
+        s"h${i + 1}" -> (s"CASE WHEN len >= ${8 * (i + 1)} THEN " +
+          s"((${uMul(uRotl(s"wx$i", 27), XP1)})::HUGEINT + $XP4) % $UMod " +
+          s"ELSE $h::HUGEINT END::UBIGINT"))
+    }
+    val four = Seq(
+      "u32" -> tokLE("(len//8)*8", 4),
+      "fx" -> uXor("h3", uMul("u32", XP1)),
+      "h4" -> (s"CASE WHEN len % 8 >= 4 THEN " +
+        s"((${uMul(uRotl("fx", 23), XP2)})::HUGEINT + $XP3) % $UMod " +
+        s"ELSE h3::HUGEINT END::UBIGINT"))
+    val tail = (0 until 3).flatMap { j =>
+      val h = if (j == 0) "h4" else s"h5${j - 1}"
+      Seq(
+        s"tb$j" -> tokByte(s"(len//4)*4 + $j"),
+        s"tx$j" -> uXor(h, uMul(s"tb$j", XP5)),
+        s"h5$j" -> (s"CASE WHEN len % 4 > $j THEN " +
+          s"${uMul(uRotl(s"tx$j", 11), XP1)} ELSE $h END"))
+    }
+    val avalanche = Seq(
+      "f1" -> uXor("h52", "(h52 >> 33)"),
+      "f2" -> uMul("f1", XP2),
+      "f3" -> uXor("f2", "(f2 >> 29)"),
+      "f4" -> uMul("f3", XP3),
+      "hout" -> uXor("f4", "(f4 >> 32)"))
+    init ++ words ++ four ++ tail ++ avalanche
+  }
+
+  /** The q_dedup_simhash oracle: per-token xxh64 (chain above) → 64
+    * CASE-sum bit majorities → signature packed back to a signed
+    * BIGINT → all (a < b) pairs within hamming 3. The quadratic pair
+    * join is the ORACLE's price, not the engine's (the graded corpus
+    * is 500 docs; Spark's chunk-banded plan is the scale path).
+    */
+  private def simhashOracle(): String = {
+    val tokq = xxh64TokenSteps().foldLeft(
+      "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents") {
+      case (inner, (k, e)) => s"SELECT *, $e AS $k FROM ($inner)"
+    }
+    val bits = (0 until 64).map(k =>
+      s"(sum(CASE WHEN (hout >> $k) & 1 = 1 THEN 1 ELSE -1 END) > 0)::UBIGINT" +
+        s" * ${BigInt(1) << k}::UBIGINT AS bit$k").mkString(",\n    ")
+    val sigsum = (0 until 64).map(k => s"bit$k::HUGEINT").mkString(" + ")
+    s"""WITH hashes AS ($tokq),
+       |sigu AS (SELECT doc_id, $bits FROM hashes GROUP BY doc_id),
+       |s AS (SELECT doc_id,
+       |  CASE WHEN ($sigsum) >= 9223372036854775808::HUGEINT
+       |       THEN (($sigsum) - 18446744073709551616::HUGEINT)::BIGINT
+       |       ELSE ($sigsum)::BIGINT END AS sig
+       |  FROM sigu)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.sig, b.sig))::INT AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+  }
 
   /** One BPE merge rewrite in DuckDB SQL: the double-space padding
     * identity (see the q_bpe_train oracle comment).

@@ -107,6 +107,12 @@ object Graph {
   private val WideGatherEdges = 64000000L
   private val WideGatherMult = 8
 
+  /** The gather partitioning width for an `n`-edge graph. */
+  private def iterWidth(df: DataFrame, n: Long): Int = {
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (n < WideGatherEdges) width else WideGatherMult * width
+  }
+
   /** Partition + persist the iterative edge table on its per-round
     * join key at a width adapted to the edge count ([[WideGatherEdges]]).
     * One source pass: the session-width cache is built first (the
@@ -114,12 +120,6 @@ object Graph {
     * cached exchange up to the wide layout. Returns (edge table,
     * edge count); caller unpersists.
     */
-  /** The gather partitioning width for an `n`-edge graph. */
-  private def iterWidth(df: DataFrame, n: Long): Int = {
-    val width = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (n < WideGatherEdges) width else WideGatherMult * width
-  }
-
   private def partitionIterEdges(e0: DataFrame, key: String): (DataFrame, Long) = {
     val width = e0.sparkSession.sessionState.conf.numShufflePartitions
     val narrow = e0.repartition(width, col(key))
@@ -372,8 +372,13 @@ object Graph {
     * localCheckpoint'ed so plans stay leaves.
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    // partition ONCE on the per-round join key, like kCore/bfsDepth:
+    // without it the persisted-but-unclustered edge table re-pays an
+    // edge-sized exchange inside every round's shuffle_hash join
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
     val sym = edges.select(col("s1").as("src"), col("s2").as("dst"))
       .unionByName(edges.select(col("s2").as("src"), col("s1").as("dst")))
+      .repartition(width, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -412,14 +417,19 @@ object Graph {
     * 1000× probe shuffling it to meet the closing edges moved 37 GB
     * and spilled 28 GB (sort-merge sorts the whole stream). Two
     * structural moves keep it off the wire: the oriented edge list is
-    * hash-partitioned by src ONCE before its checkpoint, so the wedge
-    * self-join is exchange-free (both sides read the same
-    * co-partitioned blocks); and a broadcast bloom over the oriented
-    * (src,dst) hashes kills non-closing wedges AT THE SCAN (most
-    * wedges don't close — triangles ≪ wedges), so only candidate
-    * triangles (+ ~2% fp, removed by the exact closure join, which
-    * hash-builds on the edge side instead of sorting the stream) pay
-    * the closure shuffle.
+    * hash-partitioned by src ONCE and PERSISTED (persist, not
+    * checkpoint: a cached relation keeps its outputPartitioning, so
+    * the wedge self-join is exchange-free on the probe side — a
+    * checkpoint leaf under AQE reports unknown partitioning and
+    * re-exchanges BOTH sides, a shape PlanAuditSpec now pins); and a
+    * broadcast bloom over the oriented (src,dst) hashes kills
+    * non-closing wedges INSIDE the self-join stage (most wedges don't
+    * close — triangles ≪ wedges), so only candidate triangles (+ ~2%
+    * fp, removed by the exact closure join, which hash-builds on the
+    * edge side instead of sorting the stream) pay the closure
+    * shuffle. The node-sized result is checkpointed eagerly so the
+    * edge cache can be dropped before returning — consumers re-read
+    * a leaf, not the whole wedge pipeline.
     *
     * Clustering = 2·triangles / (deg·(deg−1)) — integer numerator
     * and denominator, ONE double division, so it grades exactly.
@@ -442,7 +452,7 @@ object Graph {
           struct(col("b").as("src"), col("a").as("dst"), col("rk_a").as("rk_dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.rk_dst").as("rk_dst"))
       .repartition(width, col("src"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = oriented.count()
     val edgeBloom = BloomJoin.buildBloom(
       oriented.select(xxhash64(col("src"), col("dst")).as("k")), "k",
@@ -459,13 +469,15 @@ object Graph {
     val perNode = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-    deg.join(perNode, Seq("node"), "left")
+    val out = IterState.fresh(deg.join(perNode.hint("shuffle_hash"), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .withColumn("clustering",
         when(col("deg") >= 2,
           (col("triangles") * 2L).cast("double") / (col("deg") * (col("deg") - 1)))
-          .otherwise(lit(0.0)))
+          .otherwise(lit(0.0))))
+    oriented.unpersist()
+    out
   }
 
   /** HITS hubs and authorities (Kleinberg) over a DIRECTED edge
@@ -513,7 +525,7 @@ object Graph {
         .join(a.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("authority"), lit(0L)).as("authority"))
-      auths = if (auths == null) nextAuths.localCheckpoint()
+      auths = if (auths == null) IterState.fresh(nextAuths)
               else IterState.roll(nextAuths, prev = auths)
       val h = eDst
         .join(auths.select(col("node").as("dst"), col("authority"))
@@ -661,13 +673,12 @@ object Graph {
     try {
       // round 1 in update mode over self-looped edges: sketch of
       // {self} ∪ out-neighbors per node, no register ever shuffled
-      var sk = e
+      var sk = IterState.fresh(e
         .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
         .select(col("src").as("node"), col("dst"))
         .repartition(width, col("node"))
         .groupBy(col("node"))
-        .agg(hllSketch(col("dst"), pEff).as("sk"))
-        .localCheckpoint()
+        .agg(hllSketch(col("dst"), pEff).as("sk")))
       if (rounds >= 2) {
         var changed = sk
           .filter(not(col("sk") === hllSingleton(col("node"), pEff)))
@@ -686,15 +697,14 @@ object Graph {
           val bloom = BloomJoin.buildBloom(
             changed.select(xxhash64(col("node")).as("k")), "k",
             math.max(1000L, nNodes), 0.02)
-          val contrib = e
+          val contrib = IterState.fresh(e
             .filter(col("src") =!= col("dst"))
             .filter(BloomJoin.mightContain(bloom, xxhash64(col("dst"))))
             .repartition(width, col("dst"))
             .join(changed.select(col("node").as("dst"), col("sk").as("csk"))
               .hint("shuffle_hash"), "dst")
             .groupBy(col("src").as("node"))
-            .agg(hllMerge(col("csk")).as("csk"))
-            .localCheckpoint()
+            .agg(hllMerge(col("csk")).as("csk")))
           // nothing flows into anyone (changed nodes have no in-edges
           // left to serve): the merge join and a full re-checkpoint of
           // identical sketches would be pure I/O — stop here

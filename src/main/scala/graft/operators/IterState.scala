@@ -27,6 +27,20 @@ object IterState {
 
   @volatile private var lastGcNanos = 0L
 
+  /** Test-only per-round plan probe. The OUTPUT of every fixed-round
+    * operator is a checkpoint leaf, so its executedPlan hides the
+    * round shapes the scale design lives in (hash-joined gathers,
+    * bloom-pruned scans); the probe sees each round's state BEFORE
+    * its checkpoint truncates the plan, letting PlanAuditSpec pin
+    * those shapes against HEAD. Null (the default) is a no-op.
+    */
+  private[graft] val probe = new ThreadLocal[DataFrame => Unit]
+
+  private def fireProbe(df: DataFrame): Unit = {
+    val cb = probe.get
+    if (cb != null) cb(df)
+  }
+
   // RDD.unpersist WARNs that a locally-checkpointed RDD "cannot be
   // recomputed after unpersisting" — here that is the POINT (the old
   // round is dead), and a 50-round soak would print it thousands of
@@ -42,9 +56,19 @@ object IterState {
     * round no longer needs; the returned Dataset replaces it.
     */
   def roll(next: DataFrame, prev: DataFrame): DataFrame = {
+    fireProbe(next)
     val ck = next.localCheckpoint()
     free(prev)
     ck
+  }
+
+  /** First-round form of [[roll]]: checkpoint with nothing to free.
+    * Exists so round states with no predecessor (HyperBall's contrib,
+    * HITS' first authorities) still pass the probe.
+    */
+  def fresh(next: DataFrame): DataFrame = {
+    fireProbe(next)
+    next.localCheckpoint()
   }
 
   /** Drops a checkpointed Dataset's cached partitions now instead of

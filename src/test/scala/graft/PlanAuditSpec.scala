@@ -853,6 +853,105 @@ class PlanAuditSpec extends AnyFunSuite {
       s"covariance must come from the one-scan kernel:\n$cov")
   }
 
+  // ---- fixed-round graph family: per-ROUND plan shapes ------------
+  // The outputs of these operators are checkpoint leaves, so the
+  // shapes their scale design lives in (hash-joined gathers, bloom-
+  // pruned scans, co-partitioned self-joins) never appear in the
+  // final executedPlan. IterState's probe captures each round's state
+  // BEFORE its checkpoint truncates the plan (r9 verdict task 1).
+
+  private def roundPlans(name: String): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    graft.operators.IterState.probe.set(
+      df => buf += df.queryExecution.executedPlan.toString)
+    try SparkEntry.queries(name)(spark, sf)
+    finally graft.operators.IterState.probe.remove()
+    buf.toSeq
+  }
+
+  test("iterative gathers are shuffled hash joins, never sort-merge: " +
+    "the once-partitioned edge table must not re-sort per round") {
+    for (q <- Seq("q_pagerank", "q_pagerank_seeded", "q_hits",
+        "q_kcore", "q_label_prop", "q_bfs_depth")) {
+      val plans = roundPlans(q)
+      assert(plans.nonEmpty, s"$q fired no round probes")
+      plans.foreach { p =>
+        assert(p.contains("ShuffledHashJoin"),
+          s"$q round gather lost its hash join:\n$p")
+        assert(!p.contains("SortMergeJoin"),
+          s"$q round plan sorts the edge stream:\n$p")
+      }
+    }
+  }
+
+  test("pagerank gather partial-aggregates map-side before its exchange") {
+    val plans = roundPlans("q_pagerank")
+    plans.foreach { p =>
+      assert(p.contains("partial_sum"),
+        s"gather must map-side combine contributions:\n$p")
+    }
+  }
+
+  test("triangle closure: bloom prunes wedges inside the self-join " +
+    "stage; the wedge self-join is exchange-free over the persisted " +
+    "oriented list") {
+    val plans = roundPlans("q_triangles")
+    assert(plans.nonEmpty, "triangleStats no longer routes through the probe")
+    val p = plans.last
+    assert(p.contains("might_contain"),
+      s"bloom prune missing from the wedge stage:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the wedge/closure joins must hash, never sort the stream:\n$p")
+    // the one-time layout exchange inside the cached oriented plan is
+    // REPARTITION_BY_NUM; a join-forced re-exchange of the oriented
+    // list would print ENSURE_REQUIREMENTS on the src key — the exact
+    // regression this pins (localCheckpoint under AQE loses the
+    // partitioning; persist keeps it)
+    assert(!("Exchange hashpartitioning\\(src#\\d+L?, \\d+\\), ENSURE_REQUIREMENTS".r
+        .findFirstIn(p).isDefined),
+      s"wedge self-join re-exchanged the oriented edge list:\n$p")
+  }
+
+  test("hyperball round 1 never moves a register; round 2+ contrib is " +
+    "bloom-pruned at the scan and hash-joined") {
+    val plans = roundPlans("q_neighborhood")
+    assert(plans.length >= 2, s"expected sketch + contrib probes, got ${plans.length}")
+    val round1 = plans.head
+    assert(round1.contains("partial_hll_sketch"),
+      s"round 1 must aggregate raw edges in update mode, map-side:\n$round1")
+    assert(!round1.contains("ShuffledHashJoin") && !round1.contains("SortMergeJoin"),
+      s"round 1 must not join registers:\n$round1")
+    val contrib = plans(1)
+    assert(contrib.contains("might_contain"),
+      s"round-2 contrib must bloom-prune the edge scan:\n$contrib")
+    assert(contrib.contains("ShuffledHashJoin") && !contrib.contains("SortMergeJoin"),
+      s"changed sketches must hash-join the pruned edges:\n$contrib")
+    assert(contrib.contains("partial_hll_merge"),
+      s"contrib must partial-merge registers map-side:\n$contrib")
+  }
+
+  test("hyperball merge round: union closes through a hash join on a " +
+    "connected graph (the fixture's bipartite feed exits early)") {
+    import org.apache.spark.sql.functions._
+    val n = 60L
+    val fwd = spark.range(n - 1).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    graft.operators.IterState.probe.set(
+      df => buf += df.queryExecution.executedPlan.toString)
+    val out =
+      try graft.operators.Graph.neighborhoodSize(edges, 3, p = 10)
+      finally graft.operators.IterState.probe.remove()
+    assert(out.count() == n)
+    val merges = buf.filter(_.contains("hll_union"))
+    assert(merges.nonEmpty, s"no merge round fired (probes: ${buf.length})")
+    merges.foreach { p =>
+      assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+        s"sketch merge must hash-join contrib into the self side:\n$p")
+    }
+  }
+
   test("bucketed tables join with zero exchanges (the 100 TB co-location path)") {
     // the strategy SURVEY §5 prescribes for repeated large-large joins
     // (candidate fetch, reconcile): pre-bucket both sides on the key
