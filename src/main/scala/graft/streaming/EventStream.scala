@@ -342,17 +342,27 @@ object EventStream {
     *    time, and a periodic compaction can fold them down.
     */
   def rollupMaintenance(events: DataFrame, warehousePath: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val delta = graft.operators.Rollups.fiveMinute(batch)
-        .withColumn("_batch_id", lit(batchId))
-        .withColumn("_day", floor(col("bucket_start") / 86400L))
-        // one file per (day, batch) dir: without the cluster-by,
-        // every day dir collects a fragment from every write task
-        .repartition(col("_day"))
-      graft.operators.Maintenance.overwritePartitions(
-        delta, warehousePath, Seq("_day", "_batch_id"))
+      rollupBatch(batch, batchId, warehousePath)
     }
+
+  /** One micro-batch's delta write — the foreachBatch body of
+    * [[rollupMaintenance]], factored out so soak harnesses can compose
+    * it with periodic [[compactRollup]] calls inside the same
+    * foreachBatch (safe: a single streaming query serializes its
+    * batches, so compaction never races a delta write).
+    */
+  def rollupBatch(batch: DataFrame, batchId: Long,
+                  warehousePath: String): Unit = {
+    val delta = graft.operators.Rollups.fiveMinute(batch)
+      .withColumn("_batch_id", lit(batchId))
+      .withColumn("_day", floor(col("bucket_start") / 86400L))
+      // one file per (day, batch) dir: without the cluster-by,
+      // every day dir collects a fragment from every write task
+      .repartition(col("_day"))
+    graft.operators.Maintenance.overwritePartitions(
+      delta, warehousePath, Seq("_day", "_batch_id"))
   }
 
   /** Reader view of the delta-maintained rollup warehouse: merge the
@@ -415,12 +425,20 @@ object EventStream {
     }
   }
 
-  /** Open the events parquet directory as a stream (for specs/demo). */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Open the events parquet directory as a stream (for specs/demo).
+    * `maxFilesPerTrigger` caps the files consumed per micro-batch —
+    * the soak harness uses 1 so a staged N-file feed replays as N
+    * micro-batches (AvailableNow respects source rate limits).
+    */
+  def readEventStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // a streaming source needs an explicit schema — take the raw one
     // from a batch read of the same files so either ts encoding works
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(dir).schema
-    normalize(spark.readStream.schema(rawSchema).parquet(dir))
+    val reader = spark.readStream.schema(rawSchema)
+    val limited = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    normalize(limited.parquet(dir))
   }
 }
