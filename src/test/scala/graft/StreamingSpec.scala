@@ -110,6 +110,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(fromStream.exceptAll(fromBatch).isEmpty && fromBatch.exceptAll(fromStream).isEmpty)
   }
 
+  test("soak replay composition: N staged files -> N micro-batches, " +
+    "mid-stream compaction preserves the terminal rollup") {
+    // the StreamSoak harness's core mechanism at fixture scale: the
+    // reader's maxFilesPerTrigger cap turns a staged N-file feed into
+    // N micro-batches, and compactRollup interleaved INSIDE the same
+    // foreachBatch (batches are serialized, so it never races a delta
+    // write) leaves the reader view equal to the one-shot batch rollup
+    val dir = java.nio.file.Files.createTempDirectory("events_soak").toString
+    val nFiles = 5
+    Tables.events(spark, sf)
+      .repartitionByRange(nFiles, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(dir)
+    val wh = java.nio.file.Files.createTempDirectory("wh_soak").toString + "/t5m"
+    var batches = 0
+    val q = streaming.EventStream.readEventStream(spark, dir, Some(1))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        streaming.EventStream.rollupBatch(batch, batchId, wh)
+        if (batchId == 2) streaming.EventStream.compactRollup(spark, wh)
+        batches += 1
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches == nFiles, s"expected $nFiles micro-batches, got $batches")
+    val fromStream = streaming.EventStream.readRollup(spark, wh)
+    val fromBatch = operators.Rollups.fiveMinute(Tables.events(spark, sf))
+    assert(fromStream.exceptAll(fromBatch).isEmpty &&
+      fromBatch.exceptAll(fromStream).isEmpty,
+      "mid-stream compaction changed the terminal rollup")
+  }
+
   test("delta compaction folds batches, preserves reads, and is re-runnable") {
     val dir = java.nio.file.Files.createTempDirectory("events_compact").toString
     java.nio.file.Files.copy(
