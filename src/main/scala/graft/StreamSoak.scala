@@ -34,12 +34,12 @@ import org.apache.spark.sql.functions._
   * (sampled), batch-duration percentiles, and the terminal oracle
   * verdicts — the STREAM_SOAK evidence the round brief asks for.
   *
-  * args: srcDir outDir nFiles [compactEvery]
+  * args: srcDir outPath nFiles [compactEvery]
   */
 object StreamSoak {
   def main(args: Array[String]): Unit = {
     val srcDir = args(0)
-    val outDir = args(1)
+    val outPath = args(1)
     val nFiles = if (args.length > 2) args(2).toInt else 1000
     val compactEvery = if (args.length > 3) args(3).toInt else 200
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -72,6 +72,11 @@ object StreamSoak {
     val stagedFiles = new java.io.File(feedDir)
       .listFiles().count(f => f.getName.endsWith(".parquet"))
     println(s"staged $stagedFiles files / $feedRows rows at $feedDir")
+    // the "N files -> N micro-batches" claim is an invariant, not an
+    // assumption: range-sampling can collapse sparse ranges into
+    // fewer files, which would silently shrink the soak
+    require(stagedFiles == nFiles,
+      s"staged $stagedFiles files, wanted $nFiles - feed too small for this slicing")
 
     def pct(xs: Seq[Double], p: Double): Double =
       if (xs.isEmpty) 0.0
@@ -98,9 +103,19 @@ object StreamSoak {
         .mkString("[", ",", "]")
     }
 
+    // minimal JSON string escape (the Bench.jstr convention): paths
+    // with quotes/backslashes must not produce an invalid artifact
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+
     val sb = new StringBuilder
     sb.append("{")
-    sb.append(s""""src_dir":"$srcDir","n_feed_files":$stagedFiles,""")
+    sb.append(s""""src_dir":${jstr(srcDir)},"n_feed_files":$stagedFiles,""")
     sb.append(s""""feed_rows":$feedRows,""")
 
     // ---- 1. rollup maintenance + periodic compaction ----------------
@@ -113,7 +128,11 @@ object StreamSoak {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           EventStream.rollupBatch(batch, batchId, wh)
           if (batchId > 0 && batchId % compactEvery == 0) {
-            EventStream.compactRollup(spark, wh)
+            // fold only up to the committed frontier (batchId - 1):
+            // folding the CURRENT batch would let a crash-replay of it
+            // re-create deltas compaction already owns (see
+            // compactRollup's maxBatchId contract)
+            EventStream.compactRollup(spark, wh, maxBatchId = batchId - 1)
             compactions += 1
           }
         }
@@ -249,8 +268,10 @@ object StreamSoak {
 
     sb.append("}")
     val out = sb.toString
-    java.nio.file.Files.write(java.nio.file.Paths.get(outDir),
-      out.getBytes("UTF-8"))
+    val target = java.nio.file.Paths.get(outPath)
+    Option(target.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(target, out.getBytes("UTF-8"))
     println(out)
     // best-effort scratch cleanup (the staged feed is multi-GB at 10×)
     scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()

@@ -114,25 +114,27 @@ object Graph {
   }
 
   /** Partition + persist the iterative edge table on its per-round
-    * join key at a width adapted to the edge count ([[WideGatherEdges]]).
-    * One source pass: the session-width cache is built first (the
-    * count materializes it), and only a large graph pays the extra
-    * cached exchange up to the wide layout. Returns (edge table,
-    * edge count); caller unpersists.
+    * join key at a width adapted to the edge count ([[WideGatherEdges]]),
+    * in ONE edge-table exchange total. The derived edge list is cached
+    * UNPARTITIONED first (the count materializes it straight off the
+    * source scan — the layout decision needs the count, not a layout),
+    * then repartitioned once, from cache, at the width [[iterWidth]]
+    * picks. The round-10 two-step layout (narrow exchange → count →
+    * wide re-exchange) paid a SECOND full edge-table pass on every
+    * >64 M-edge graph — priced at ~1.4× single-box wall on the sf100
+    * pagerank family (BENCH_NOTES_r10.md) — to learn a count the
+    * unpartitioned cache provides for free. The raw cache lives only
+    * until the partitioned copy materializes from it. Returns
+    * (edge table, edge count); caller unpersists.
     */
   private def partitionIterEdges(e0: DataFrame, key: String): (DataFrame, Long) = {
-    val width = e0.sparkSession.sessionState.conf.numShufflePartitions
-    val narrow = e0.repartition(width, col(key))
+    val raw = e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = raw.count()
+    val parted = raw.repartition(iterWidth(e0, n), col(key))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = narrow.count()
-    if (n < WideGatherEdges) (narrow, n)
-    else {
-      val wide = narrow.repartition(iterWidth(e0, n), col(key))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      wide.count() // materialize from the narrow cache before dropping it
-      narrow.unpersist()
-      (wide, n)
-    }
+    parted.count() // materialize from the raw cache before dropping it
+    raw.unpersist()
+    (parted, n)
   }
 
   /** Fixed-point PageRank over a directed edge list (src, dst):
@@ -309,8 +311,50 @@ object Graph {
     * anti-join keeps first-visit depths (= shortest, by BFS order);
     * depths localCheckpoint per round so plans stay leaves instead
     * of nesting (the components() lesson).
+    *
+    * ROUND-COUNT CONTRACT: `rounds` is part of the answer's
+    * semantics, not a convergence knob — nodes farther than `rounds`
+    * hops are absent by definition (a radius-N blast report). For
+    * "reach everything reachable" use [[bfsDepthUntilDone]].
     */
-  def bfsDepth(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def bfsDepth(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame =
+    bfsExpand(edges, seeds, rounds, stopWhenEmpty = false)._1
+
+  /** [[bfsDepth]] run to the FIXPOINT: expansion stops at the first
+    * empty frontier (every reachable node visited — complete
+    * single-source-set shortest hop distances), with `maxRounds` as a
+    * runaway bound only. This is the semantic contract [[bfsDepth]]'s
+    * fixed count deliberately trades away for oracle unrollability —
+    * a diameter-10⁴ chain leaves depth-4 nodes unreached under
+    * `rounds = 3` BY CONSTRUCTION there, whereas here they are
+    * reached or provably unreachable. The exit probe is one
+    * node-sized `isEmpty` scan per round against the checkpointed
+    * depth leaf (the HyperBall empty-contrib discipline: a bounded
+    * driver sync per round, never per row), so the per-round cost is
+    * identical to [[bfsDepth]] plus that probe. Still fully
+    * SQL-oracle-gradable: complete BFS is a depth-capped recursive
+    * CTE + min-depth group-by, no unrolling needed.
+    */
+  def bfsDepthUntilDone(edges: DataFrame, seeds: DataFrame,
+                        maxRounds: Int = 64): DataFrame =
+    bfsExpand(edges, seeds, maxRounds, stopWhenEmpty = true)._1
+
+  /** Spec-visible form of [[bfsDepthUntilDone]]: also returns the
+    * number of expansion rounds actually run, so a test can prove the
+    * early exit FIRED rather than merely that the answer is right.
+    */
+  private[graft] def bfsDepthUntilDoneCounted(edges: DataFrame, seeds: DataFrame,
+                                              maxRounds: Int): (DataFrame, Int) =
+    bfsExpand(edges, seeds, maxRounds, stopWhenEmpty = true)
+
+  /** Shared BFS body of [[bfsDepth]] / [[bfsDepthUntilDone]]. The
+    * fixed-round form never probes (no driver syncs beyond the
+    * IterState rolls); the fixpoint form checks the just-rolled leaf
+    * for this round's frontier and stops on empty. Returns
+    * (depths, rounds actually expanded).
+    */
+  private def bfsExpand(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                        stopWhenEmpty: Boolean): (DataFrame, Int) = {
     val width = edges.sparkSession.sessionState.conf.numShufflePartitions
     // partition ONCE on the per-round join key: every expansion then
     // moves only the frontier (hash-built, node-sized) — without this
@@ -323,7 +367,10 @@ object Graph {
     var depths = seeds
       .select(col("node").cast("long").as("node"), lit(0).as("depth"))
       .localCheckpoint()
-    (1 to rounds).foreach { r =>
+    var r = 0
+    var frontierEmpty = false
+    while (r < rounds && !frontierEmpty) {
+      r += 1
       val frontier = depths.filter(col("depth") === r - 1)
         .select(col("node").as("src"))
       val next = sym.join(frontier.hint("shuffle_hash"), "src")
@@ -332,9 +379,11 @@ object Graph {
           Seq("node"), "left_anti")
         .select(col("node"), lit(r).as("depth"))
       depths = IterState.roll(depths.unionByName(next), prev = depths)
+      if (stopWhenEmpty)
+        frontierEmpty = depths.filter(col("depth") === r).isEmpty
     }
     sym.unpersist()
-    depths
+    (depths, r)
   }
 
   /** Degree distribution of an undirected canonical (s1 < s2) edge

@@ -350,11 +350,19 @@ object EventStream {
   /** One micro-batch's delta write — the foreachBatch body of
     * [[rollupMaintenance]], factored out so soak harnesses can compose
     * it with periodic [[compactRollup]] calls inside the same
-    * foreachBatch (safe: a single streaming query serializes its
-    * batches, so compaction never races a delta write).
+    * foreachBatch (safe against the RACE: a single streaming query
+    * serializes its batches, so compaction never runs beside a delta
+    * write; safe against REPLAY: a batch at or below the warehouse's
+    * fold frontier — its deltas already merged into the compacted
+    * partition and deleted — is skipped, so foreachBatch's
+    * at-least-once redelivery after a crash cannot re-create counts
+    * compaction already owns. An unfolded batch's replay remains the
+    * original dynamic-overwrite idempotency.)
     */
   def rollupBatch(batch: DataFrame, batchId: Long,
                   warehousePath: String): Unit = {
+    if (compactedThrough(batch.sparkSession, warehousePath)
+          .exists(batchId <= _)) return
     val delta = graft.operators.Rollups.fiveMinute(batch)
       .withColumn("_batch_id", lit(batchId))
       .withColumn("_day", floor(col("bucket_start") / 86400L))
@@ -366,64 +374,190 @@ object EventStream {
   }
 
   /** Reader view of the delta-maintained rollup warehouse: merge the
-    * per-batch deltas into final (bucket, type) rows. Decimal
-    * re-aggregation makes the merge exact, so this equals the batch
-    * rollup of everything ingested so far.
+    * compacted partition with every delta ABOVE the fold frontier
+    * into final (bucket, type) rows. Decimal re-aggregation makes the
+    * merge exact, so this equals the batch rollup of everything
+    * ingested so far. The frontier filter (a partition-pruned scan
+    * predicate) is what makes a crash-leftover folded delta dir —
+    * possible only in the window a committed stage has not finished
+    * its cleanup — invisible rather than double-counted.
     */
-  def readRollup(spark: SparkSession, warehousePath: String): DataFrame =
+  def readRollup(spark: SparkSession, warehousePath: String): DataFrame = {
+    val through = compactedThrough(spark, warehousePath)
+      .getOrElse(Long.MinValue)
     graft.operators.Rollups.mergeFiveMinute(
       spark.read.parquet(warehousePath)
         .withColumn("bucket_start", col("bucket_start").cast("long"))
+        .filter(col("_batch_id").cast("long") === CompactedBatchId ||
+          col("_batch_id").cast("long") > through)
         .drop("_batch_id", "_day"))
+  }
 
-  /** Fold the accumulated per-batch deltas down to one row per
-    * (bucket, type): each bucket's deltas merge (decimal re-agg,
-    * exact) into a single delta tagged with the reserved batch id
-    * `CompactedBatchId`, written via dynamic partition overwrite —
-    * so compaction replaces exactly the partitions it read, an
-    * in-flight micro-batch writing a NEW (bucket, batch) partition
-    * is never touched, and a crashed compaction replay is idempotent.
-    * Readers need no coordination: [[readRollup]] re-aggregates, so
-    * it returns identical results before, during, and after.
-    *
-    * Run it on whatever cadence bounds delta-count × read-amplification
-    * (e.g. hourly for a 5-minute rollup).
-    */
+  /** Reserved `_batch_id` of the compacted partition. */
   val CompactedBatchId: Long = -1L
 
-  def compactRollup(spark: SparkSession, warehousePath: String): Unit = {
+  /** Warehouse-internal names — underscore-prefixed without '=', so
+    * Spark's hidden-path filter keeps them out of every parquet scan
+    * of the warehouse root.
+    */
+  private val ManifestName = "_compacted_through"
+  private val StageName = "_staged_compaction"
+
+  /** The warehouse's fold frontier: the highest delta batch id whose
+    * counts live in the compacted partition (None before the first
+    * compaction). Deltas at or below it are consumed — deleted, or
+    * crash leftovers awaiting cleanup that every reader must ignore.
+    */
+  def compactedThrough(spark: SparkSession,
+                       warehousePath: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$warehousePath/$ManifestName")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLongOption
+      finally in.close()
+    }
+  }
+
+  private def writeTextAtomic(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
+  }
+
+  /** Fold the accumulated per-batch deltas in `(throughOld, maxBatchId]`
+    * down to one row per (bucket, type) merged into the compacted
+    * partition (decimal re-agg, exact). Crash-safe by write-ahead
+    * staging, NOT by hoping the apply is atomic:
+    *
+    *  1. the merge (old compacted partition + the consumed delta
+    *     window) is written to a hidden stage dir, then committed
+    *     with a marker carrying the new frontier — the warehouse is
+    *     untouched until the fold result is durable;
+    *  2. apply: dynamic-overwrite the compacted partition FROM the
+    *     stage, advance the [[compactedThrough]] manifest, delete the
+    *     consumed delta dirs, drop the stage.
+    *
+    * A crash anywhere replays cleanly: before the marker, the
+    * warehouse is unmodified and the stage is recomputed from it;
+    * after the marker, the next [[compactRollup]] (or this one's
+    * retry) re-applies the immutable stage — every apply step is
+    * idempotent, and [[readRollup]]'s frontier filter hides
+    * not-yet-deleted consumed dirs in the meantime. The round-10
+    * single-phase design recomputed the merge from a possibly
+    * half-applied warehouse on retry, which double-counted.
+    *
+    * `maxBatchId` bounds the fold: a caller compacting INSIDE
+    * foreachBatch of batch B must pass B−1 (the committed frontier —
+    * structured streaming starts batch B only after B−1's commit log
+    * entry), so a replay of B finds its own deltas unfolded and
+    * overwrites them idempotently. Deltas beyond `maxBatchId` are
+    * never read, merged, or deleted. Standalone periodic callers
+    * (no in-flight batch) use the fold-everything default.
+    *
+    * Run it on whatever cadence bounds delta-count ×
+    * read-amplification (e.g. hourly for a 5-minute rollup).
+    * Single-writer discipline: serialize compactions with delta
+    * writes (foreachBatch composition does this by construction).
+    * Readers overlapping an APPLY window may see a transient merge
+    * state — same caveat as any parquet dynamic overwrite; readers
+    * between maintenance operations are always exact.
+    */
+  def compactRollup(spark: SparkSession, warehousePath: String,
+                    maxBatchId: Long = Long.MaxValue): Unit = {
+    val root = new org.apache.hadoop.fs.Path(warehousePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    // crash recovery first: a committed stage is someone's completed
+    // fold that never finished applying — finish it before reading
+    // the warehouse state it half-updated
+    applyStage(spark, warehousePath)
+    val throughOld = compactedThrough(spark, warehousePath)
+      .getOrElse(Long.MinValue)
+    // sweep crash leftovers at or below the frontier (possible only
+    // if a prior apply was interrupted between its manifest advance
+    // and its deletes) — readers already ignore them, this reclaims
+    // the dirs even when there is no new delta to fold
+    sweepFolded(fs, warehousePath, throughOld)
+    val consumable = deltaBatchIds(fs, warehousePath)
+      .filter(b => b > throughOld && b <= maxBatchId)
+    if (consumable.isEmpty) return
+    val throughNew = consumable.max
     val deltas = spark.read.parquet(warehousePath)
       .withColumn("bucket_start", col("bucket_start").cast("long"))
-    // partition-metadata-sized collect: exactly the (day, batch)
-    // pairs this compaction consumed — the SAME set the warehouse's
-    // partition count is being bounded down from, and the only dirs
-    // it is allowed to delete (a micro-batch landing after this read
-    // is left alone, with its counts picked up by the next run)
-    val consumed = deltas
       // partition-dir values are type-inferred on read (ints for
-      // small batch ids) — pin both to long
-      .select(col("_day").cast("long"), col("_batch_id").cast("long")).distinct()
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .filter(_._2 != CompactedBatchId)
-    val compacted = graft.operators.Rollups.mergeFiveMinute(
-        deltas.drop("_batch_id", "_day"))
-      .withColumn("_batch_id", lit(CompactedBatchId))
+      // small batch ids) — pin to long
+      .withColumn("_b", col("_batch_id").cast("long"))
+    val folded = graft.operators.Rollups.mergeFiveMinute(
+        deltas.filter(col("_b") === CompactedBatchId ||
+            (col("_b") > throughOld && col("_b") <= throughNew))
+          .drop("_b", "_batch_id", "_day"))
       .withColumn("_day", floor(col("bucket_start") / 86400L))
       // one compacted file per day dir (see rollupMaintenance)
       .repartition(col("_day"))
-    // pin the merged rows before overwriting the dir they were read from
-    compacted.cache().count()
-    try graft.operators.Maintenance.overwritePartitions(
-      compacted, warehousePath, Seq("_day", "_batch_id"))
-    finally compacted.unpersist()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sessionState.newHadoopConf())
-    consumed.foreach { case (day, batch) =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$warehousePath/_day=$day/_batch_id=$batch"), true)
-    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$warehousePath/$StageName"), true)
+    folded.write.mode("overwrite").partitionBy("_day")
+      .parquet(s"$warehousePath/$StageName/data")
+    writeTextAtomic(fs,
+      new org.apache.hadoop.fs.Path(s"$warehousePath/$StageName/_COMMITTED"),
+      throughNew.toString)
+    applyStage(spark, warehousePath)
   }
+
+  /** The delta batch ids present as warehouse partition dirs —
+    * filesystem-metadata-sized, no Spark job.
+    */
+  private def deltaBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+                            warehousePath: String): Seq[Long] = {
+    val glob = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$warehousePath/_day=*/_batch_id=*"))
+    Option(glob).toSeq.flatten
+      .map(_.getPath.getName.stripPrefix("_batch_id=").toLong)
+      .filter(_ != CompactedBatchId)
+      .distinct
+  }
+
+  /** Apply a committed compaction stage (no-op without its marker):
+    * overwrite the compacted partition from the stage, advance the
+    * manifest, delete the consumed delta dirs, drop the stage. Every
+    * step idempotent — callable any number of times after any crash.
+    */
+  private def applyStage(spark: SparkSession, warehousePath: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$warehousePath/$StageName/_COMMITTED")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val through =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    val staged = spark.read.parquet(s"$warehousePath/$StageName/data")
+      .withColumn("bucket_start", col("bucket_start").cast("long"))
+      .drop("_day")
+      .withColumn("_batch_id", lit(CompactedBatchId))
+      .withColumn("_day", floor(col("bucket_start") / 86400L))
+    graft.operators.Maintenance.overwritePartitions(
+      staged, warehousePath, Seq("_day", "_batch_id"))
+    writeTextAtomic(fs,
+      new org.apache.hadoop.fs.Path(s"$warehousePath/$ManifestName"),
+      through.toString)
+    sweepFolded(fs, warehousePath, through)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$warehousePath/$StageName"), true)
+  }
+
+  /** Delete every delta dir at or below the fold frontier. */
+  private def sweepFolded(fs: org.apache.hadoop.fs.FileSystem,
+                          warehousePath: String, through: Long): Unit =
+    deltaBatchIds(fs, warehousePath).filter(_ <= through).foreach { b =>
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$warehousePath/_day=*/_batch_id=$b"))).toSeq.flatten
+        .foreach(st => fs.delete(st.getPath, true))
+    }
 
   /** Open the events parquet directory as a stream (for specs/demo).
     * `maxFilesPerTrigger` caps the files consumed per micro-batch —

@@ -123,17 +123,23 @@ class StreamingSpec extends AnyFunSuite {
       .repartitionByRange(nFiles, col("ts"), col("event_id"))
       .write.mode("overwrite").parquet(dir)
     val wh = java.nio.file.Files.createTempDirectory("wh_soak").toString + "/t5m"
-    var batches = 0
+    // foreachBatch runs on the stream-execution thread and is
+    // at-least-once: a concurrent distinct-id set is both the visible
+    // and the replay-proof way to count micro-batches
+    val batchIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val q = streaming.EventStream.readEventStream(spark, dir, Some(1))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         streaming.EventStream.rollupBatch(batch, batchId, wh)
-        if (batchId == 2) streaming.EventStream.compactRollup(spark, wh)
-        batches += 1
+        if (batchId == 2)
+          streaming.EventStream.compactRollup(spark, wh, maxBatchId = batchId - 1)
+        batchIds.add(batchId)
+        ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    assert(batches == nFiles, s"expected $nFiles micro-batches, got $batches")
+    assert(batchIds.size == nFiles,
+      s"expected $nFiles micro-batches, got ${batchIds.size}")
     val fromStream = streaming.EventStream.readRollup(spark, wh)
     val fromBatch = operators.Rollups.fiveMinute(Tables.events(spark, sf))
     assert(fromStream.exceptAll(fromBatch).isEmpty &&
@@ -164,6 +170,68 @@ class StreamingSpec extends AnyFunSuite {
     // replay-safe: compacting a compacted warehouse changes nothing
     streaming.EventStream.compactRollup(spark, wh)
     assert(streaming.EventStream.readRollup(spark, wh).collect().toSet == beforeRows)
+  }
+
+  test("replaying an already-folded batch never double-counts (the " +
+    "foreachBatch at-least-once crash scenario)") {
+    // the r10 composition defect: batch B's deltas get folded +
+    // deleted by an interleaved compaction, the query crashes before
+    // B's checkpoint commit, B replays, rollupBatch re-creates the
+    // deltas compaction already owns -> readRollup double-counts B.
+    // The fix is two-layer: the soak passes maxBatchId = B-1 so B is
+    // never folded while uncommitted, AND rollupBatch itself skips
+    // any batch at or below the fold frontier. This test exercises
+    // the second layer with a fold-everything compaction.
+    val wh = java.nio.file.Files.createTempDirectory("wh_replay").toString + "/t5m"
+    val ev = Tables.events(spark, sf)
+    val half0 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    val half1 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    streaming.EventStream.rollupBatch(half0, 0L, wh)
+    streaming.EventStream.rollupBatch(half1, 1L, wh)
+    val oracle = operators.Rollups.fiveMinute(ev).collect().toSet
+    streaming.EventStream.compactRollup(spark, wh) // folds batches 0 and 1
+    assert(streaming.EventStream.compactedThrough(spark, wh).contains(1L))
+    // crash-replay of batch 1: must be a no-op, not a re-created delta
+    streaming.EventStream.rollupBatch(half1, 1L, wh)
+    assert(streaming.EventStream.readRollup(spark, wh).collect().toSet == oracle,
+      "replay of a folded batch changed the reader view")
+    // replay of an UNFOLDED batch stays idempotent the original way
+    streaming.EventStream.rollupBatch(half1, 2L, wh)
+    streaming.EventStream.rollupBatch(half1, 2L, wh)
+    val withExtra = operators.Rollups.fiveMinute(
+      ev.unionByName(half1)).collect().toSet
+    assert(streaming.EventStream.readRollup(spark, wh).collect().toSet == withExtra,
+      "replay of an unfolded batch is not idempotent")
+  }
+
+  test("a crash-leftover folded delta dir is invisible to readers and " +
+    "swept by the next compaction") {
+    // simulate the one window the two-phase protocol leaves: the
+    // stage committed and applied, but the consumed delta dirs were
+    // not all deleted before a crash. Readers must exclude them via
+    // the fold frontier; the next compactRollup must sweep them
+    // without re-merging their counts.
+    val wh = java.nio.file.Files.createTempDirectory("wh_leftover").toString + "/t5m"
+    val ev = Tables.events(spark, sf)
+    streaming.EventStream.rollupBatch(ev, 0L, wh)
+    streaming.EventStream.compactRollup(spark, wh)
+    val oracle = operators.Rollups.fiveMinute(ev).collect().toSet
+    assert(streaming.EventStream.readRollup(spark, wh).collect().toSet == oracle)
+    // hand-plant a consumed-and-not-deleted delta dir for batch 0
+    operators.Rollups.fiveMinute(ev)
+      .withColumn("_day", floor(col("bucket_start") / 86400L))
+      .withColumn("_batch_id", lit(0L))
+      .write.mode("append").partitionBy("_day", "_batch_id").parquet(wh)
+    assert(streaming.EventStream.readRollup(spark, wh).collect().toSet == oracle,
+      "a folded leftover delta leaked into the reader view")
+    streaming.EventStream.compactRollup(spark, wh)
+    assert(streaming.EventStream.readRollup(spark, wh).collect().toSet == oracle,
+      "compaction re-merged an already-folded leftover")
+    val ids = spark.read.parquet(wh)
+      .select(col("_batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(streaming.EventStream.CompactedBatchId),
+      s"leftover delta dir survived the sweep: $ids")
   }
 
   test("streaming heavy hitters converge to the exact batch counts") {
