@@ -116,6 +116,11 @@ object Bench {
     // pass count: 4 by default (the driver's steady-state contract);
     // soak runs at 100× data dial it down via SPARK_GRAFT_PASSES
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "4").toInt
+    // host-drift sentinel (r10 verdict task 4): a pinned CPU kernel
+    // timed immediately before and after the measured window, so the
+    // artifact itself says whether it was taken inside one of the
+    // host's documented slow windows — no alternating-binary bisect
+    val sentinelBefore = Sentinel.seconds()
     // shuffle/spill bytes are measured on the first pass only (they
     // are deterministic per query; listener events arrive async, so
     // each measured window is bracketed by a DETERMINISTIC bus drain
@@ -170,7 +175,9 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       s""","shuffle_bytes":$sh,"spill_bytes":$sp"""
     } else ""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_count":${failed.size},"failed":$failedJson$errorsJson$metricsJson,"sf":"$sfDir"}"""
+    val sentinelAfter = Sentinel.seconds()
+    val sentinelJson = f""","sentinel_before_s":$sentinelBefore%.3f,"sentinel_after_s":$sentinelAfter%.3f,"sentinel_nominal_s":${Sentinel.NominalS}%.3f"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_count":${failed.size},"failed":$failedJson$errorsJson$metricsJson$sentinelJson,"sf":"$sfDir"}"""
     println(line)
     // self-written complete artifact: the driver's log capture
     // truncates the tail, so the full per-query map is also committed

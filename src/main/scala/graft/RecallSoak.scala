@@ -56,6 +56,8 @@ object RecallSoak {
     val sfDir = if (args.length > 0) args(0) else "localdata/sf1h"
     val out = if (args.length > 1) args(1)
       else sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "/root/repo/RECALL_latest.json")
+    // host-drift sentinel bracketing the run (see graft.Sentinel)
+    val sentinelBefore = Sentinel.seconds()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -139,6 +141,9 @@ object RecallSoak {
       "- re-measure before moving any gate"
     val line = s"""{"soak":"dedup_recall","sf_dir":"$sfDir","n_fail":$nFail,""" +
       s""""gate_note":"$gateNote",""" +
+      f""""sentinel_before_s":$sentinelBefore%.3f,""" +
+      f""""sentinel_after_s":${Sentinel.seconds()}%.3f,""" +
+      f""""sentinel_nominal_s":${Sentinel.NominalS}%.3f,""" +
       s""""miners":{${results.map(_.json).mkString(",")}}}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")

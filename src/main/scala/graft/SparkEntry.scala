@@ -781,7 +781,10 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)),
-    // D3: minhash LSH candidates (rows-only oracle)
+    // D3: minhash LSH candidates — FULL oracle since r11: DuckDB
+    // replays the whole sketch (per-word xxh64, shingle polynomial,
+    // 128 variable-seed permutation minima, 4-step band folds) in
+    // mod-2^64 HUGEINT arithmetic; see minhashOracle
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), 3, 128, 32)),
     // D3b: sketch-then-verify minhash dedup — candidates verified
@@ -891,11 +894,15 @@ object SparkEntry {
           sum(col("n_stopwords")).as("total_stopwords"))
         .withColumn("stopword_ratio",
           col("total_stopwords").cast("double") / col("total_words"))),
-    // D7: LSH-bucketed ANN pairs (rows-only oracle)
+    // D7: LSH-bucketed ANN pairs — FULL oracle since r11: the
+    // hyperplane family is integer-hash-derived and the sign-of-dot
+    // folds left-to-right, so DuckDB rebuilds the sign matrix, every
+    // bucket id, and every cosine bit-exactly (lshPairsOracle)
     "q_ann_lsh" -> ((s, dir) =>
       Ann.lshPairs(Tables.embeddings(s, dir), 64, 8, 0.3)),
-    // D7d: query-time LSH ANN with multiprobe (rows-only oracle;
-    // duplicate-retrieval exactness + recall pinned by specs)
+    // D7d: query-time LSH ANN with multiprobe — FULL oracle since
+    // r11 (lshTopKOracle): probe masks inlined, ranking replayed
+    // with the TopK aggregate's (cos desc, id asc) tie order
     "q_ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), 64, 6, 10, hammingProbes = 2)
@@ -1153,6 +1160,17 @@ object SparkEntry {
         .unionByName(edges.select(col("s2").as("node")))
         .filter(col("node") % 10 === 0).distinct()
       Graph.bfsDepth(edges, seeds, 3)
+    }),
+    // E39c: the FIXPOINT form — expansion runs until the frontier
+    // empties (complete shortest hop distances from the seed set),
+    // graded by a depth-capped recursive CTE + min-depth fold instead
+    // of unrolled rounds
+    "q_bfs_reach" -> ((s, dir) => {
+      val edges = Graph.coSupplierEdges(Tables.lineitem(s, dir), 30L)
+      val seeds = edges.select(col("s1").as("node"))
+        .unionByName(edges.select(col("s2").as("node")))
+        .filter(col("node") % 10 === 0).distinct()
+      Graph.bfsDepthUntilDone(edges, seeds, 64)
     }),
     // D14e: temperature-scaled mixture (alpha = 0.5 sampling) with
     // fixed-point integer weights so the normalizer is order-exact
@@ -2123,6 +2141,10 @@ object SparkEntry {
     // to variable-length string bytes), 64 bit-majority sums, exact
     // hamming pair join. See simhashOracle's comment.
     "q_dedup_simhash" -> simhashOracle(),
+    // the MinHash+LSH sketch replayed end-to-end: per-word xxh64 →
+    // shingle polynomial → 128 variable-seed permutation minima →
+    // 4-step band folds → bucket pair join. See minhashOracle.
+    "q_dedup_minhash" -> minhashOracle(),
     "q_rollup_5m" ->
       """SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_start, event_type,
         | count(*) AS n_events,
@@ -2701,6 +2723,11 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
         |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 10""".stripMargin,
+    // the LSH sketch replayed end-to-end (hyperplane sign matrix from
+    // nested xxh64, bucket bits from sign-of-sequential-dot); see
+    // lshBucketCtes / lshPairsOracle / lshTopKOracle
+    "q_ann_lsh" -> lshPairsOracle(),
+    "q_ann_lsh_topk" -> lshTopKOracle(),
     // same scoring expression as q_ann_topk over the full corpus,
     // mutuality via the reversed-edge self-join of the k*n edge table
     "q_knn_graph" ->
@@ -3397,6 +3424,25 @@ object SparkEntry {
         |  JOIN d2 ON e.src = d2.node AND d2.depth = 2
         |  WHERE e.dst NOT IN (SELECT node FROM d2))
         |SELECT node, depth FROM d2 UNION ALL SELECT node, 3 FROM f3""".stripMargin,
+    // the fixpoint form needs no unrolling: recursive UNION dedups
+    // (node, depth) pairs globally so the walk terminates under the
+    // depth cap (matching the Spark side's maxRounds runaway bound),
+    // and min(depth) keeps the first visit = shortest hop count
+    "q_bfs_reach" ->
+      """WITH RECURSIVE supps AS (SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        |  FROM supps a JOIN supps b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 30),
+        |e AS (SELECT s1 AS src, s2 AS dst FROM pairs
+        |      UNION ALL SELECT s2, s1 FROM pairs),
+        |walk(node, depth) AS (
+        |  SELECT DISTINCT src AS node, 0 AS depth FROM e WHERE src % 10 = 0
+        |  UNION
+        |  SELECT e.dst, walk.depth + 1 FROM walk JOIN e ON e.src = walk.node
+        |  WHERE walk.depth + 1 <= 64)
+        |SELECT node, min(depth) AS depth FROM walk GROUP BY 1""".stripMargin,
     // fixed-point sqrt weights -> integer normalizer; every double op
     // is a fixed-shape expression both engines evaluate identically
     "q_mixture_temp" ->
@@ -5786,6 +5832,28 @@ object SparkEntry {
       s"${pfx}out" -> uXor(s"${pfx}f4", s"(${pfx}f4 >> 32)"))
   }
 
+  /** [[xxh64Steps]] with the SEED as a column expression instead of
+    * a compile-time constant — the MinHash replay hashes one value
+    * under 128 permutation seeds, and folds band hashes seeded by
+    * the RUNNING hash, so the seed must come from the row.
+    */
+  private def xxh64StepsVarSeed(v: String, seedExpr: String,
+                                pfx: String): Seq[(String, String)] = {
+    val add = (XP5 + 8) % (BigInt(1) << 64)
+    Seq(
+      s"${pfx}c0" -> s"((($seedExpr)::HUGEINT + $add) % $UMod)::UBIGINT",
+      s"${pfx}k1" -> uMul(v, XP2),
+      s"${pfx}k2" -> uRotl(s"${pfx}k1", 31),
+      s"${pfx}k3" -> uMul(s"${pfx}k2", XP1),
+      s"${pfx}h1" -> uXor(s"${pfx}c0", s"${pfx}k3"),
+      s"${pfx}h2" -> s"(((${uMul(uRotl(s"${pfx}h1", 27), XP1)})::HUGEINT + $XP4) % $UMod)::UBIGINT",
+      s"${pfx}f1" -> uXor(s"${pfx}h2", s"(${pfx}h2 >> 33)"),
+      s"${pfx}f2" -> uMul(s"${pfx}f1", XP2),
+      s"${pfx}f3" -> uXor(s"${pfx}f2", s"(${pfx}f2 >> 29)"),
+      s"${pfx}f4" -> uMul(s"${pfx}f3", XP3),
+      s"${pfx}out" -> uXor(s"${pfx}f4", s"(${pfx}f4 >> 32)"))
+  }
+
   /** Kirsch–Mitzenmacher hash pair over a `v` column: h1 = xxh64(v,
     * 42) (HllSketch.Seed), h2 = xxh64(h1, 1337) (CmsSketch.Seed2) —
     * nested-select chain ending with columns aout (h1) / bout (h2).
@@ -5884,6 +5952,123 @@ object SparkEntry {
        |       bit_count(xor(a.sig, b.sig))::INT AS hamming
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+  }
+
+  /** The q_dedup_minhash oracle: the whole MinHash+LSH sketch
+    * replayed in DuckDB (the SimHash HUGEINT precedent, one level
+    * deeper). Per-word xxh64(seed 42) with POSITIONS → word-trigram
+    * shingle hashes by the same mod-2^64 polynomial combine
+    * (h·1000003 + wordHash, short docs truncate like MinHashBands) →
+    * 128 permutation minima via xxh64-of-a-long under VARIABLE seeds
+    * k = 0..127 ([[xxh64StepsVarSeed]]) → 32 band hashes, each a
+    * 4-step xxh64 fold seeded by the band index then the running
+    * hash → distinct (a < b) pairs sharing any (band, band_hash).
+    * The bucket cap is budget-adaptive and does not bind at graded
+    * scales (spec-pinned), so the oracle joins uncapped. Every step
+    * is unsigned mod-2^64 HUGEINT arithmetic — the sketch itself is
+    * hash-graded, not merely its verified-pair twin
+    * (q_dedup_minhash_v).
+    */
+  private def minhashOracle(): String = {
+    val tokq = xxh64TokenSteps().foldLeft(
+      "SELECT doc_id, i, ws[i] AS tok FROM " +
+        "(SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "unnest(range(1, len(ws)+1)) AS u(i)") {
+      case (inner, (k, e)) => s"SELECT *, $e AS $k FROM ($inner)"
+    }
+    val mul = BigInt(1000003)
+    val g2 = s"CASE WHEN i+1 <= len(hs) THEN (((${uMul("g1", mul)})::HUGEINT" +
+      s" + hs[i+1]::HUGEINT) % $UMod)::UBIGINT ELSE g1 END"
+    val g3 = s"CASE WHEN i+2 <= len(hs) THEN (((${uMul("g2", mul)})::HUGEINT" +
+      s" + hs[i+2]::HUGEINT) % $UMod)::UBIGINT ELSE g2 END"
+    val salted = xxh64StepsVarSeed("sh", "k", "s").foldLeft(
+      "SELECT doc_id, sh, k FROM sh3, unnest(range(0, 128)) AS u(k)") {
+      case (inner, (kk, e)) => s"SELECT *, $e AS $kk FROM ($inner)"
+    }
+    val bands = (0 until 4).flatMap { r =>
+      val seed = if (r == 0) "b::UBIGINT" else s"r${r - 1}out"
+      xxh64StepsVarSeed(s"v$r", seed, s"r$r")
+    }.foldLeft(
+      "SELECT doc_id, b, m[4*b+1]::UBIGINT AS v0, m[4*b+2]::UBIGINT AS v1, " +
+        "m[4*b+3]::UBIGINT AS v2, m[4*b+4]::UBIGINT AS v3 " +
+        "FROM mlist, unnest(range(0, 32)) AS u(b)") {
+      case (inner, (kk, e)) => s"SELECT *, $e AS $kk FROM ($inner)"
+    }
+    s"""WITH hashes AS ($tokq),
+       |lists AS (SELECT doc_id, list(hout ORDER BY i) AS hs FROM hashes GROUP BY doc_id),
+       |spos AS (SELECT doc_id, hs, i FROM lists, unnest(range(1, greatest(len(hs)-2, 1)+1)) AS u(i)),
+       |sh1 AS (SELECT doc_id, hs, i, hs[i]::UBIGINT AS g1 FROM spos),
+       |sh2 AS (SELECT doc_id, hs, i, $g2 AS g2 FROM sh1),
+       |sh3 AS (SELECT DISTINCT doc_id, $g3 AS sh FROM sh2),
+       |salted AS ($salted),
+       |mins AS (SELECT doc_id, k, min(sout) AS mv FROM salted GROUP BY 1, 2),
+       |mlist AS (SELECT doc_id, list(mv ORDER BY k) AS m FROM mins GROUP BY doc_id),
+       |bands AS ($bands)
+       |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |FROM bands a JOIN bands b2 ON a.b = b2.b AND a.r3out = b2.r3out AND a.doc_id < b2.doc_id""".stripMargin
+  }
+
+  /** Shared CTE chain of the two LSH oracles: the random-hyperplane
+    * sign matrix sign(p, i) = ±1 from bit 1 of xxh64(p, seed =
+    * xxh64(i, 42)) — both hashes replayed via [[xxh64StepsVarSeed]] —
+    * then per-vector bucket bits by SIGN of a left-to-right double
+    * dot product (DuckDB's list_dot_product accumulates sequentially,
+    * matching LshBucket's eval loop, and ±1.0 multiplication is
+    * exact, so the sign — and hence the bucket id — is bit-exact).
+    * Ends with `c(vec_id, bucket, emb, nrm)`.
+    */
+  private def lshBucketCtes(bits: Int, dims: Int): String = {
+    val grid = (xxh64StepsVarSeed("i::UBIGINT", "42::UBIGINT", "a") ++
+      xxh64StepsVarSeed("p::UBIGINT", "aout", "b")).foldLeft(
+      s"SELECT p, i FROM unnest(range(0, $bits)) AS up(p), " +
+        s"unnest(range(0, $dims)) AS ui(i)") {
+      case (inner, (k, e)) => s"SELECT *, $e AS $k FROM ($inner)"
+    }
+    s"""grid AS ($grid),
+       |signs AS (SELECT p, list(CASE WHEN (bout >> 1) & 1 = 1 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY i) AS sl
+       |          FROM grid GROUP BY p),
+       |vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |dots AS (SELECT vec_id, p, list_dot_product(emb, sl) AS d FROM vecs, signs),
+       |buckets AS (SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+       |            FROM dots GROUP BY vec_id),
+       |c AS (SELECT vec_id, bucket, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+       |      FROM vecs JOIN buckets USING (vec_id))""".stripMargin
+  }
+
+  /** The q_ann_lsh oracle: same-bucket (a < b) pairs at or above the
+    * cosine threshold, every arithmetic step bit-exact (see
+    * [[lshBucketCtes]]).
+    */
+  private def lshPairsOracle(): String =
+    s"""WITH ${lshBucketCtes(8, 64)}
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       list_dot_product(a.emb, b.emb) / a.nrm / b.nrm AS cos_sim
+       |FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.emb, b.emb) / a.nrm / b.nrm >= 0.3""".stripMargin
+
+  /** The q_ann_lsh_topk oracle: each query probes every bucket within
+    * hamming distance `hammingProbes` of its own (the same xor-mask
+    * set lshTopK enumerates, inlined as literals), then the exact
+    * q_ann_topk ranking replay — ROW_NUMBER over (cos desc,
+    * neighbor_id asc), the TopK aggregate's tie order.
+    */
+  private def lshTopKOracle(): String = {
+    val bits = 6
+    def choose(from: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (from until bits).flatMap(i => choose(i + 1, left - 1).map(_ | (1L << i)))
+    val masks = (0 to 2).flatMap(choose(0, _)).sorted
+    s"""WITH ${lshBucketCtes(bits, 64)},
+       |probes AS (SELECT c.vec_id AS query_id, c.emb AS qe, c.nrm AS qn,
+       |                  xor(c.bucket, m) AS bucket
+       |           FROM c, unnest([${masks.mkString(",")}]) AS um(m)
+       |           WHERE c.vec_id < 5),
+       |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.qe, c.emb) / q.qn / c.nrm AS cos_sim
+       |  FROM probes q JOIN c USING (bucket) WHERE c.vec_id <> q.query_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
+       |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 10""".stripMargin
   }
 
   /** One BPE merge rewrite in DuckDB SQL: the double-space padding

@@ -28,11 +28,30 @@ import org.apache.spark.sql.functions._
   *  3. streaming Count-Min sketch (flatMapGroupsWithState) — fixed
   *     depth×width counters per group; the terminal sketch must be
   *     BIT-IDENTICAL to the batch cms_sketch aggregate over the whole
-  *     feed (counter addition commutes, so this is exact by design).
+  *     feed (counter addition commutes, so this is exact by design);
+  *  4. alarm hysteresis (B18b) — one latched boolean per family,
+  *     driven by an IN-ORDER day-aligned daily-aggregate feed;
+  *  5. cumulative-counter deltas (B32b) — one last-reading long per
+  *     (type, entity), driven by an in-order raw feed;
+  *  6. pattern-with-negation (E72b) — pending-start lists per user,
+  *     same in-order raw feed.
+  *
+  * Operators 1–3 are order-INSENSITIVE by design, so their feed
+  * arrives in arbitrary (modification-time) order. Operators 4–6 are
+  * sequential state machines whose cross-batch contract is "batches
+  * arrive in event-time order" (in production: a log-structured feed
+  * or the rollup warehouse emitting completed slices) — the harness
+  * realizes that contract by staging range-sliced files and stamping
+  * STRICTLY ASCENDING mtimes, which FileStreamSource (latestFirst =
+  * false, maxFilesPerTrigger = 1) replays oldest-first. Their
+  * terminal tables must equal the same operator run in one batch
+  * pass over the whole feed — exactly, no tolerance (all-integer /
+  * string outputs).
   *
   * Emits one JSON artifact with the per-batch state-size series
-  * (sampled), batch-duration percentiles, and the terminal oracle
-  * verdicts — the STREAM_SOAK evidence the round brief asks for.
+  * (sampled), batch-duration percentiles, the terminal oracle
+  * verdicts, and host-drift sentinel walls — the STREAM_SOAK
+  * evidence the round brief asks for.
   *
   * args: srcDir outPath nFiles [compactEvery]
   */
@@ -53,6 +72,9 @@ object StreamSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.streaming.EventStream
+
+    // host-drift sentinel bracketing the whole soak (see graft.Sentinel)
+    val sentinelBefore = Sentinel.seconds()
 
     val work = java.nio.file.Files.createTempDirectory("graft_stream_soak")
       .toString
@@ -112,6 +134,30 @@ object StreamSoak {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
+
+    // stage `df` as (up to) `nSlices` range-contiguous parquet files
+    // with STRICTLY ASCENDING mtimes in range order — the in-order
+    // feed contract of the sequential state machines (legs 4-6).
+    // Returns the actual file count (range sampling may collapse
+    // sparse ranges; the legs assert against the actual).
+    def stageOrdered(df: DataFrame, dir: String, nSlices: Int,
+                     keys: Seq[org.apache.spark.sql.Column]): Int = {
+      df.repartitionByRange(nSlices, keys: _*)
+        .write.mode("overwrite").parquet(dir)
+      val parts = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      // part-NNNNN prefixes sort in partition order = ascending range
+      // order (RangePartitioner is ascending); distinct mtimes 1s
+      // apart make FileStreamSource's oldest-first order total
+      val base = System.currentTimeMillis() - (parts.length + 60).toLong * 1000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(base + i * 1000L), s"mtime stamp failed: $f")
+      }
+      parts.length
+    }
+
+    def exceptBoth(a: DataFrame, b: DataFrame): Long =
+      a.exceptAll(b).count() + b.exceptAll(a).count()
 
     val sb = new StringBuilder
     sb.append("{")
@@ -266,6 +312,141 @@ object StreamSoak {
       require(diff == 0, "streaming CMS terminal sketch not bit-identical")
     }
 
+    // ---- 4. alarm hysteresis over an in-order day-aligned feed ------
+    locally {
+      val dailyDir = s"$work/daily_feed"
+      val outParq = s"$work/alarm"
+      val dailyBatch = Tables.events(spark, srcDir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      // day-aligned: equal day values land in ONE range slice, so
+      // every micro-batch carries complete days and the latch sees
+      // each day's full count exactly once
+      val nDayFiles = stageOrdered(dailyBatch, dailyDir, 128, Seq(col("day")))
+      val sch = spark.read.parquet(dailyDir).schema
+      val t0 = System.nanoTime()
+      val q = graft.streaming.EventStream.alarmStream(
+          spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(dailyDir), 73L, 60L)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("_batch_id", lit(batchId))
+            .write.mode("append").parquet(outParq)
+        }
+        .option("checkpointLocation", s"$work/ck_alarm")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wallS = (System.nanoTime() - t0) / 1e9
+      val prog = progressRows(q)
+      val durs = prog.map(_._3.toDouble)
+      val stateRows = prog.map(_._4)
+      val families = dailyBatch.select("event_type").distinct().count()
+      val terminal = spark.read.parquet(outParq)
+        .select("event_type", "day", "n_events", "alarm")
+      val oracle = graft.streaming.EventStream.alarmStream(dailyBatch, 73L, 60L)
+      val mism = exceptBoth(terminal, oracle)
+      sb.append(s""","alarm":{"batches":${prog.size},"day_files":$nDayFiles,""")
+      sb.append(f""""wall_s":$wallS%.1f,"families":$families,""")
+      sb.append(s""""state_rows_max":${stateRows.max},""")
+      sb.append(s""""state_bounded_by_keys":${stateRows.max == families},""")
+      sb.append(s""""mismatch_rows":$mism,"bit_exact":${mism == 0},""")
+      sb.append(f""""batch_ms_p50":${pct(durs, 0.5)}%.0f,"batch_ms_p95":${pct(durs, 0.95)}%.0f,"batch_ms_max":${pct(durs, 1.0)}%.0f}""")
+      println(s"alarm: ${prog.size} batches ($nDayFiles day files), state max=${stateRows.max} mism=$mism")
+      require(prog.size == nDayFiles, "alarm: batches != staged day files")
+      require(mism == 0, "alarm terminal oracle mismatch")
+      require(stateRows.max == families, "alarm state not bounded by family count")
+    }
+
+    // ---- 5 & 6. counter deltas + pattern negation, in-order raw feed
+    val orderedDir = s"$work/ordered_feed"
+    val nOrdered = stageOrdered(Tables.events(spark, srcDir), orderedDir,
+      math.max(nFiles / 4, 50), Seq(col("ts"), col("event_id")))
+    println(s"staged $nOrdered ordered files at $orderedDir")
+
+    locally {
+      val outParq = s"$work/counter_deltas"
+      def readings(df: DataFrame) = df.select(
+        col("event_type"), col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      val t0 = System.nanoTime()
+      val q = graft.streaming.EventStream.counterDeltaStream(
+          readings(EventStream.readEventStream(spark, orderedDir, Some(1))))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("_batch_id", lit(batchId))
+            .write.mode("append").parquet(outParq)
+        }
+        .option("checkpointLocation", s"$work/ck_deltas")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wallS = (System.nanoTime() - t0) / 1e9
+      val prog = progressRows(q)
+      val durs = prog.map(_._3.toDouble)
+      val stateRows = prog.map(_._4)
+      val keys = Tables.events(spark, srcDir)
+        .select("event_type", "user_id").distinct().count()
+      val cols = Seq("event_type", "user_id", "ts", "cents", "delta_cents", "is_reset")
+      val terminal = spark.read.parquet(outParq).select(cols.map(col): _*)
+      val oracle = graft.streaming.EventStream.counterDeltaStream(
+        readings(Tables.events(spark, srcDir))).select(cols.map(col): _*)
+      val mism = exceptBoth(terminal, oracle)
+      sb.append(s""","counter_deltas":{"batches":${prog.size},""")
+      sb.append(f""""wall_s":$wallS%.1f,"type_user_keys":$keys,""")
+      sb.append(s""""state_rows_max":${stateRows.max},"state_rows_final":${stateRows.last},""")
+      sb.append(s""""state_bounded_by_keys":${stateRows.max <= keys},""")
+      sb.append(s""""state_rows_series":${series(prog)},""")
+      sb.append(s""""mismatch_rows":$mism,"bit_exact":${mism == 0},""")
+      sb.append(f""""batch_ms_p50":${pct(durs, 0.5)}%.0f,"batch_ms_p95":${pct(durs, 0.95)}%.0f,"batch_ms_max":${pct(durs, 1.0)}%.0f}""")
+      println(s"counter_deltas: ${prog.size} batches, state max=${stateRows.max} keys=$keys mism=$mism")
+      require(prog.size == nOrdered, "counter_deltas: batches != staged files")
+      require(mism == 0, "counter-delta terminal oracle mismatch")
+      require(stateRows.max <= keys, "counter-delta state exceeds key count")
+    }
+
+    locally {
+      val outParq = s"$work/pattern"
+      val t0 = System.nanoTime()
+      val q = graft.streaming.EventStream.patternNegationStream(
+          EventStream.readEventStream(spark, orderedDir, Some(1)),
+          "view", "purchase", "error")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("_batch_id", lit(batchId))
+            .write.mode("append").parquet(outParq)
+        }
+        .option("checkpointLocation", s"$work/ck_pattern")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wallS = (System.nanoTime() - t0) / 1e9
+      val prog = progressRows(q)
+      val durs = prog.map(_._3.toDouble)
+      val stateRows = prog.map(_._4)
+      val users = Tables.events(spark, srcDir).select("user_id").distinct().count()
+      val cols = Seq("user_id", "start_event_id", "start_ts", "outcome", "target_ts")
+      val terminal = spark.read.parquet(outParq).select(cols.map(col): _*)
+      val oracle = graft.streaming.EventStream.patternNegationStream(
+        Tables.events(spark, srcDir), "view", "purchase", "error")
+        .select(cols.map(col): _*)
+      val mism = exceptBoth(terminal, oracle)
+      sb.append(s""","pattern":{"batches":${prog.size},""")
+      sb.append(f""""wall_s":$wallS%.1f,"users":$users,""")
+      sb.append(s""""state_rows_max":${stateRows.max},"state_rows_final":${stateRows.last},""")
+      sb.append(s""""state_bounded_by_keys":${stateRows.max <= users},""")
+      sb.append(s""""state_rows_series":${series(prog)},""")
+      sb.append(s""""mismatch_rows":$mism,"bit_exact":${mism == 0},""")
+      sb.append(f""""batch_ms_p50":${pct(durs, 0.5)}%.0f,"batch_ms_p95":${pct(durs, 0.95)}%.0f,"batch_ms_max":${pct(durs, 1.0)}%.0f}""")
+      println(s"pattern: ${prog.size} batches, state max=${stateRows.max} users=$users mism=$mism")
+      require(prog.size == nOrdered, "pattern: batches != staged files")
+      require(mism == 0, "pattern terminal oracle mismatch")
+      require(stateRows.max <= users, "pattern state exceeds user count")
+    }
+
+    sb.append(f""","sentinel_before_s":$sentinelBefore%.3f""")
+    sb.append(f""","sentinel_after_s":${Sentinel.seconds()}%.3f""")
+    sb.append(f""","sentinel_nominal_s":${Sentinel.NominalS}%.3f""")
     sb.append("}")
     val out = sb.toString
     val target = java.nio.file.Paths.get(outPath)

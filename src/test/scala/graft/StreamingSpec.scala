@@ -204,6 +204,50 @@ class StreamingSpec extends AnyFunSuite {
       "replay of an unfolded batch is not idempotent")
   }
 
+  test("ordered replay: range-staged mtime-stamped files drive the " +
+    "counter-delta machine to exact batch equality") {
+    // the StreamSoak legs 4-6 mechanism at fixture scale: files
+    // staged as ascending (ts, event_id) range slices with strictly
+    // ascending mtimes replay oldest-first under maxFilesPerTrigger=1,
+    // so the sequential state machine sees the feed in event-time
+    // order across batch boundaries and its terminal table equals the
+    // one-pass batch run exactly
+    val dir = java.nio.file.Files.createTempDirectory("events_ordered").toString
+    val nFiles = 6
+    val ev = Tables.events(spark, sf)
+    ev.repartitionByRange(nFiles, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == nFiles)
+    val base = System.currentTimeMillis() - (parts.length + 60).toLong * 1000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      assert(f.setLastModified(base + i * 1000L))
+    }
+    def readings(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_type"), col("user_id"), col("ts"), col("event_id"),
+      floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val outParq = java.nio.file.Files.createTempDirectory("deltas_ordered").toString + "/out"
+    val batchIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = streaming.EventStream.counterDeltaStream(
+        readings(streaming.EventStream.readEventStream(spark, dir, Some(1))))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outParq)
+        batchIds.add(batchId)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batchIds.size == nFiles, s"expected $nFiles batches, got ${batchIds.size}")
+    val cols = Seq("event_type", "user_id", "ts", "cents", "delta_cents", "is_reset")
+    val got = spark.read.parquet(outParq).select(cols.map(col): _*)
+    val exp = streaming.EventStream.counterDeltaStream(readings(ev))
+      .select(cols.map(col): _*)
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+      "ordered streamed deltas diverge from the one-pass batch run")
+  }
+
   test("a crash-leftover folded delta dir is invisible to readers and " +
     "swept by the next compaction") {
     // simulate the one window the two-phase protocol leaves: the

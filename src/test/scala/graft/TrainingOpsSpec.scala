@@ -221,6 +221,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(short == Map(0L -> 0, 1L -> 1))
   }
 
+  test("bfs until done: chain graph reached to its true eccentricity, " +
+    "early exit fires, disconnected node stays absent") {
+    // chain 0-1-2-3-4-5 plus an island edge 10-11; seed {0}. True
+    // eccentricity from 0 is 5, so the empty frontier arrives at
+    // round 6 (round 6 finds nothing new) - far below maxRounds=64.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("s1", "s2")
+    val (df, rounds) = graft.operators.Graph
+      .bfsDepthUntilDoneCounted(edges, Seq(0L).toDF("node"), 64)
+    val out = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 5),
+      s"complete BFS depths wrong: $out")
+    assert(rounds == 6, s"early exit did not fire at the empty frontier: $rounds")
+    // the runaway bound still caps a too-deep graph like bfsDepth would
+    val capped = graft.operators.Graph
+      .bfsDepthUntilDone(edges, Seq(0L).toDF("node"), 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
+
   test("embed drift: identical snapshots cos ~ 1, a shifted version " +
     "drifts below, counts reported per side") {
     val base = embDf(Seq(
