@@ -635,9 +635,10 @@ object SparkEntry {
           count(lit(1)).as("n_events"))),
     // E6b: the sketch cascade — 5-minute buckets carry HLL registers
     // for distinct users, daily rolls up by register-max without
-    // re-scanning raw (rows-only: the estimate is deterministic but
-    // DuckDB cannot replicate the sketch; accuracy and
-    // cascade==direct identity are spec-pinned)
+    // re-scanning raw. FULL oracle since r11 (hllCascadeOracle):
+    // register-max associativity lets DuckDB rebuild the day-level
+    // registers directly and replay the estimate bit-exactly;
+    // accuracy and cascade==direct identity remain spec-pinned
     "q_sketch_cascade" -> ((s, dir) => {
       val fine = Rollups.sketchPerType(Tables.events(s, dir), 300, 12)
       Rollups.coarsenSketch(fine, 86400)
@@ -2145,6 +2146,10 @@ object SparkEntry {
     // shingle polynomial → 128 variable-seed permutation minima →
     // 4-step band folds → bucket pair join. See minhashOracle.
     "q_dedup_minhash" -> minhashOracle(),
+    // graft's own HLL sketch replayed end-to-end (registers, ordered
+    // inverse-power fold, alpha formula, linear-counting branch,
+    // truncate cast). See hllCascadeOracle.
+    "q_sketch_cascade" -> hllCascadeOracle(),
     "q_rollup_5m" ->
       """SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket_start, event_type,
         | count(*) AS n_events,
@@ -6069,6 +6074,76 @@ object SparkEntry {
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |       ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
        |SELECT query_id, neighbor_id, rnk, cos_sim FROM r WHERE rnk <= 10""".stripMargin
+  }
+
+  /** The q_sketch_cascade oracle: graft's own HLL sketch replayed in
+    * DuckDB. Register-max is associative, so the 5-minute→daily
+    * cascade equals day-level registers computed directly from raw
+    * rows (the cascade==direct identity a spec already pins) — the
+    * oracle builds those: per-user xxh64(seed 42) → register index =
+    * top p bits, rank = leading zeros of the remaining bits + 1
+    * (binary-search CASE chain, exact integer logic, saturating at
+    * 64−p+1) → max per register → the Flajolet/Heule estimate with
+    * the inverse-power sum folded in REGISTER ORDER via list_reduce
+    * (bit-identical to HllBuffer.estimate's loop), the alpha(m)
+    * constant formula, the linear-counting branch (DuckDB ln matches
+    * Math.log on these arguments — verified exact at the graded
+    * corpus), and Spark's truncate-toward-zero long cast.
+    */
+  private def hllCascadeOracle(): String = {
+    val p = 12
+    val m = 1 << p
+    val sat = 64 - p + 1
+    val hashes = xxh64Steps("user_id::UBIGINT", 42L, "x").foldLeft(
+      "SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start, " +
+        "event_type, user_id FROM events") {
+      case (inner, (k, e)) => s"SELECT *, $e AS $k FROM ($inner)"
+    }
+    val nlz: Seq[(String, String)] = {
+      var prev = "wv"
+      val steps = Seq(32, 16, 8, 4, 2, 1).flatMap { sh =>
+        val out = Seq(
+          s"s$sh" -> s"CASE WHEN (($prev) >> $sh) > 0 THEN $sh ELSE 0 END",
+          s"v$sh" -> s"(($prev) >> s$sh)")
+        prev = s"v$sh"
+        out
+      }
+      steps ++ Seq(
+        "bitlen" -> "s32 + s16 + s8 + s4 + s2 + s1 + 1",
+        "rank" -> s"CASE WHEN wv = 0 THEN $sat ELSE 65 - bitlen END")
+    }
+    val ranked = nlz.foldLeft(
+      s"SELECT bucket_start, event_type, (xout >> ${64 - p}) AS idx, " +
+        s"((xout::HUGEINT * $m) % $UMod)::UBIGINT AS wv FROM hashes") {
+      case (inner, (k, e)) => s"SELECT *, $e AS $k FROM ($inner)"
+    }
+    s"""WITH hashes AS ($hashes),
+       |ranked AS ($ranked),
+       |regs AS (SELECT bucket_start, event_type, idx, max(rank) AS rmax
+       |         FROM ranked GROUP BY 1, 2, 3),
+       |groups AS (SELECT DISTINCT bucket_start, event_type FROM regs),
+       |grid0 AS (SELECT g.bucket_start, g.event_type, u.i AS idx
+       |          FROM groups g CROSS JOIN (SELECT unnest(range(0, $m)) AS i) u),
+       |grid AS (SELECT grid0.bucket_start, grid0.event_type, grid0.idx,
+       |           coalesce(r.rmax, 0) AS reg
+       |         FROM grid0 LEFT JOIN regs r ON r.bucket_start = grid0.bucket_start
+       |           AND r.event_type = grid0.event_type AND r.idx = grid0.idx),
+       |folded AS (SELECT bucket_start, event_type,
+       |    list_reduce(list(pow(2.0, -reg) ORDER BY idx), (a, b) -> a + b) AS inv_sum,
+       |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+       |  FROM grid GROUP BY 1, 2),
+       |est AS (SELECT bucket_start, event_type,
+       |    (0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0 / inv_sum AS e_raw,
+       |    zeros FROM folded),
+       |fin AS (SELECT bucket_start, event_type,
+       |    CASE WHEN e_raw <= 2.5 * $m AND zeros > 0
+       |         THEN $m.0 * ln($m.0 / zeros) ELSE e_raw END AS e
+       |  FROM est),
+       |nv AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,
+       |         event_type, count(*) AS n_events FROM events GROUP BY 1, 2)
+       |SELECT f.bucket_start, f.event_type,
+       |       CAST(trunc(f.e) AS BIGINT) AS est_users, nv.n_events
+       |FROM fin f JOIN nv USING (bucket_start, event_type)""".stripMargin
   }
 
   /** One BPE merge rewrite in DuckDB SQL: the double-space padding

@@ -73,3 +73,12 @@ object Verify {
     spark.stop()
   }
 }
+
+/** Print one query's generated oracle SQL (no Spark session) — the
+  * quick way to eyeball or DuckDB-test a generated oracle without a
+  * full Verify dump: `tools/jrun.sh graft.OracleDump q_dedup_minhash`.
+  */
+object OracleDump {
+  def main(args: Array[String]): Unit =
+    args.foreach(q => println(SparkEntry.oracleSql(q)))
+}
