@@ -8,10 +8,16 @@
 # their own, so cleanup sweeps one run's scratch without nuking a
 # neighbor's live shuffle files (java.io.tmpdir is what Spark's
 # local-dir default derives from).
+# GRAFT_EXTRA_OPTS (optional): extra JVM -D flags appended verbatim —
+# the hook for per-run Spark conf experiments (system properties feed
+# SparkSession.builder), e.g.
+#   GRAFT_EXTRA_OPTS="-Dspark.shuffle.sort.bypassMergeThreshold=16"
+# GRAFT_CLASSES (optional): alternate compiled-classes dir (an
+# alternating-binary run against a git-archive build).
 # Usage: tools/jrun.sh <mainClass> [args...]
 set -eu
 MAIN=${1:?main class}; shift
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+CP="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:/opt/spark/jars/*"
 TMPOPT=()
 if [ -n "${GRAFT_TMPDIR:-}" ]; then
   mkdir -p "$GRAFT_TMPDIR"
@@ -19,6 +25,7 @@ if [ -n "${GRAFT_TMPDIR:-}" ]; then
 fi
 exec java \
   ${TMPOPT[@]+"${TMPOPT[@]}"} \
+  ${GRAFT_EXTRA_OPTS:-} \
   --add-opens java.base/java.lang=ALL-UNNAMED \
   --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens java.base/java.lang.reflect=ALL-UNNAMED \
