@@ -49,7 +49,7 @@ object PlanDump {
       "q_shuffle_shards", "q_novelty", "q_user_features", "q_decay_score",
       "q_cms_counts", "q_weak_labels", "q_mad_outliers", "q_wow_change",
       "q_bpe_pairs", "q_feature_corr", "q_mixture_temp", "q_hard_negatives",
-      "q_embed_drift", "q_bfs_depth",
+      "q_embed_drift", "q_bfs_depth", "q_bfs_reach",
       "q_alarm_hysteresis", "q_data_gaps", "q_staleness", "q_busy_hour",
       "q_dow_profile", "q_label_prop", "q_event_paths", "q_degree_dist",
       "q_ann_recall", "q_dedup_recall", "q_time_to_convert", "q_adoption",
