@@ -12,9 +12,11 @@ shopt -s nullglob
 files=(BENCH_*.json BENCH_*.json.perq BENCH_NOTES_*.md CORRECTNESS_*.json \
   LEAKCHECK.json COPYCHECK.json RECALL_*.json SOAK_*.json SOAK_*.md \
   STREAM_SOAK_*.json ETL_SOAK_*.json PROGRESS.jsonl PLANS.md)
-if [ ${#files[@]} -gt 0 ]; then
-  git add -- "${files[@]}"
-fi
+for f in "${files[@]}"; do
+  # driver-owned artifacts may be gitignored (COPYCHECK, PROGRESS) —
+  # stage only what the repo actually tracks or can track
+  git check-ignore -q "$f" || git add -- "$f"
+done
 if ! git diff --cached --quiet; then
   git commit -m "Round artifacts: bench/correctness/soak snapshots"
   echo "round_close: committed $(git diff-tree --no-commit-id --name-only -r HEAD | wc -l) artifact files"
