@@ -37,6 +37,14 @@ object Bench {
     val metricsOn = sys.env.contains("SPARK_GRAFT_METRICS")
     val shufBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    // live cached-block footprint (mem + disk) and its per-query PEAK
+    // — the measured form of partitionIterEdges' transient-2x cache
+    // contract (r11 verdict task 7). Block-update events carry each
+    // block's post-update sizes; removals (invalid storage level)
+    // subtract the tracked entry, mirroring AppStatusListener.
+    val blockSizes = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val storageNow = new java.util.concurrent.atomic.AtomicLong(0L)
+    val storagePeak = new java.util.concurrent.atomic.AtomicLong(0L)
     if (metricsOn) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -45,6 +53,21 @@ object Bench {
           if (m != null) {
             shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
             spillBytes.addAndGet(m.diskBytesSpilled)
+          }
+        }
+        override def onBlockUpdated(
+            ev: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+          val info = ev.blockUpdatedInfo
+          if (info.blockId.isRDD) {
+            val key = info.blockId.name
+            val size =
+              if (info.storageLevel.isValid) info.memSize + info.diskSize
+              else 0L
+            val prev =
+              if (size == 0L) Option(blockSizes.remove(key)).getOrElse(0L)
+              else Option(blockSizes.put(key, size)).getOrElse(0L)
+            val now = storageNow.addAndGet(size - prev)
+            storagePeak.getAndAccumulate(now, math.max(_, _))
           }
         }
       })
@@ -128,15 +151,20 @@ object Bench {
     // next query's bucket on a slow bus)
     val shufByQuery = scala.collection.mutable.Map[String, Long]()
     val spillByQuery = scala.collection.mutable.Map[String, Long]()
+    val storagePeakByQuery = scala.collection.mutable.Map[String, Long]()
     def drainBus(): Unit =
       org.apache.spark.GraftListenerGlue.drain(spark.sparkContext)
     val passes = (0 until nPasses).map { p =>
       queries.map { case (name, fn) =>
         if (metricsOn && p == 0) {
           drainBus(); shufBytes.set(0L); spillBytes.set(0L)
+          // per-query peak starts from the CURRENT live footprint
+          // (caches the previous query failed to release still count)
+          storagePeak.set(storageNow.get())
           val t = timeOnce(name, fn)
           drainBus()
           shufByQuery(name) = shufBytes.get(); spillByQuery(name) = spillBytes.get()
+          storagePeakByQuery(name) = storagePeak.get()
           name -> t
         } else name -> timeOnce(name, fn)
       }
@@ -173,7 +201,9 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val sp = spillByQuery.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s""","shuffle_bytes":$sh,"spill_bytes":$sp"""
+      val st = storagePeakByQuery.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s""","shuffle_bytes":$sh,"spill_bytes":$sp,"storage_peak_bytes":$st"""
     } else ""
     val sentinelAfter = Sentinel.seconds()
     val sentinelJson = f""","sentinel_before_s":$sentinelBefore%.3f,"sentinel_after_s":$sentinelAfter%.3f,"sentinel_nominal_s":${Sentinel.NominalS}%.3f"""

@@ -67,8 +67,13 @@ object StreamSoak {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // keep every progress event: the state-size series IS the artifact
-      .config("spark.sql.streaming.numRecentProgressUpdates", nFiles + 64)
+      // keep every progress event: the state-size series IS the
+      // artifact. The floor covers legs whose batch count is NOT
+      // nFiles-derived (the alarm leg's (day, family) slicing can
+      // exceed a small smoke nFiles — the r12 smoke caught exactly
+      // that as a silently truncated progress buffer)
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(nFiles, 2048) + 64)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.streaming.EventStream
@@ -158,6 +163,111 @@ object StreamSoak {
 
     def exceptBoth(a: DataFrame, b: DataFrame): Long =
       a.exceptAll(b).count() + b.exceptAll(a).count()
+
+    // stage `df` as range-contiguous time slices whose ARRIVAL order
+    // (mtime order — FileStreamSource replays oldest-first) is a
+    // seeded deterministic BLOCK-LOCAL shuffle of range order: within
+    // every 8-slice block slices arrive permuted, so throughout the
+    // whole run some slices land after later slices have already
+    // advanced the watermark — genuinely late, SUSTAINED (an
+    // unbounded permutation lets one near-max slice arrive early and
+    // the watermark leaps to the end: 94% of the feed drops in one
+    // step and the within-watermark oracle subset goes thin — the r12
+    // smoke measured exactly that). Bounded displacement is also the
+    // realistic contract: real feeds are locally out of order, not
+    // adversarially scrambled. Returns the staged file names in
+    // ARRIVAL order (= micro-batch order under maxFilesPerTrigger=1),
+    // for joining per-batch watermarks back to the rows each batch
+    // carried.
+    def stageShuffled(df: DataFrame, dir: String, nSlices: Int,
+                      keys: Seq[org.apache.spark.sql.Column]): Seq[String] = {
+      df.repartitionByRange(nSlices, keys: _*)
+        .write.mode("overwrite").parquet(dir)
+      val parts = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val rnd = new scala.util.Random(20260816L)
+      val perm = parts.indices.grouped(8)
+        .flatMap(block => rnd.shuffle(block.toList)).toList
+      val base = System.currentTimeMillis() - (parts.length + 60).toLong * 1000L
+      perm.zipWithIndex.foreach { case (fileIdx, arrivalIdx) =>
+        require(parts(fileIdx).setLastModified(base + arrivalIdx * 1000L),
+          s"mtime stamp failed: ${parts(fileIdx)}")
+      }
+      perm.map(i => parts(i).getName)
+    }
+
+    // per-batch event-time watermark (ms since epoch) from the query's
+    // progress events (the EVICTION watermark — recomputed before the
+    // batch from everything seen so far)
+    def watermarksMs(q: org.apache.spark.sql.streaming.StreamingQuery)
+        : Map[Long, Long] =
+      q.recentProgress.toSeq.map { p =>
+        val wm = Option(p.eventTime.get("watermark"))
+          .map(java.time.Instant.parse(_).toEpochMilli).getOrElse(0L)
+        p.batchId -> wm
+      }.toMap
+
+    // The watermark arithmetic below was pinned EMPIRICALLY against
+    // Spark's observed behavior (per-batch progress + per-row replay,
+    // see the r12 WmProbe notes in BENCH_NOTES_r12.md):
+    //  - the LATE-EVENTS filter of batch b uses the PREVIOUS batch's
+    //    displayed watermark (the eviction watermark advances a batch
+    //    ahead of the late-row filter);
+    //  - row-level operators (dedup, join inputs) drop rows with
+    //    ts <= that lagged watermark;
+    //  - windowed aggregation drops at WINDOW granularity after
+    //    partial aggregation: a (window, key) group is dropped iff
+    //    window.end <= the lagged watermark — a late row whose window
+    //    is still open IS aggregated, and numRowsDroppedByWatermark
+    //    counts dropped partial GROUPS, not input rows;
+    //  - append mode emits a window once the (un-lagged) watermark
+    //    reaches window.end.
+
+    // staged feed annotated with its batch's lagged filter watermark
+    def withFwm(feedDf: DataFrame, arrival: Seq[String],
+                wms: Map[Long, Long]): DataFrame = {
+      val spark2 = feedDf.sparkSession
+      import spark2.implicits._
+      val fileWm = arrival.zipWithIndex
+        .map { case (name, b) => (name, wms.getOrElse((b - 1).toLong, 0L)) }
+        .toDF("_file", "_fwm_ms")
+      feedDf
+        .withColumn("_file",
+          element_at(split(input_file_name(), "/"), -1))
+        .join(broadcast(fileWm), Seq("_file"))
+    }
+
+    // kept subset for ROW-level watermark operators
+    def keptRows(feedDf: DataFrame, arrival: Seq[String],
+                 wms: Map[Long, Long]): DataFrame =
+      withFwm(feedDf, arrival, wms)
+        .filter(unix_millis(col("ts")) > col("_fwm_ms"))
+        .drop("_file", "_fwm_ms")
+
+    // kept subset for the 5-minute WINDOWED aggregation (kept iff the
+    // row's window end is past the batch's lagged watermark)
+    def keptRowsWindowed(feedDf: DataFrame, arrival: Seq[String],
+                         wms: Map[Long, Long]): DataFrame =
+      withFwm(feedDf, arrival, wms)
+        .filter(floor(unix_millis(col("ts")) / 300000L) * 300000L + 300000L
+          > col("_fwm_ms"))
+        .drop("_file", "_fwm_ms")
+
+    // expected dropped partial groups for the windowed aggregation:
+    // distinct (batch, window, type) fully-late groups
+    def expectedDroppedGroups(feedDf: DataFrame, arrival: Seq[String],
+                              wms: Map[Long, Long]): Long =
+      withFwm(feedDf, arrival, wms)
+        .filter(floor(unix_millis(col("ts")) / 300000L) * 300000L + 300000L
+          <= col("_fwm_ms"))
+        .select(col("_file"),
+          floor(unix_millis(col("ts")) / 300000L).as("_w"), col("event_type"))
+        .distinct()
+        .count()
+
+    def droppedByWatermark(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+        .map(_.numRowsDroppedByWatermark).sum
 
     val sb = new StringBuilder
     sb.append("{")
@@ -319,10 +429,18 @@ object StreamSoak {
       val dailyBatch = Tables.events(spark, srcDir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n_events"))
-      // day-aligned: equal day values land in ONE range slice, so
-      // every micro-batch carries complete days and the latch sees
-      // each day's full count exactly once
-      val nDayFiles = stageOrdered(dailyBatch, dailyDir, 128, Seq(col("day")))
+      // day-aligned: equal (day, family) values land in ONE range
+      // slice, so every micro-batch carries complete (day, family)
+      // aggregates and the latch sees each day's full count exactly
+      // once, with days ascending per family (range order is (day,
+      // type) lexicographic). Slicing by (day, type) instead of day
+      // alone multiplies the batch tier ~families x, but the
+      // day-alignment CONTRACT still caps batches at the number of
+      // distinct (day, family) slices in the graded window — it
+      // cannot reach the raw-feed legs' 1000 tier on a 30-day feed
+      // (stated here per the r11 verdict task 4 escape clause).
+      val nDayFiles = stageOrdered(dailyBatch, dailyDir, 1024,
+        Seq(col("day"), col("event_type")))
       val sch = spark.read.parquet(dailyDir).schema
       val t0 = System.nanoTime()
       val q = graft.streaming.EventStream.alarmStream(
@@ -359,9 +477,12 @@ object StreamSoak {
     }
 
     // ---- 5 & 6. counter deltas + pattern negation, in-order raw feed
+    // full nFiles tier since r12 (uniform evidence tier across all six
+    // state machines — r11 verdict task 4; alarm alone stays capped by
+    // its day-alignment contract, stated in the artifact)
     val orderedDir = s"$work/ordered_feed"
     val nOrdered = stageOrdered(Tables.events(spark, srcDir), orderedDir,
-      math.max(nFiles / 4, 50), Seq(col("ts"), col("event_id")))
+      nFiles, Seq(col("ts"), col("event_id")))
     println(s"staged $nOrdered ordered files at $orderedDir")
 
     locally {
@@ -442,6 +563,206 @@ object StreamSoak {
       require(prog.size == nOrdered, "pattern: batches != staged files")
       require(mism == 0, "pattern terminal oracle mismatch")
       require(stateRows.max <= users, "pattern state exceeds user count")
+    }
+
+    // ---- 7-9. LATE-DATA soak: the watermark operators under a
+    // shuffled/delayed feed (r11 verdict task 3). The in-order
+    // contract above never exercises the one thing watermarks exist
+    // for; here the time slices ARRIVE in a seeded permutation of
+    // range order, so slices landing after later slices have advanced
+    // the watermark are genuinely late. Gates per leg: (a) the feed
+    // actually exercised lateness (dropped rows > 0); (b) dropped
+    // accounting is exact — sum of numRowsDroppedByWatermark equals
+    // feed minus the rebuilt kept subset, row for row, which pins the
+    // keptRows watermark arithmetic to the engine's; (c) terminal
+    // output equals the batch oracle over the kept (within-watermark)
+    // subset exactly; (d) state stays bounded (series in artifact).
+    val lateSlices = math.max(nFiles / 4, 50)
+
+    // -- 7. watermarked windowed aggregation (E3), append mode -------
+    locally {
+      val lateDir = s"$work/late_feed"
+      val outParq = s"$work/late_window_agg"
+      val arrival = stageShuffled(Tables.events(spark, srcDir), lateDir,
+        lateSlices, Seq(col("ts"), col("event_id")))
+      val t0 = System.nanoTime()
+      val q = EventStream.windowedAgg(
+          EventStream.readEventStream(spark, lateDir, Some(1))
+            .withColumn("value", col("value").cast("decimal(18,2)")))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("append").parquet(outParq)
+        }
+        .option("checkpointLocation", s"$work/ck_late_agg")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wallS = (System.nanoTime() - t0) / 1e9
+      val prog = progressRows(q)
+      val durs = prog.map(_._3.toDouble)
+      val stateRows = prog.map(_._4)
+      val wms = watermarksMs(q)
+      val dropped = droppedByWatermark(q)
+      val feedNorm = EventStream.normalize(spark.read.parquet(lateDir))
+      val kept = keptRowsWindowed(feedNorm, arrival, wms).persist()
+      val keptN = kept.count()
+      val feedN = spark.read.parquet(lateDir).count()
+      val expDropGroups = expectedDroppedGroups(feedNorm, arrival, wms)
+      // append mode emits a window once the watermark passes its end;
+      // windows still open at stream end never surface — the oracle
+      // is the kept-subset agg RESTRICTED to closed windows
+      val finalWm = wms.values.max
+      val oracle = kept
+        .withColumn("value", col("value").cast("decimal(18,2)"))
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .filter(unix_millis(col("window.end")) <= finalWm)
+        .select(unix_micros(col("window.start")).as("ws"),
+          col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+      val got = spark.read.parquet(outParq)
+        .select(unix_micros(col("window.start")).as("ws"),
+          col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+      val mism = exceptBoth(got, oracle)
+      // the agg's drop counter counts fully-late partial GROUPS
+      val acct = expDropGroups == dropped
+      kept.unpersist()
+      sb.append(s""","late_window_agg":{"batches":${prog.size},""")
+      sb.append(f""""wall_s":$wallS%.1f,""")
+      sb.append(s""""feed_rows":$feedN,"kept_rows":$keptN,""")
+      sb.append(s""""dropped_groups_by_watermark":$dropped,"expected_dropped_groups":$expDropGroups,""")
+      sb.append(s""""late_exercised":${dropped > 0},"dropped_accounting_exact":$acct,""")
+      sb.append(s""""emitted_windows":${got.count()},"oracle_windows":${oracle.count()},""")
+      sb.append(s""""mismatch_rows":$mism,"exact_on_kept_subset":${mism == 0},""")
+      sb.append(s""""state_rows_max":${stateRows.max},"state_rows_series":${series(prog)},""")
+      sb.append(f""""batch_ms_p50":${pct(durs, 0.5)}%.0f,"batch_ms_p95":${pct(durs, 0.95)}%.0f,"batch_ms_max":${pct(durs, 1.0)}%.0f}""")
+      println(s"late_window_agg: ${prog.size} batches, dropped=$dropped " +
+        s"(acct=$acct) mism=$mism stateMax=${stateRows.max}")
+      require(dropped > 0, "late feed exercised no lateness")
+      require(acct, "dropped-row accounting does not reconcile")
+      require(mism == 0, "late windowed agg != batch oracle on kept subset")
+    }
+
+    // -- 8. within-watermark dedup (E4) under late duplicates --------
+    locally {
+      val lateDir = s"$work/late_dup_feed"
+      val outParq = s"$work/late_dedup"
+      val ev = Tables.events(spark, srcDir)
+      // a duplicated third, same event_id AND same ts: a duplicate
+      // either lands while the original's state is live (same ts ⇒
+      // inside the horizon ⇒ suppressed) or is itself late (dropped)
+      // — so the emitted set must equal the kept subset's distinct ids
+      val feed = ev.unionByName(ev.filter(col("event_id") % 3 === 0))
+      val arrival = stageShuffled(feed, lateDir, lateSlices,
+        Seq(col("ts"), col("event_id")))
+      val t0 = System.nanoTime()
+      val q = EventStream.dedupStream(
+          EventStream.readEventStream(spark, lateDir, Some(1)))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("append").parquet(outParq)
+        }
+        .option("checkpointLocation", s"$work/ck_late_dedup")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wallS = (System.nanoTime() - t0) / 1e9
+      val prog = progressRows(q)
+      val durs = prog.map(_._3.toDouble)
+      val stateRows = prog.map(_._4)
+      val wms = watermarksMs(q)
+      val dropped = droppedByWatermark(q)
+      val kept = keptRows(
+        EventStream.normalize(spark.read.parquet(lateDir)), arrival, wms)
+        .persist()
+      val keptN = kept.count()
+      val feedN = spark.read.parquet(lateDir).count()
+      val got = spark.read.parquet(outParq).select("event_id")
+      val gotN = got.count()
+      val gotDistinct = got.distinct().count()
+      val mism = exceptBoth(got, kept.select("event_id").distinct())
+      val acct = feedN - keptN == dropped
+      kept.unpersist()
+      sb.append(s""","late_dedup":{"batches":${prog.size},""")
+      sb.append(f""""wall_s":$wallS%.1f,""")
+      sb.append(s""""feed_rows":$feedN,"kept_rows":$keptN,"dropped_by_watermark":$dropped,""")
+      sb.append(s""""late_exercised":${dropped > 0},"dropped_accounting_exact":$acct,""")
+      sb.append(s""""emitted":$gotN,"emitted_distinct":$gotDistinct,""")
+      sb.append(s""""no_duplicate_emitted":${gotN == gotDistinct},""")
+      sb.append(s""""mismatch_rows":$mism,"exact_on_kept_subset":${mism == 0},""")
+      sb.append(s""""state_rows_max":${stateRows.max},"state_rows_series":${series(prog)},""")
+      sb.append(f""""batch_ms_p50":${pct(durs, 0.5)}%.0f,"batch_ms_p95":${pct(durs, 0.95)}%.0f,"batch_ms_max":${pct(durs, 1.0)}%.0f}""")
+      println(s"late_dedup: ${prog.size} batches, dropped=$dropped (acct=$acct) " +
+        s"emitted=$gotN/$gotDistinct mism=$mism stateMax=${stateRows.max}")
+      require(dropped > 0, "late dup feed exercised no lateness")
+      require(acct, "dropped-row accounting does not reconcile")
+      require(gotN == gotDistinct, "within-watermark dedup emitted a duplicate")
+      require(mism == 0, "late dedup != kept subset's distinct ids")
+    }
+
+    // -- 9. stream-stream interval join (E24) under late arrivals ----
+    locally {
+      val lateDir = s"$work/late_join_feed"
+      val outParq = s"$work/late_join"
+      val arrival = stageShuffled(Tables.events(spark, srcDir), lateDir,
+        lateSlices, Seq(col("ts"), col("event_id")))
+      val t0 = System.nanoTime()
+      val q = EventStream.streamIntervalJoin(
+          EventStream.readEventStream(spark, lateDir, Some(1))
+            .filter(col("event_type") === "click"),
+          EventStream.readEventStream(spark, lateDir, Some(1))
+            .filter(col("event_type") === "purchase"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("append").parquet(outParq)
+        }
+        .option("checkpointLocation", s"$work/ck_late_join")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wallS = (System.nanoTime() - t0) / 1e9
+      val prog = progressRows(q)
+      val durs = prog.map(_._3.toDouble)
+      val stateRows = prog.map(_._4)
+      val wms = watermarksMs(q)
+      val dropped = droppedByWatermark(q)
+      val feedNorm = EventStream.normalize(spark.read.parquet(lateDir))
+      val kept = keptRows(feedNorm, arrival, wms).persist()
+      kept.count()
+      // the join's drop counter counts late INPUT rows on both sides
+      // (only click/purchase rows reach the join)
+      val joinFeedN = feedNorm
+        .filter(col("event_type").isin("click", "purchase")).count()
+      val joinKeptN = kept
+        .filter(col("event_type").isin("click", "purchase")).count()
+      val acct = joinFeedN - joinKeptN == dropped
+      // inner joins emit on match (no watermark wait), and a kept
+      // follow-up's in-range trigger is always still in state (the
+      // range bound is exactly the state retention bound) — so the
+      // oracle is the batch interval join over the kept subset
+      val oracle = EventStream.streamIntervalJoin(
+          kept.filter(col("event_type") === "click"),
+          kept.filter(col("event_type") === "purchase"))
+        .select("user_id", "trigger_id", "follow_id")
+      val got = spark.read.parquet(outParq)
+        .select("user_id", "trigger_id", "follow_id")
+      val mism = exceptBoth(got, oracle)
+      kept.unpersist()
+      sb.append(s""","late_interval_join":{"batches":${prog.size},""")
+      sb.append(f""""wall_s":$wallS%.1f,""")
+      sb.append(s""""join_feed_rows":$joinFeedN,"join_kept_rows":$joinKeptN,""")
+      sb.append(s""""dropped_by_watermark":$dropped,"late_exercised":${dropped > 0},""")
+      sb.append(s""""dropped_accounting_exact":$acct,""")
+      sb.append(s""""emitted_pairs":${got.count()},"oracle_pairs":${oracle.count()},""")
+      sb.append(s""""mismatch_rows":$mism,"exact_on_kept_subset":${mism == 0},""")
+      sb.append(s""""state_rows_max":${stateRows.max},"state_rows_series":${series(prog)},""")
+      sb.append(f""""batch_ms_p50":${pct(durs, 0.5)}%.0f,"batch_ms_p95":${pct(durs, 0.95)}%.0f,"batch_ms_max":${pct(durs, 1.0)}%.0f}""")
+      println(s"late_interval_join: ${prog.size} batches, dropped=$dropped " +
+        s"(acct=$acct) pairs=${got.count()} mism=$mism stateMax=${stateRows.max}")
+      require(dropped > 0, "late join feed exercised no lateness")
+      require(acct, "join dropped-row accounting does not reconcile")
+      require(mism == 0, "late interval join != batch join on kept subset")
     }
 
     sb.append(f""","sentinel_before_s":$sentinelBefore%.3f""")

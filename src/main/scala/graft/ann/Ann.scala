@@ -453,12 +453,19 @@ object Ann {
   /** Lloyd refinement of IVF centroids, `iters` rounds of: assign each
     * corpus vector to its best cell (a single projection against the
     * literal centroid array — zero shuffle), then take the per-cell
-    * element-wise mean (posexplode to (cell, dim); the partial average
+    * element-wise mean (posexplode to (cell, dim); the partial sum
     * combines map-side, so the shuffle carries ≤ cells×dims rows per
-    * partition regardless of corpus size). Centroids live on the
-    * driver between rounds — nCells×dims floats, the same footprint as
-    * any broadcast dimension. Cells that lose all members keep their
-    * previous centroid.
+    * partition regardless of corpus size). Means are DECIMAL(38,18)-
+    * exact (the [[groupCentroids]] recipe) — a plain double avg's
+    * partial sums depend on partition order, so the fitted centroids
+    * (and every downstream cell assignment) would drift run-to-run at
+    * scale; the decimal sum is order-independent, which is also what
+    * lets the whole fixed-round fit replay in the DuckDB oracle
+    * (q_ann_ivf_kmeans). The mean double is rounded to FLOAT, the
+    * model's storage type. Centroids live on the driver between
+    * rounds — nCells×dims floats, the same footprint as any broadcast
+    * dimension. Cells that lose all members keep their previous
+    * centroid.
     */
   def refineCentroids(corpus: DataFrame, seeds: Seq[(Long, Seq[Float])],
                       iters: Int): Seq[(Long, Seq[Float])] = {
@@ -476,7 +483,10 @@ object Ann {
           col("embedding"))
         .select(col("cell_id"), posexplode(col("embedding")))
         .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("col").cast("double").cast("decimal(38,18)")).as("s"))
+        .select(col("cell_id"), col("pos"),
+          (col("s").cast("double") / col("n")).as("m"))
         .collect() // ≤ nCells×dims rows
         .groupBy(_.getLong(0))
         .map { case (cell, rows) =>

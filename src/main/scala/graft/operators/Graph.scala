@@ -128,13 +128,47 @@ object Graph {
     * (edge table, edge count); caller unpersists.
     */
   private def partitionIterEdges(e0: DataFrame, key: String): (DataFrame, Long) = {
-    val raw = e0.persist(StorageLevel.MEMORY_AND_DISK)
-    val n = raw.count()
-    val parted = raw.repartition(iterWidth(e0, n), col(key))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    parted.count() // materialize from the raw cache before dropping it
-    raw.unpersist()
-    (parted, n)
+    // Transient-footprint contract: on the two-step path the raw
+    // unpartitioned cache and the partitioned copy COEXIST while the
+    // latter materializes — peak storage ~2x the edge list
+    // (MEMORY_AND_DISK, so overflow evicts/spills rather than OOMs;
+    // storage metrics recorded at sf100, SOAK_SF100_r12). Graphs that
+    // Catalyst's size estimate already proves small skip the raw
+    // cache entirely: partition-and-persist in ONE step at session
+    // width — one exchange, one cache, no 2x window. The estimate is
+    // a safe gate because it only over-approximates here (scan sizes
+    // propagate up; joins multiply, filters/aggregates keep their
+    // child's size; dividing by 8 B/edge vs the real ~24 B unsafe row
+    // adds another ~3x) — measured: the sf0.1 trading graph (a few M
+    // edges) estimates at 2.2 TB, so JOIN-DERIVED graphs effectively
+    // always keep the two-step path and its transient-2x contract,
+    // and the single-step path serves scan-derived edge lists (a
+    // parquet (src, dst) table estimates at file size). If the
+    // estimate is ever under (count says wide), the widen below pays
+    // the r10 second exchange — correct, just slower.
+    val width0 = e0.sparkSession.sessionState.conf.numShufflePartitions
+    val estEdges = e0.queryExecution.optimizedPlan.stats.sizeInBytes / 8
+    if (estEdges < WideGatherEdges) {
+      val parted = e0.repartition(width0, col(key))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = parted.count()
+      if (n < WideGatherEdges) (parted, n)
+      else {
+        val wide = parted.repartition(WideGatherMult * width0, col(key))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        wide.count() // materialize from the narrow cache before dropping it
+        parted.unpersist()
+        (wide, n)
+      }
+    } else {
+      val raw = e0.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = raw.count()
+      val parted = raw.repartition(iterWidth(e0, n), col(key))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      parted.count() // materialize from the raw cache before dropping it
+      raw.unpersist()
+      (parted, n)
+    }
   }
 
   /** Fixed-point PageRank over a directed edge list (src, dst):

@@ -383,14 +383,32 @@ object EventStream {
     * its cleanup — invisible rather than double-counted.
     */
   def readRollup(spark: SparkSession, warehousePath: String): DataFrame = {
-    val through = compactedThrough(spark, warehousePath)
+    val staged = stageThrough(spark, warehousePath)
+    val through = staged.orElse(manifestThrough(spark, warehousePath))
       .getOrElse(Long.MinValue)
-    graft.operators.Rollups.mergeFiveMinute(
-      spark.read.parquet(warehousePath)
-        .withColumn("bucket_start", col("bucket_start").cast("long"))
-        .filter(col("_batch_id").cast("long") === CompactedBatchId ||
-          col("_batch_id").cast("long") > through)
-        .drop("_batch_id", "_day"))
+    val warehouse = spark.read.parquet(warehousePath)
+      .withColumn("bucket_start", col("bucket_start").cast("long"))
+    val deltas = warehouse
+      .filter(col("_batch_id").cast("long") =!= CompactedBatchId &&
+        col("_batch_id").cast("long") > through)
+      .drop("_batch_id", "_day")
+    // While a committed stage awaits apply (crash window, or mid-
+    // apply), the stage — durable before its marker, immutable after
+    // — IS the authoritative compacted state; the _batch_id=-1
+    // partition may be stale, partially overwritten, or already
+    // merged, so reading it in this window would under- or double-
+    // count. Outside the window the compacted partition is exact.
+    val compacted = staged match {
+      case Some(_) =>
+        spark.read.parquet(s"$warehousePath/$StageName/data")
+          .withColumn("bucket_start", col("bucket_start").cast("long"))
+          .drop("_day")
+      case None =>
+        warehouse
+          .filter(col("_batch_id").cast("long") === CompactedBatchId)
+          .drop("_batch_id", "_day")
+    }
+    graft.operators.Rollups.mergeFiveMinute(compacted.unionByName(deltas))
   }
 
   /** Reserved `_batch_id` of the compacted partition. */
@@ -410,7 +428,32 @@ object EventStream {
     */
   def compactedThrough(spark: SparkSession,
                        warehousePath: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$warehousePath/$ManifestName")
+    // The committed stage marker outlives the manifest's one unreadable
+    // instant (writeTextAtomic replaces the manifest by delete+rename;
+    // the stage dir is dropped only after the new manifest is durable),
+    // and its value is always >= the manifest's — so max(manifest,
+    // marker) is a frontier readable in EVERY crash state. Without the
+    // fallback, a crash inside that instant left no manifest, the
+    // frontier fell to Long.MinValue, and readers double-counted every
+    // consumed delta until the next compactRollup.
+    (manifestThrough(spark, warehousePath).toSeq ++
+      stageThrough(spark, warehousePath)).reduceOption(_ max _)
+  }
+
+  /** The manifest's frontier alone (None if absent/unreadable). */
+  private def manifestThrough(spark: SparkSession,
+                              warehousePath: String): Option[Long] =
+    readLongFile(spark, s"$warehousePath/$ManifestName")
+
+  /** The committed stage marker's frontier (None when no stage is
+    * awaiting apply).
+    */
+  private def stageThrough(spark: SparkSession,
+                           warehousePath: String): Option[Long] =
+    readLongFile(spark, s"$warehousePath/$StageName/_COMMITTED")
+
+  private def readLongFile(spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
