@@ -294,10 +294,11 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
         .filter(to_date(col("ts")) === lit("2024-01-15").cast("date"))
       Seq(0L, 1L).foreach { bid =>
+        // (no explicit repartition here: overwritePartitions now
+        // rebalances on the partition columns itself — guide §6)
         val delta = Rollups.fiveMinute(ev.filter(pmod(col("event_id"), lit(2)) === bid))
           .withColumn("_batch_id", lit(bid))
           .withColumn("_day", floor(col("bucket_start") / 86400L))
-          .repartition(col("_day"))
         Maintenance.overwritePartitions(delta, wh,
           Seq("_day", "_batch_id"))
       }
@@ -1389,10 +1390,15 @@ object SparkEntry {
     // end, so the iteration is bit-reproducible across engines
     // long-encoded node ids inside the iteration (string labels
     // restored on the node-sized output — Graph.tradingNodeLabel)
+    // edgeBound: every directed trading edge needs >= 1 lineitem row,
+    // so 2x the fact's footer row count bounds the symmetrized edge
+    // list — proves the session-width layout without materializing
+    // and counting the derived edges first (Graph.partitionIterEdges)
     "q_pagerank" -> ((s, dir) =>
       Graph.pageRank(
         Graph.tradingEdgesLong(Tables.lineitem(s, dir), Tables.orders(s, dir)),
-        3)
+        3,
+        edgeBound = Some(2L * Tables.rowCount(s, dir, "lineitem")))
         .select(Graph.tradingNodeLabel(col("node")).as("node"), col("rank"))),
     // E32: per-node triangle count + clustering coefficient over the
     // co-supplier graph (>= 30 common orders) — degree-ordered
@@ -1624,7 +1630,8 @@ object SparkEntry {
         Graph.tradingEdgesLong(Tables.lineitem(s, dir), Tables.orders(s, dir)),
         Tables.orders(s, dir).filter(col("o_custkey") % 100 === 0)
           .select((col("o_custkey").cast("long") * 2).as("node")),
-        3)
+        3,
+        edgeBound = Some(2L * Tables.rowCount(s, dir, "lineitem")))
         .select(Graph.tradingNodeLabel(col("node")).as("node"), col("rank"))),
     // D61: Heaps-law vocabulary growth — cumulative distinct word
     // trigrams per 50-document ingestion-order prefix
@@ -1741,7 +1748,8 @@ object SparkEntry {
     "q_hits" -> ((s, dir) =>
       Graph.hits(
         Graph.tradingEdgesLongDirected(
-          Tables.lineitem(s, dir), Tables.orders(s, dir)), 2)
+          Tables.lineitem(s, dir), Tables.orders(s, dir)), 2,
+        edgeBound = Some(Tables.rowCount(s, dir, "lineitem")))
         .select(Graph.tradingNodeLabel(col("node")).as("node"),
           col("hub"), col("authority"))),
     // B18b: the hysteresis alarm as keyed streaming state (one

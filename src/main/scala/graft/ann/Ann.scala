@@ -63,7 +63,11 @@ object Ann {
     * precomputed per side (once per vector, not once per pair).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id"), col("embedding"),
+    // kernel-parallelism guard: the probe side computes |corpus|×|q|
+    // dot products INSIDE the scan stage, and a single-row-group local
+    // file scans as 1 task — spread the slim corpus up to session
+    // width first (no-op on many-split cluster inputs)
+    val c = graft.operators.Spread(corpus).select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("c_norm"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"))

@@ -292,8 +292,12 @@ object Dedup {
       .agg(count(lit(1)).as("n_common"))
   }
 
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+  def ngramJaccardPairs(docs0: DataFrame, n: Int, threshold: Double,
                         maxBucket: Int = AdaptiveCap): DataFrame = {
+    // kernel-parallelism guard BEFORE the shingle kernels (and used
+    // consistently for every derived feature projection, so the
+    // memoized histograms keep sharing one cache key)
+    val docs = graft.operators.Spread(docs0)
     val w = if (maxBucket == AdaptiveCap) blockingShingleWidth(docs, n) else n
     // reuse the width probe's memoized histogram for the cap: same
     // feature projection → same cache key → zero extra jobs
@@ -340,8 +344,9 @@ object Dedup {
     * dilutes. Same packed single-shuffle posting plan as
     * [[ngramJaccardPairs]]; only the denominator differs.
     */
-  def ngramContainmentPairs(docs: DataFrame, n: Int, threshold: Double,
+  def ngramContainmentPairs(docs0: DataFrame, n: Int, threshold: Double,
                             maxBucket: Int = AdaptiveCap): DataFrame = {
+    val docs = graft.operators.Spread(docs0)
     val pairs = packedPostingPairs(docs, n, maxBucket)
     pairs
       .withColumn("containment",
@@ -381,9 +386,10 @@ object Dedup {
     * joins; at 100 TB bucket the corpus by doc_id so those fetches
     * co-locate (BucketedScaleSpec's pattern).
     */
-  def prefixJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+  def prefixJaccardPairs(docs0: DataFrame, n: Int, threshold: Double,
                          maxBucket: Int = AdaptiveCap): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val docs = graft.operators.Spread(docs0)
     // closed-vocabulary regime: run the SAME prefix machinery over
     // the discriminative w-grams at the transferred threshold
     // t_w = 1 − (w/n)(1−t) (d substituted words kill ≤ w·d w-grams vs
@@ -509,13 +515,18 @@ object Dedup {
       // handles it without correctness caveats. The pre-hop label
       // rides along so the convergence check below is a scan of the
       // checkpointed table, not another join against the old one.
+      // LAZY checkpoint + the convergence count in ONE job: the count
+      // computes every partition, which materializes the checkpoint
+      // blocks as a side effect — the eager form ran a materialization
+      // job AND a count job per round (2× the per-round driver/job
+      // overhead for the same work)
       val next = hopped
         .join(
           hopped.select(col("node").as("label"), col("label").as("jump")),
           Seq("label"), "left")
         .select(col("node"), coalesce(col("jump"), col("label")).as("label"),
           col("prev_label"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
+        .localCheckpoint(eager = false)
       changed = next.filter(col("label") < col("prev_label")).count()
       // Dataset.unpersist only knows cacheManager entries — a
       // localCheckpoint's blocks live at the RDD layer and need
@@ -605,8 +616,9 @@ object Dedup {
     * evaluated once per row. The window-cap + self-join formulation
     * costs 3 exchanges and evaluates the sketch twice.
     */
-  def minhashLshPairs(docs: DataFrame, shingleSize: Int, numHashes: Int,
+  def minhashLshPairs(docs0: DataFrame, shingleSize: Int, numHashes: Int,
                       bands: Int, maxBucket: Int = AdaptiveCap): DataFrame = {
+    val docs = graft.operators.Spread(docs0)
     val banded = docs.select(
       col("doc_id"),
       posexplode(graft.functions.TextHashFunctions.minhashBands(
@@ -643,8 +655,9 @@ object Dedup {
     * the output equals [[ngramJaccardPairs]] exactly — same shingle
     * sets, same arithmetic — so it shares the exact-Jaccard oracle.
     */
-  def minhashNearDupPairs(docs: DataFrame, n: Int, threshold: Double,
+  def minhashNearDupPairs(docs0: DataFrame, n: Int, threshold: Double,
                           numHashes: Int, bands: Int, maxBucket: Int = AdaptiveCap): DataFrame = {
+    val docs = graft.operators.Spread(docs0)
     val sh = docs.select(col("doc_id"),
       graft.functions.TextHashFunctions.shingleHashes(col("text"), n).as("shs"))
     minhashLshPairs(docs, n, numHashes, bands, maxBucket)
@@ -732,7 +745,8 @@ object Dedup {
     * plan as minhashLshPairs — postings carry (doc_id, sig) structs so
     * hamming verification happens in-map during pair expansion.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int, maxBucket: Int = AdaptiveCap): DataFrame = {
+  def simhashPairs(docs0: DataFrame, maxHamming: Int, maxBucket: Int = AdaptiveCap): DataFrame = {
+    val docs = graft.operators.Spread(docs0)
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
     val chunked = sigs.select(
       col("doc_id"), col("sig"),
@@ -778,9 +792,10 @@ object Dedup {
     * vocabulary is exactly that degenerate case and still runs, just
     * on fewer blocks).
     */
-  def sortedNeighborPairs(docs: DataFrame, window: Int,
+  def sortedNeighborPairs(docs0: DataFrame, window: Int,
                           threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val docs = graft.operators.Spread(docs0)
     val keyed = docs.select(col("doc_id"),
         array_distinct(split(col("text"), " ")).as("wset"))
       .withColumn("sig", array_join(array_sort(col("wset")), " "))
@@ -828,8 +843,9 @@ object Dedup {
     * total weights by id join, the same fetch shape as
     * [[graft.ann.Ann.bandedLshPairs]].
     */
-  def rarityWeightedPairs(docs: DataFrame, threshold: Double,
+  def rarityWeightedPairs(docs0: DataFrame, threshold: Double,
                           dfCap: Int): DataFrame = {
+    val docs = graft.operators.Spread(docs0)
     val n = docs.count()
     val terms = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("term"))
@@ -901,8 +917,9 @@ object Dedup {
     * Candidates then flow through the standard capped posting
     * machinery; a pair survives with `minShared` shared fingerprints.
     */
-  def winnowedPairs(docs: DataFrame, window: Int = 4, minShared: Long = 5,
+  def winnowedPairs(docs0: DataFrame, window: Int = 4, minShared: Long = 5,
                     maxBucket: Int = AdaptiveCap): DataFrame = {
+    val docs = graft.operators.Spread(docs0)
     val P = graft.text.TextOps.FpP
     val wh = graft.text.TextOps.portableWordHashes(col("text"))
     val grams = bindArr(wh) { h =>
@@ -947,8 +964,9 @@ object Dedup {
     * products and norms; the two sqrt divisions come last in fixed
     * order (Ann.cosine's form).
     */
-  def tfCosinePairs(docs: DataFrame, threshold: Double,
+  def tfCosinePairs(docs0: DataFrame, threshold: Double,
                     dfCap: Int, n: Int = 1): DataFrame = {
+    val docs = graft.operators.Spread(docs0)
     // n >= 2 counts word n-grams — on corpora whose unigram df is
     // uniformly hot (every word everywhere), grams restore the
     // df spread the cap needs to discriminate. The split binds once
@@ -1080,10 +1098,11 @@ object Dedup {
     * [[editDistancePairsAuto]] to size the key from the corpus
     * (the `bandedLshPairsAuto` discipline).
     */
-  def editDistancePairs(docs: DataFrame, maxDist: Int,
+  def editDistancePairs(docs0: DataFrame, maxDist: Int,
                         bandWidth: Int = 32, blockTokens: Int = 1,
                         maxBlock: Int = AdaptiveCap): DataFrame = {
     require(maxDist < bandWidth, "band must cover the edit radius")
+    val docs = graft.operators.Spread(docs0)
     val keyed = docs.select(col("doc_id"), col("text"),
         array_join(slice(split(col("text"), " "), 1, blockTokens), " ")
           .as("tok0"),
@@ -1192,9 +1211,10 @@ object Dedup {
     * trade recall for scale — an edit inside the prefix hides a
     * pair — measurable with [[blockingRecall]], the dedup QA row.
     */
-  def editDistancePairsAuto(docs: DataFrame, maxDist: Int,
+  def editDistancePairsAuto(docs0: DataFrame, maxDist: Int,
                             bandWidth: Int = 32,
                             targetBlock: Long = 64): DataFrame = {
+    val docs = graft.operators.Spread(docs0)
     def keyOf(k: Int) =
       array_join(slice(split(col("text"), " "), 1, k), " ")
     val s = docs.agg(

@@ -747,11 +747,16 @@ object Analytics {
       .agg(sum(col("delta")).as("delta"))
     val w = Window.partitionBy(col("key")).orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val running = deltas
+    // peak as a whole-partition window max over the SAME key
+    // partitioning (one exchange total) — the former broadcast
+    // self-join re-evaluated the whole delta pipeline a second time
+    // for the probe side (guide §2.4: two operations keyed the same
+    // way share one exchange)
+    val wAll = Window.partitionBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    deltas
       .withColumn("active", sum(col("delta")).over(w))
-    val peak = running.groupBy(col("key"))
-      .agg(max(col("active")).as("peak_active"))
-    running.join(broadcast(peak), "key")
+      .withColumn("peak_active", max(col("active")).over(wAll))
       .filter(col("active") === col("peak_active"))
       .groupBy(col("key"))
       .agg(min(col("peak_active")).as("peak_active"),

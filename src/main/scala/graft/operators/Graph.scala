@@ -127,7 +127,26 @@ object Graph {
     * until the partitioned copy materializes from it. Returns
     * (edge table, edge count); caller unpersists.
     */
-  private def partitionIterEdges(e0: DataFrame, key: String): (DataFrame, Long) = {
+  private def partitionIterEdges(e0: DataFrame, key: String,
+                                 bound: Option[Long] = None): (DataFrame, Long) = {
+    // Caller-supplied EXACT upper bound on the edge count (e.g. a
+    // join-derived trading graph has at most one directed edge per
+    // lineitem row — one cheap metadata-ish count of the fact table,
+    // vs materializing and counting the derived edge list). A bound
+    // under the wide-gather threshold proves the session width is
+    // right with zero extra jobs: partition-and-persist in ONE lazy
+    // step — no raw cache, no materialization count; the first
+    // consumer (the rank init checkpoint) materializes the cache as a
+    // side effect. A bound at/over the threshold falls through to the
+    // exact count below — at-scale behavior is byte-identical to the
+    // r11 layout.
+    bound match {
+      case Some(b) if b < WideGatherEdges =>
+        return (e0.repartition(
+          e0.sparkSession.sessionState.conf.numShufflePartitions, col(key))
+          .persist(StorageLevel.MEMORY_AND_DISK), b)
+      case _ => ()
+    }
     // Transient-footprint contract: on the two-step path the raw
     // unpartitioned cache and the partitioned copy COEXIST while the
     // latter materializes — peak storage ~2x the edge list
@@ -188,12 +207,19 @@ object Graph {
     * init ~ 10^18 / (100 n) for big graphs; overflow raises under
     * ANSI rather than wrapping.
     */
-  def pageRank(edges: DataFrame, iters: Int, init: Long = 1000000000000L): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, init: Long = 1000000000000L,
+               edgeBound: Option[Long] = None): DataFrame = {
     require(iters >= 1, "at least one propagation round")
-    val (e, _) = partitionIterEdges(edges.select(col("src"), col("dst")), "src")
+    val (e, _) = partitionIterEdges(edges.select(col("src"), col("dst")), "src",
+      edgeBound)
     // out-degree joins the edge list ONCE, up front — re-joining it
     // inside every round would recompute the same co-partitioned
-    // merge `iters` times (bench-measured on the trading graph)
+    // merge `iters` times (bench-measured on the trading graph).
+    // (A single degree-carrying cache built off one repartition of the
+    // unpersisted feed was tried in r12 and measured WORSE: AQE does
+    // not reuse the repartition exchange across the join's two
+    // branches, so the source join ran twice — the two-cache shape
+    // keeps every edge-sized computation single-run.)
     val ed = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
         .hint("shuffle_hash"), "src")
@@ -580,7 +606,8 @@ object Graph {
     * (the components() lesson); the unrolled oracle replays every
     * round exactly.
     */
-  def hits(edges: DataFrame, iters: Int): DataFrame = {
+  def hits(edges: DataFrame, iters: Int,
+           edgeBound: Option[Long] = None): DataFrame = {
     require(iters >= 1, "at least one round")
     // the two per-round gathers join on OPPOSITE keys (hubs flow in
     // by src, authorities back by dst), so one edge cache cannot
@@ -588,10 +615,16 @@ object Graph {
     // table every round (the dominant sf100 cost). Cache each
     // orientation once — 2× edge cache buys zero per-round edge
     // movement; only rank tables and partial-agged contributions move.
-    val (eSrc, nE) = partitionIterEdges(edges.select(col("src"), col("dst")), "src")
+    val (eSrc, nE) = partitionIterEdges(edges.select(col("src"), col("dst")), "src",
+      edgeBound)
     val eDst = eSrc.repartition(iterWidth(eSrc, nE), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    eDst.count() // materialize from eSrc's cache, not from source
+    // Sub-threshold (proven by the caller's bound): stay lazy — the
+    // hub-init checkpoint materializes eSrc via `nodes`, and round 1's
+    // dst-gather then materializes eDst FROM that cache; no extra job.
+    // At scale the eager count keeps the r11 materialization order.
+    if (nE >= WideGatherEdges || edgeBound.isEmpty)
+      eDst.count() // materialize from eSrc's cache, not from source
     val nodes = eSrc.select(col("src").as("node"))
       .unionByName(eSrc.select(col("dst").as("node")))
       .distinct()
@@ -642,9 +675,11 @@ object Graph {
     * `rank > 0` post-filter keeps the output to the reachable set.
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
-                           init: Long = 1000000000000L): DataFrame = {
+                           init: Long = 1000000000000L,
+                           edgeBound: Option[Long] = None): DataFrame = {
     require(iters >= 1, "at least one propagation round")
-    val (e, _) = partitionIterEdges(edges.select(col("src"), col("dst")), "src")
+    val (e, _) = partitionIterEdges(edges.select(col("src"), col("dst")), "src",
+      edgeBound)
     // hoisted edge⋈degree join, as in [[pageRank]]
     val ed = e
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
@@ -840,30 +875,33 @@ object Graph {
         col("event_type").as("j"), col("n_transitions").as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val r = c.groupBy(col("i")).agg(sum(col("n")).as("rt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val cd = c.join(r, "i").persist(StorageLevel.MEMORY_AND_DISK)
-    val states = c.select(col("i").as("state"))
+    // the rolled state carries (state, rt, mass): rt rides along so a
+    // round is ONE narrow join of the gathered inflow back onto the
+    // previous round's table — the former shape joined a separate
+    // states dimension AND the previous mass per round (two extra
+    // dimension joins × iters) and kept two setup-only tables
+    // (c-derived r/states) persisted for the whole run
+    var mass = c.select(col("i").as("state"))
       .unionByName(c.select(col("j").as("state")))
       .distinct()
       .join(r.select(col("i").as("state"), col("rt")), Seq("state"), "left")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var mass = states.select(col("state"), lit(init).as("mass"))
+      .select(col("state"), col("rt"), lit(init).as("mass"))
       .localCheckpoint()
     (1 to iters).foreach { _ =>
       val gathered = cd
         .join(mass.select(col("state").as("i"), col("mass")), "i")
         .select(col("j").as("state"), expr("(mass * n) div rt").as("m"))
         .groupBy(col("state")).agg(sum(col("m")).as("in_mass"))
-      mass = IterState.roll(states
+      mass = IterState.roll(mass
         .join(gathered, Seq("state"), "left")
-        .join(mass.withColumnRenamed("mass", "prev_mass"), Seq("state"))
-        .select(col("state"),
+        .select(col("state"), col("rt"),
           (coalesce(col("in_mass"), lit(0L)) +
-            when(col("rt").isNull, col("prev_mass")).otherwise(lit(0L)))
+            when(col("rt").isNull, col("mass")).otherwise(lit(0L)))
             .as("mass")),
         prev = mass)
     }
-    c.unpersist(); r.unpersist(); cd.unpersist(); states.unpersist()
+    c.unpersist(); cd.unpersist()
     val total = mass.agg(sum(col("mass")).as("total_mass"))
     mass.crossJoin(broadcast(total))
       .select(col("state"), col("mass"),

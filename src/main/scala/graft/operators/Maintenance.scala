@@ -123,7 +123,17 @@ object Maintenance {
     val spark = incoming.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try incoming.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    // AQE rebalance on the partition columns before the partitioned
+    // write (guide §6 "coalesce on write"): without it every input
+    // task opens a file in every partition dir it holds rows for —
+    // tasks × partitions small files per load, each paying open +
+    // commit-protocol rename. Rebalance clusters rows by partition
+    // value at AQE's advisory size, so a load writes ~one right-sized
+    // file per partition (and AQE splits a skewed partition instead
+    // of funneling it to one task — the scale-safe form of
+    // repartition(partitionCols)).
+    try incoming.hint("rebalance", partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
     finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
   }
 

@@ -395,20 +395,46 @@ object Reconcile {
     */
   def joinKeyDiscovery(cols: Seq[(String, DataFrame, String)]): DataFrame = {
     require(cols.size >= 2, "need at least two candidate columns")
+    // One pass, one fact-sized shuffle. The former shape reduced each
+    // column to its distinct set (one exchange per column) and met the
+    // sets in a value-keyed self-join — but the self-join's two sides
+    // plus the per-column count table re-evaluated every scan and
+    // distinct exchange three times. Here each value groups ONCE into
+    // its set of containing columns (collect_set partial-aggregates
+    // map-side, so the exchange carries at most one row per distinct
+    // (value, column)); cross pairs (a < b) count co-occurrences and
+    // self pairs (a = a) count each column's distinct values — both
+    // out of the same bounded-by-cols² in-map expansion (PairCombos,
+    // the coSupplierEdges kernel). Columns index in SORTED tag order
+    // so pair orientation (col_a < col_b) is byte-identical to the
+    // tag-string comparison the report is defined by.
+    val tags = cols.map(_._1)
+    val idxOf = tags.sorted.zipWithIndex.toMap
+    val tagName = {
+      val sortedTags = tags.sorted
+      (c: org.apache.spark.sql.Column) =>
+        element_at(array(sortedTags.map(lit): _*), c.cast("int") + 1)
+    }
     val tagged = cols.map { case (tag, df, c) =>
       df.select(col(c).cast("long").as("v")).filter(col("v").isNotNull)
-        .distinct().select(lit(tag).as("tag"), col("v"))
+        .select(lit(idxOf(tag).toLong).as("t"), col("v"))
     }.reduce(_ unionByName _)
-    val counts = tagged.groupBy(col("tag")).agg(count(lit(1)).as("n"))
-    val a = tagged.select(col("tag").as("col_a"), col("v"))
-    val b = tagged.select(col("tag").as("col_b"), col("v"))
-    a.join(b, "v")
-      .filter(col("col_a") < col("col_b"))
-      .groupBy(col("col_a"), col("col_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(broadcast(counts.select(col("tag").as("col_a"), col("n").as("n_a"))), "col_a")
-      .join(broadcast(counts.select(col("tag").as("col_b"), col("n").as("n_b"))), "col_b")
-      .select(col("col_a"), col("col_b"), col("n_a"), col("n_b"), col("n_common"),
+    val pairCounts = tagged
+      .groupBy(col("v"))
+      .agg(sort_array(collect_set(col("t"))).as("ts"))
+      .select(explode(concat(
+        graft.functions.TextHashFunctions.pairCombos(col("ts")),
+        transform(col("ts"), t => struct(t.as("a"), t.as("b"))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val counts = pairCounts.filter(col("a") === col("b"))
+      .select(col("a").as("t"), col("n"))
+    pairCounts.filter(col("a") < col("b"))
+      .withColumnRenamed("n", "n_common")
+      .join(broadcast(counts.select(col("t").as("a"), col("n").as("n_a"))), "a")
+      .join(broadcast(counts.select(col("t").as("b"), col("n").as("n_b"))), "b")
+      .select(tagName(col("a")).as("col_a"), tagName(col("b")).as("col_b"),
+        col("n_a"), col("n_b"), col("n_common"),
         (col("n_common").cast("double") / col("n_a")).as("containment_a_in_b"),
         (col("n_common").cast("double") / col("n_b")).as("containment_b_in_a"))
   }

@@ -749,7 +749,8 @@ object TextOps {
     * sources², a dimension-sized matrix; hash grams to 8-byte longs
     * at 100 TB like [[repeatedGrams]].
     */
-  def sourceGramOverlap(docs: DataFrame, n: Int): DataFrame =
+  def sourceGramOverlap(docs0: DataFrame, n: Int): DataFrame = {
+    val docs = graft.operators.Spread(docs0)
     docs.select(col("source"),
         explode(bind(split(col("text"), " "))(w => array_distinct(wordGrams(w, n))))
           .as("gram"))
@@ -763,6 +764,7 @@ object TextOps {
       }).as("p"))
       .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
       .agg(count(lit(1)).as("n_shared_grams"))
+  }
 
   /** Corpus-statistics fluency score — the LM-lite quality signal:
     * how much of a document is made of bigrams the corpus itself uses
@@ -1087,7 +1089,8 @@ object TextOps {
     * so the 8-byte key shuffles instead of the string, same note as
     * [[repeatedGrams]].
     */
-  def novelty(docs: DataFrame, n: Int): DataFrame = {
+  def novelty(docs0: DataFrame, n: Int): DataFrame = {
+    val docs = graft.operators.Spread(docs0)
     val grams = docs.select(col("doc_id"),
       explode(bind(split(col("text"), " "))(w => array_distinct(wordGrams(w, n))))
         .as("gram"))
