@@ -255,8 +255,17 @@ object Dedup {
     val sets = docs.select(col("doc_id"),
       sort_array(graft.functions.TextHashFunctions.shingleHashes(col("text"), n))
         .as("shs"))
-    cands
+    // explicit width on the candidate side of both fetch joins (the
+    // bandedLshPairs lesson): candidate rows are tiny in BYTES before
+    // the intersect kernel runs, so AQE's byte-based coalescing
+    // funnels the whole verify — array_intersect over ~|doc| sorted
+    // hash arrays per pair — onto ONE task (r12 profile: 1.03 s
+    // single-task stage in q_dedup_prefix). A pinned user repartition
+    // is exempt from coalescing and the join reuses it.
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    cands.repartition(width, col("doc_a"))
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .repartition(width, col("doc_b"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
@@ -660,8 +669,12 @@ object Dedup {
     val docs = graft.operators.Spread(docs0)
     val sh = docs.select(col("doc_id"),
       graft.functions.TextHashFunctions.shingleHashes(col("text"), n).as("shs"))
+    // pinned width on the verify fetch joins, as in exactJaccardVerify
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
     minhashLshPairs(docs, n, numHashes, bands, maxBucket)
+      .repartition(width, col("doc_a"))
       .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .repartition(width, col("doc_b"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
