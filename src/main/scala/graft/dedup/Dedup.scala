@@ -669,12 +669,8 @@ object Dedup {
     val docs = graft.operators.Spread(docs0)
     val sh = docs.select(col("doc_id"),
       graft.functions.TextHashFunctions.shingleHashes(col("text"), n).as("shs"))
-    // pinned width on the verify fetch joins, as in exactJaccardVerify
-    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
     minhashLshPairs(docs, n, numHashes, bands, maxBucket)
-      .repartition(width, col("doc_a"))
       .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
-      .repartition(width, col("doc_b"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
@@ -758,8 +754,7 @@ object Dedup {
     * plan as minhashLshPairs — postings carry (doc_id, sig) structs so
     * hamming verification happens in-map during pair expansion.
     */
-  def simhashPairs(docs0: DataFrame, maxHamming: Int, maxBucket: Int = AdaptiveCap): DataFrame = {
-    val docs = graft.operators.Spread(docs0)
+  def simhashPairs(docs: DataFrame, maxHamming: Int, maxBucket: Int = AdaptiveCap): DataFrame = {
     val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
     val chunked = sigs.select(
       col("doc_id"), col("sig"),
@@ -856,9 +851,8 @@ object Dedup {
     * total weights by id join, the same fetch shape as
     * [[graft.ann.Ann.bandedLshPairs]].
     */
-  def rarityWeightedPairs(docs0: DataFrame, threshold: Double,
+  def rarityWeightedPairs(docs: DataFrame, threshold: Double,
                           dfCap: Int): DataFrame = {
-    val docs = graft.operators.Spread(docs0)
     val n = docs.count()
     val terms = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("term"))
@@ -1111,11 +1105,10 @@ object Dedup {
     * [[editDistancePairsAuto]] to size the key from the corpus
     * (the `bandedLshPairsAuto` discipline).
     */
-  def editDistancePairs(docs0: DataFrame, maxDist: Int,
+  def editDistancePairs(docs: DataFrame, maxDist: Int,
                         bandWidth: Int = 32, blockTokens: Int = 1,
                         maxBlock: Int = AdaptiveCap): DataFrame = {
     require(maxDist < bandWidth, "band must cover the edit radius")
-    val docs = graft.operators.Spread(docs0)
     val keyed = docs.select(col("doc_id"), col("text"),
         array_join(slice(split(col("text"), " "), 1, blockTokens), " ")
           .as("tok0"),
@@ -1224,10 +1217,9 @@ object Dedup {
     * trade recall for scale — an edit inside the prefix hides a
     * pair — measurable with [[blockingRecall]], the dedup QA row.
     */
-  def editDistancePairsAuto(docs0: DataFrame, maxDist: Int,
+  def editDistancePairsAuto(docs: DataFrame, maxDist: Int,
                             bandWidth: Int = 32,
                             targetBlock: Long = 64): DataFrame = {
-    val docs = graft.operators.Spread(docs0)
     def keyOf(k: Int) =
       array_join(slice(split(col("text"), " "), 1, k), " ")
     val s = docs.agg(
