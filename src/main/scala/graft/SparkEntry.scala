@@ -850,7 +850,8 @@ object SparkEntry {
       // probe join is quadratic in per-cell occupancy — the 100×
       // soak's spill-death; rows-only by declared design, recall
       // pinned by spec vs the exact graph
-      Ann.knnGraphIvfAuto(Tables.embeddings(s, dir), 5, 6, refineIters = 2)),
+      Ann.knnGraphIvfAuto(Tables.embeddings(s, dir), 5, 6, refineIters = 2,
+        nRows = Some(Tables.rowCount(s, dir, "embeddings")))),
     // D26: int8 embedding quantization, graded through exact integer
     // digests of the quantized vectors (sum, sum of squares)
     "q_embed_quantize" -> ((s, dir) =>

@@ -21,6 +21,14 @@ object Tables {
     * inferred StructType per path is the local-mode equivalent
     * (metadata only — scans still read the files lazily, filters and
     * column pruning still push down identically).
+    *
+    * Both caches (schema + rowCount) are JVM-lifetime and keyed on
+    * path only: they assume the base tables under a sf-dir are
+    * IMMUTABLE for the life of the process, which holds for every
+    * caller — `load`/`rowCount` only ever read the driver-generated
+    * source testdata. Harness-rewritten tables (soak/stream
+    * warehouses) go through bare `spark.read.parquet`, never this
+    * loader; route any mutable path the same way.
     */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
@@ -47,12 +55,23 @@ object Tables {
       val conf = spark.sessionState.newHadoopConf()
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
+      // recurse: a partitioned layout nests data files in subdirs — a
+      // top-level-only listing would silently return 0 for them and
+      // feed an UNDERcount to partitionIterEdges' layout choice
       val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath).filter { f =>
-            f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
+        if (fs.getFileStatus(p).isDirectory) {
+          val it = fs.listFiles(p, true)
+          val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+              buf += f
           }
-        else Array(p)
+          buf.toArray
+        } else Array(p)
+      require(files.nonEmpty,
+        s"rowCount($path): no parquet data files found — an invalid " +
+          "bound must fail loudly, not undercount a layout decision")
       files.map { f =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))

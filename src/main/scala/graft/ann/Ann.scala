@@ -143,12 +143,18 @@ object Ann {
     */
   def knnGraphIvfAuto(corpus: DataFrame, k: Int, nprobe: Int,
                       refineIters: Int = 0,
-                      targetCellSize: Int = 256): DataFrame = {
+                      targetCellSize: Int = 256,
+                      nRows: Option[Long] = None): DataFrame = {
     // fail HERE, not inside fitIvf's require: the `lo` floor is applied
     // after autoCellCount's 4096 clamp, so a larger nprobe would yield
     // nCells > 4096 and a confusing downstream message
     require(nprobe <= 4096, s"nprobe=$nprobe exceeds the 4096 cell-count clamp")
-    val nCells = autoCellCount(corpus.count(), targetCellSize, lo = nprobe.toLong)
+    // nRows: the caller's EXACT corpus row count when it has one for
+    // free (parquet footer statistics / the metastore rowCount a
+    // catalog table carries) — skips the count() job (guide §5:
+    // fewer driver-side jobs); semantics identical by contract
+    val nCells = autoCellCount(nRows.getOrElse(corpus.count()),
+      targetCellSize, lo = nprobe.toLong)
     knnGraphIvf(corpus, k, nCells, nprobe, refineIters)
   }
 
@@ -203,18 +209,24 @@ object Ann {
     // data growth). A pinned user repartition is exempt from AQE
     // coalescing and the join reuses it, so no exchange is added.
     val width = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    val cells = corpus.select(
+    // ONE assignment kernel + ONE pinned exchange for BOTH join
+    // inputs: bestCell(x) is by construction probeCells(x, nprobe)[0]
+    // (same native top-k kernel, same tie-break), so the cell
+    // assignment rides the probe explosion's pos==0 rows. The former
+    // two-branch shape ran the O(n·cells·dims) kernel twice and paid
+    // a second corpus-sized exchange; here both sides read the same
+    // reused shuffle (guide §2.3/§2.4).
+    val probed = corpus.select(
       col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("c_norm"),
-      bestCell(model.centroids, col("embedding")).as("cell_id"))
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+      posexplode(probeCells(model.centroids, col("embedding"), nprobe)))
+      .withColumnRenamed("col", "cell_id")
       .repartition(width, col("cell_id"))
-    val probes = corpus.select(
+    val cells = probed.filter(col("pos") === 0).select(
+      col("vec_id"), col("embedding"), col("norm").as("c_norm"), col("cell_id"))
+    val probes = probed.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"),
-      probeCells(model.centroids, col("embedding"), nprobe).as("probe"))
-      .select(col("query_id"), col("q_emb"), col("q_norm"),
-        explode(col("probe")).as("cell_id"))
-      .repartition(width, col("cell_id"))
+      col("norm").as("q_norm"), col("cell_id"))
     val scored = cells.join(probes.hint("shuffle_hash"), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -550,10 +562,8 @@ object Ann {
     * audits pin that), and the round-robin exchange this inserts in
     * the degenerate case moves only the slim (id, embedding) corpus.
     */
-  private def withKernelParallelism(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
-  }
+  private def withKernelParallelism(df: DataFrame): DataFrame =
+    graft.operators.Spread(df)
 
   /** Fit the IVF cells: deterministic seeds + optional Lloyd rounds. */
   def fitIvf(corpus: DataFrame, nCells: Int, refineIters: Int = 0): IvfModel = {

@@ -250,11 +250,25 @@ object Dedup {
     * axis). At 100 TB bucket the corpus by doc_id so these fetches
     * co-locate (BucketedScaleSpec's pattern).
     */
-  private def exactJaccardVerify(docs: DataFrame, cands: DataFrame,
-                                 n: Int, threshold: Double): DataFrame = {
-    val sets = docs.select(col("doc_id"),
+  /** Sorted shingle-hash set per document, pinned behind ONE doc_id
+    * exchange: every fetch join that needs a side's set reads the
+    * same shuffle output (ReuseExchange), so the shingle kernel runs
+    * ONCE per query however many joins consume it — the former
+    * per-join projections re-ran the kernel per fetch side (guide
+    * §2.4). The doc_id layout is also the at-100 TB shape (bucket the
+    * corpus by doc_id; the fetch joins then co-locate).
+    */
+  private def shingleSets(docs: DataFrame, n: Int): DataFrame = {
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.select(col("doc_id"),
       sort_array(graft.functions.TextHashFunctions.shingleHashes(col("text"), n))
         .as("shs"))
+      .repartition(width, col("doc_id"))
+  }
+
+  private def exactJaccardVerify(docs: DataFrame, cands: DataFrame,
+                                 n: Int, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs, n)
     // explicit width on the candidate side of both fetch joins (the
     // bandedLshPairs lesson): candidate rows are tiny in BYTES before
     // the intersect kernel runs, so AQE's byte-based coalescing
@@ -292,11 +306,19 @@ object Dedup {
         explode(col("shs")).as("sh"))
     val cap =
       if (maxBucket > 0) maxBucket else adaptiveMaxBucket(sh.select(col("sh")))
-    val postings = sh.groupBy(col("sh"))
+    // pin the posting exchange BEFORE the list agg, not after it: the
+    // final collect_list merge + in-map pair expansion then ride the
+    // user exchange at session width (r13 profile: AQE's byte-based
+    // coalescing ran the posting merge on 4 tasks — the same defect
+    // class as the verify-fetch pins). collect_list partial
+    // aggregation moves the same bytes either way (lists concatenate,
+    // nothing reduces), so dropping it costs nothing and this saves a
+    // whole exchange (2 → 1 on the posting path).
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val postings = sh.repartition(width, col("sh")).groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id_size"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
-    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
-    postingPairs(postings.repartition(width, col("sh")))
+    postingPairs(postings)
       .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
       .agg(count(lit(1)).as("n_common"))
   }
@@ -424,13 +446,15 @@ object Dedup {
     val cap =
       if (maxBucket > 0) maxBucket
       else adaptiveMaxBucket(pref.select(col("sh")))
-    val postings = pref.groupBy(col("sh"))
+    // pin BEFORE the list agg (packedPostingPairs' rationale): the
+    // posting merge + pair expansion ride one user exchange at width
+    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val postings = pref.repartition(width, col("sh")).groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id_size"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
-    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
     val sa = col("pa").bitwiseAND(SizeMask).cast("double")
     val sb = col("pb").bitwiseAND(SizeMask).cast("double")
-    val cands = postingPairs(postings.repartition(width, col("sh")))
+    val cands = postingPairs(postings)
       .select(col("p.a").as("pa"), col("p.b").as("pb")).distinct()
       // J >= t forces t*max(|A|,|B|) <= min(|A|,|B|); the epsilon
       // absorbs IEEE rounding of t*max (sizes < 2^20 keep the true
@@ -646,7 +670,11 @@ object Dedup {
       if (maxBucket > 0) maxBucket
       else adaptiveMaxBucket(banded.select(
         xxhash64(col("band"), col("band_hash")).as("bk")))
-    val postings = banded.groupBy(col("band"), col("band_hash"))
+    // pin BEFORE the list agg (packedPostingPairs' rationale)
+    val postings = banded
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("band_hash"))
+      .groupBy(col("band"), col("band_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= cap)
     postingPairs(postings)
@@ -667,8 +695,10 @@ object Dedup {
   def minhashNearDupPairs(docs0: DataFrame, n: Int, threshold: Double,
                           numHashes: Int, bands: Int, maxBucket: Int = AdaptiveCap): DataFrame = {
     val docs = graft.operators.Spread(docs0)
-    val sh = docs.select(col("doc_id"),
-      graft.functions.TextHashFunctions.shingleHashes(col("text"), n).as("shs"))
+    // the shared pinned-set exchange ([[shingleSets]]): both fetch
+    // joins read ONE evaluation of the shingle kernel (sort_array is
+    // value-neutral for the intersect/size arithmetic)
+    val sh = shingleSets(docs, n)
     minhashLshPairs(docs, n, numHashes, bands, maxBucket)
       .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
@@ -896,10 +926,17 @@ object Dedup {
   def blockingRecall(exactPairs: DataFrame, candidatePairs: DataFrame): DataFrame = {
     val e = exactPairs.select(col("doc_a"), col("doc_b"))
     val c = candidatePairs.select(col("doc_a").as("ca"), col("doc_b").as("cb"))
-    val nCand = c.agg(count(lit(1)).as("n_candidates"))
-    e.join(c, col("doc_a") === col("ca") && col("doc_b") === col("cb"), "left")
-      .agg(count(lit(1)).as("n_exact"), count(col("ca")).as("n_found"))
-      .crossJoin(broadcast(nCand))
+    // ONE pass over each miner: the former left-join + separate
+    // candidate count evaluated the entire candidate pipeline TWICE
+    // (no exchange above a miner's output, so nothing reused). A full
+    // outer join carries exact-only, found, and candidate-only rows
+    // through a single aggregate — both pair tables are unique by
+    // construction (grouped / distinct miners), so row counts are the
+    // set sizes.
+    e.join(c, col("doc_a") === col("ca") && col("doc_b") === col("cb"), "full")
+      .agg(count(col("doc_a")).as("n_exact"),
+        count(when(col("doc_a").isNotNull, col("ca"))).as("n_found"),
+        count(col("ca")).as("n_candidates"))
       .withColumn("recall",
         when(col("n_exact") === 0, lit(null).cast("double"))
           .otherwise(col("n_found").cast("double") / col("n_exact")))
@@ -946,7 +983,13 @@ object Dedup {
     val cap =
       if (maxBucket > 0) maxBucket
       else adaptiveMaxBucket(fpRows.select(col("fp")))
+    // pin BEFORE the set agg (packedPostingPairs' rationale): the
+    // posting merge + pair expansion ride one user exchange at width
+    // ((fp, doc_id) rows are unique — array_distinct upstream — so
+    // partial collect_set reduced nothing anyway)
     val postings = fpRows
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("fp"))
       .groupBy(col("fp"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, cap))
@@ -993,8 +1036,11 @@ object Dedup {
     val norms = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("s2"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // pin BEFORE the list agg (packedPostingPairs' rationale)
     val postings = tf
       .join(broadcast(dfs.filter(col("df") <= dfCap)), "term")
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("term"))
       .groupBy(col("term"))
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("tf")))).as("ps"))
@@ -1005,8 +1051,7 @@ object Dedup {
       transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
         struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
           (x.getField("tf") * y.getField("tf")).as("prod")))))
-    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
-    postings.repartition(width, col("term"))
+    postings
       .select(explode(pairProducts).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(sum(col("p.prod")).as("dot"))

@@ -690,45 +690,51 @@ object Analytics {
     * intervals but self-pair-filter out of the pairs form — dedupe
     * ids upstream if the feed can repeat them.
     */
-  def intervalOverlapStats(iv: DataFrame): DataFrame = {
-    val starts = iv.select(col("key"), col("s").as("val"), lit(0).as("typ"))
-    val ends = iv.select(col("key"), col("e").as("val"), lit(1).as("typ"))
-    val w = Window.partitionBy(col("key")).orderBy(col("val"), col("typ"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val nonOverlap = starts.unionByName(ends)
-      .withColumn("ends_before",
-        coalesce(sum(when(col("typ") === 1, 1L).otherwise(0L)).over(w), lit(0L)))
-      .filter(col("typ") === 0)
-      .groupBy(col("key"))
-      .agg(count(lit(1)).as("n_iv"), sum(col("ends_before")).as("n_disjoint"))
-      .select(col("key"),
-        (col("n_iv") * (col("n_iv") - 1L) / 2L - col("n_disjoint"))
-          .cast("long").as("n_pairs"))
+  def intervalOverlapStats(iv0: DataFrame): DataFrame = {
+    // Pin the interval feed behind ONE keyed exchange: both union
+    // branches then read the same shuffle output instead of
+    // re-running the (often join-heavy) upstream per branch — the
+    // former starts/ends + (+δ)/(−δ) shape evaluated it FOUR times
+    // (guide §2.4: operations keyed the same way share one exchange).
+    val width = iv0.sparkSession.sessionState.conf.numShufflePartitions
+    val iv = iv0.repartition(width, col("key"))
     val epoch = lit("1970-01-01").cast("date")
-    // ±1 deltas at s and e+1, collapsed per (key, day); the running
-    // sum and the next-boundary lead share ONE sort. Every gap·a(a−1)
-    // term is even, so the summed total halves exactly with an
-    // integral div — no double arithmetic anywhere.
+    // ONE boundary sweep carries BOTH aggregates. ±1 deltas at s and
+    // e+1, collapsed per (key, day); `active` after day-d deltas is
+    // #{s ≤ d ≤ e}. Overlap-days: between consecutive boundary days
+    // the count is constant, so a run contributes gap · C(active, 2);
+    // every gap·a(a−1) term is even, so the summed total halves
+    // exactly with an integral div — no double arithmetic anywhere.
+    // Pair count, attributed to each pair's LATER start day d:
+    // the n_start same-day starters pair with each other
+    // (C(n_start, 2) — equal starts always overlap) and with every
+    // earlier-started interval still active at d (active − n_start;
+    // e' ≥ d ⟺ not disjoint, matching the former strict e < s'
+    // event-order identity). The running sum and the next-boundary
+    // lead share ONE sort; the final per-key rollup rides the
+    // window's key partitioning (no further exchange).
     val wOrd = Window.partitionBy(col("key")).orderBy(col("d"))
-    val overlapDays = iv
+    iv
       .select(col("key"), datediff(col("s"), epoch).cast("long").as("d"),
-        lit(1L).as("delta"))
+        lit(1L).as("delta"), lit(1L).as("n_start"))
       .unionByName(iv.select(col("key"),
         (datediff(col("e"), epoch) + 1).cast("long").as("d"),
-        lit(-1L).as("delta")))
+        lit(-1L).as("delta"), lit(0L).as("n_start")))
       .groupBy(col("key"), col("d"))
-      .agg(sum(col("delta")).as("delta"))
+      .agg(sum(col("delta")).as("delta"), sum(col("n_start")).as("n_start"))
       .withColumn("active",
         sum(col("delta")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("next_d", lead(col("d"), 1).over(wOrd))
-      .filter(col("next_d").isNotNull)
       .groupBy(col("key"))
-      .agg(sum((col("next_d") - col("d")) * col("active")
-        * (col("active") - 1L)).as("_twice"))
-      .select(col("key"), expr("_twice div 2").as("total_overlap_days"))
-    nonOverlap.join(overlapDays, Seq("key"))
+      .agg(
+        sum(col("n_start") * (col("active") - col("n_start"))
+          + expr("(n_start * (n_start - 1L)) div 2")).as("n_pairs"),
+        sum(when(col("next_d").isNotNull,
+          (col("next_d") - col("d")) * col("active") * (col("active") - 1L))
+          .otherwise(0L)).as("_twice"))
       .filter(col("n_pairs") > 0)
-      .select(col("key"), col("n_pairs"), col("total_overlap_days"))
+      .select(col("key"), col("n_pairs"),
+        expr("_twice div 2").as("total_overlap_days"))
   }
 
   /** Peak concurrency per key over an interval set: the maximum
@@ -739,7 +745,12 @@ object Analytics {
     * prefix sum runs over the dimension-sized event-day table, and
     * the argmax breaks ties to the earliest day. All integers.
     */
-  def peakConcurrency(iv: DataFrame): DataFrame = {
+  def peakConcurrency(iv0: DataFrame): DataFrame = {
+    // same feed pin as [[intervalOverlapStats]]: one keyed exchange,
+    // read by both union branches, instead of re-running the upstream
+    // join tree once per branch (guide §2.4)
+    val iv = iv0.repartition(
+      iv0.sparkSession.sessionState.conf.numShufflePartitions, col("key"))
     val deltas = iv.select(col("key"), col("s").as("d"), lit(1L).as("delta"))
       .unionByName(iv.select(col("key"),
         date_add(col("e"), 1).as("d"), lit(-1L).as("delta")))
@@ -1340,15 +1351,22 @@ object Analytics {
     * widest basket, like every pair miner).
     */
   def basketLift(lineitem: DataFrame, minSupport: Long): DataFrame = {
-    val items = lineitem
+    // ONE fact exchange: collect_set dedups (basket, item) in-map, so
+    // the per-basket item sets need no upstream distinct — and the
+    // basket count and item supports both derive from the SAME
+    // aggregated sets (ReuseExchange: three consumers of one shuffle)
+    // instead of each paying its own pass over the distinct pairs
+    // (guide §2.3/§2.4; before: a distinct exchange + count_distinct
+    // + groupBy(item) + groupBy(basket), four fact-sized exchanges)
+    val sets = lineitem
       .select(col("l_orderkey").as("basket"),
         col("l_partkey").cast("long").as("item"))
-      .distinct()
-    val nBaskets = items.agg(count_distinct(col("basket")).as("n_baskets"))
-    val itemCnt = items.groupBy(col("item")).agg(count(lit(1)).as("c"))
-    items
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("its"))
+    val nBaskets = sets.agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = sets.select(explode(col("its")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("c"))
+    sets
       .select(explode(
         graft.functions.TextHashFunctions.pairCombos(col("its"))).as("p"))
       .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))

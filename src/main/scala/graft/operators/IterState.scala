@@ -51,14 +51,39 @@ object IterState {
       org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
 
-  /** Eagerly localCheckpoints `next`, then frees `prev`'s checkpoint
-    * blocks. `prev` MUST itself be a (local)checkpointed Dataset this
-    * round no longer needs; the returned Dataset replaces it.
+  /** Eagerly localCheckpoints `next`, then frees the round state
+    * retired one roll AGO and enqueues `prev` for the next roll.
+    * `prev` MUST itself be a (local)checkpointed Dataset this round
+    * no longer needs; the returned Dataset replaces it.
+    *
+    * Why the one-round grace (the CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    * transient, r12 verdict item 5): the checkpoint action above
+    * returns when the FINAL stage of round N's job completes, but an
+    * AQE re-optimization can ORPHAN an already-submitted sibling
+    * stage future — it keeps running to completion with no consumer.
+    * Freeing `prev` immediately yanked round N−1's blocks from under
+    * such an orphan mid-stage: its tasks then die with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (a localCheckpoint cannot
+    * recompute). Harmless to results — nothing awaits an orphan, and
+    * no later round's plan references a freed state — but it burns
+    * task retries and floods the log. Deferring the free by ONE roll
+    * gives any orphan a full round's wall time to drain; transient
+    * storage goes from 2 to at most 3 live round states (still O(1)
+    * rounds — the leak-free contract this object exists for).
+    * Residual risk is the same class as before, one round narrower:
+    * an orphan outliving an ENTIRE extra round still fails benignly.
     */
+  private val pendingFree =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def roll(next: DataFrame, prev: DataFrame): DataFrame = {
     fireProbe(next)
     val ck = next.localCheckpoint()
-    free(prev)
+    val retired = pendingFree.getAndSet(prev)
+    // the deferred state may belong to an earlier query or a session
+    // a test already stopped — its blocks are gone with the context
+    if (retired != null && !retired.sparkSession.sparkContext.isStopped)
+      free(retired)
     ck
   }
 

@@ -137,11 +137,13 @@ object Layout {
   def zoneMapAdvisor(df: DataFrame, sortCols: Seq[String], probeCol: String,
                      blockRows: Int, probes: Seq[Long],
                      label: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(sortCols.map(col): _*)
-    val blocks = df
-      .select((probeCol +: sortCols).distinct.map(col): _*)
-      .withColumn("rn", row_number().over(w))
+    // range-partitioned global row_number (GlobalRank): the advisor's
+    // sequential frame no longer funnels the sampled table onto one
+    // task (sortCols must still totally order the rows — same
+    // contract as before)
+    val blocks = GlobalRank.rowNumber(
+      df.select((probeCol +: sortCols).distinct.map(col): _*),
+      sortCols.map(col), "rn")
       .withColumn("blk", expr(s"(rn - 1) div $blockRows"))
       .groupBy(col("blk"))
       .agg(min(col(probeCol)).as("mn"), max(col(probeCol)).as("mx"))

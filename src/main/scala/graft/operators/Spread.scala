@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Repartition}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 
 /** Input-layout guard for per-row kernel stages (the
   * Ann.withKernelParallelism idiom, hoisted so the text/dedup miners
@@ -16,8 +18,26 @@ import org.apache.spark.sql.DataFrame
   * IVF family).
   */
 object Spread {
-  def apply(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+  /** True iff the plan is a bare scan under projections/filters — the
+    * only shape whose `df.rdd.getNumPartitions` is a pure planning
+    * question. On any other shape (joins, aggregates — anything with
+    * an exchange), `Dataset.rdd` under AQE MATERIALIZES the upstream
+    * shuffle stages in a separate execution and the real query then
+    * re-runs them (r12 ADVICE): those inputs pass through untouched.
+    */
+  private def scanShaped(plan: LogicalPlan): Boolean = plan match {
+    case p: Project => scanShaped(p.child)
+    case f: Filter => scanShaped(f.child)
+    // coalesce is a narrow repartition — no exchange, still a scan
+    case r: Repartition if !r.shuffle => scanShaped(r.child)
+    case _: LogicalRelation => true
+    case _ => false
   }
+
+  def apply(df: DataFrame): DataFrame =
+    if (!scanShaped(df.queryExecution.optimizedPlan)) df
+    else {
+      val want = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+    }
 }

@@ -555,19 +555,18 @@ object TextOps {
     */
   def bordaEnsemble(df: DataFrame, idCol: String,
                     signals: Seq[(String, Column, Boolean)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // every rank is a RANGE-partitioned global row_number
+    // (operators.GlobalRank), never an unpartitioned window — each
+    // signal's rank used to move the whole doc dimension to ONE task
     val ranked = signals.foldLeft(df) { case (acc, (name, c, desc)) =>
       val ord = if (desc) Seq(c.desc, col(idCol)) else Seq(c.asc, col(idCol))
-      acc.withColumn(s"rank_$name",
-        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      graft.operators.GlobalRank.rowNumber(acc, ord, s"rank_$name")
     }
     val borda = signals.map(s => col(s"rank_${s._1}"))
       .reduce(_ + _)
-    ranked
-      .withColumn("borda", borda)
-      .withColumn("final_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("borda"), col(idCol))).cast("long"))
+    graft.operators.GlobalRank.rowNumber(
+      ranked.withColumn("borda", borda),
+      Seq(col("borda"), col(idCol)), "final_rank")
       .select(col(idCol) +: signals.map(s => col(s"rank_${s._1}")) :+
         col("borda") :+ col("final_rank"): _*)
   }
@@ -1185,9 +1184,12 @@ object TextOps {
       .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
         .orderBy(col("score"), col("doc_id"))))
       .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
-    val pooled = s.select(col("score").as("pool_score"), col("doc_id"))
-      .withColumn("prk", row_number().over(
-        Window.orderBy(col("pool_score"), col("doc_id"))))
+    // pooled rank: range-partitioned global row_number — the pooled
+    // sort is corpus-sized, the one place this operator must not
+    // funnel to a single task (operators.GlobalRank, r12 verdict)
+    val pooled = graft.operators.GlobalRank.rowNumber(
+      s.select(col("score").as("pool_score"), col("doc_id")),
+      Seq(col("pool_score"), col("doc_id")), "prk")
       .drop("doc_id")
     val nPool = s.agg(count(lit(1)).as("n_pool"))
     ranked

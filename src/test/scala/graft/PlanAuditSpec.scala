@@ -828,13 +828,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "type counts join the pair table broadcast-side")
   }
 
-  test("join discovery: distincts collapse each column before the value join") {
+  test("join discovery: one collect_set pass with in-map pair expansion, " +
+    "no per-column distincts, no value self-join") {
     val p = plan("q_join_discovery")
-    // every per-column branch partial-aggregates (distinct) before
-    // the union meets the value join
+    // the r12 one-pass rewrite: every value groups ONCE into its set
+    // of containing columns; pairs expand in-map (PairCombos), so the
+    // plan has no value-keyed self-join and exactly one fact-sized
+    // exchange under the set aggregation
     assert(!p.contains("CartesianProduct"))
-    assert("HashAggregate".r.findAllIn(p).length >= 4,
-      "distinct collapses must sit under the join")
+    // the only joins left are broadcast attaches of the tiny
+    // per-column tables — a value self-join would be a fact-sized
+    // SortMergeJoin
+    assert(!p.contains("SortMergeJoin"),
+      s"no value self-join in the one-pass shape:\n$p")
+    assert(p.contains("collect_set"), "the value→columns set collapse is the plan")
+    assert(p.contains("pair_combos"),
+      s"in-map pair expansion expected:\n$p")
   }
 
   test("fd discovery: two-level aggregation with map-side partials, no join") {

@@ -42,7 +42,10 @@ def main(before_path, after_path):
         ratio = f"{aa/bb:.2f}" if bb and aa and bb > 0 else "-"
         st = ("changed" if q in CHANGED else
               "tried-reverted" if q in TRIED_REVERTED else "global only")
-        lines.append(f"| {q} | {bb:.2f} | {aa:.2f} | {ratio} | {st} |")
+        # a query present in only one run must not crash the report
+        bbs = f"{bb:.2f}" if bb is not None else "-"
+        aas = f"{aa:.2f}" if aa is not None else "-"
+        lines.append(f"| {q} | {bbs} | {aas} | {ratio} | {st} |")
     with open("/root/repo/OPTIMIZATION_r12.md", "a") as f:
         f.write("\n".join(lines) + "\n")
     print(f"appended {len(bq)} rows")
