@@ -256,14 +256,19 @@ object Dedup {
     * ONCE per query however many joins consume it — the former
     * per-join projections re-ran the kernel per fetch side (guide
     * §2.4). The doc_id layout is also the at-100 TB shape (bucket the
-    * corpus by doc_id; the fetch joins then co-locate).
+    * corpus by doc_id; the fetch joins then co-locate) — and when the
+    * corpus IS already bucketed by doc_id, the pin is skipped: the
+    * bucketed scan co-locates the fetch joins in place, and the pin
+    * would reshuffle the whole corpus to build a layout the files
+    * already have (BucketedScaleSpec pins exactly this).
     */
   private def shingleSets(docs: DataFrame, n: Int): DataFrame = {
-    val width = docs.sparkSession.sessionState.conf.numShufflePartitions
-    docs.select(col("doc_id"),
+    val sets = docs.select(col("doc_id"),
       sort_array(graft.functions.TextHashFunctions.shingleHashes(col("text"), n))
         .as("shs"))
-      .repartition(width, col("doc_id"))
+    if (graft.operators.Spread.bucketedBy(docs, Seq("doc_id"))) sets
+    else sets.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
   }
 
   private def exactJaccardVerify(docs: DataFrame, cands: DataFrame,
