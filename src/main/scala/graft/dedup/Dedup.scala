@@ -250,26 +250,24 @@ object Dedup {
     * axis). At 100 TB bucket the corpus by doc_id so these fetches
     * co-locate (BucketedScaleSpec's pattern).
     */
-  /** Sorted shingle-hash set per document, pinned behind ONE doc_id
-    * exchange: every fetch join that needs a side's set reads the
-    * same shuffle output (ReuseExchange), so the shingle kernel runs
-    * ONCE per query however many joins consume it — the former
-    * per-join projections re-ran the kernel per fetch side (guide
-    * §2.4). The doc_id layout is also the at-100 TB shape (bucket the
-    * corpus by doc_id; the fetch joins then co-locate) — and when the
-    * corpus IS already bucketed by doc_id, the pin is skipped: the
-    * bucketed scan co-locates the fetch joins in place, and the pin
-    * would reshuffle the whole corpus to build a layout the files
-    * already have (BucketedScaleSpec pins exactly this).
+  /** Sorted shingle-hash set per document — the projection each
+    * verify fetch join re-derives from the corpus scan in place.
+    * Deliberately NOT pinned behind a shared doc_id exchange: that
+    * was tried (one ReuseExchange feeding both fetch joins, kernel
+    * once per query) and measured WORSE on every consumer (isolated
+    * min-of-3×4 A/B: ngram 1.28→1.10, sweep 1.55→1.36, prefix
+    * 1.87→1.74, recall 1.97→1.88 s; controls flat) — the exchange
+    * moves the full sorted hash ARRAYS of the whole corpus, which
+    * costs more than running the shingle kernel once per join side
+    * over the in-place scan. It would also have reshuffled a corpus
+    * already bucketed by doc_id (BucketedScaleSpec's 100 TB
+    * contract): at scale, bucketing — not an exchange — is how these
+    * fetches co-locate.
     */
-  private def shingleSets(docs: DataFrame, n: Int): DataFrame = {
-    val sets = docs.select(col("doc_id"),
+  private def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
       sort_array(graft.functions.TextHashFunctions.shingleHashes(col("text"), n))
         .as("shs"))
-    if (graft.operators.Spread.bucketedBy(docs, Seq("doc_id"))) sets
-    else sets.repartition(
-      docs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
-  }
 
   private def exactJaccardVerify(docs: DataFrame, cands: DataFrame,
                                  n: Int, threshold: Double): DataFrame = {
@@ -700,8 +698,8 @@ object Dedup {
   def minhashNearDupPairs(docs0: DataFrame, n: Int, threshold: Double,
                           numHashes: Int, bands: Int, maxBucket: Int = AdaptiveCap): DataFrame = {
     val docs = graft.operators.Spread(docs0)
-    // the shared pinned-set exchange ([[shingleSets]]): both fetch
-    // joins read ONE evaluation of the shingle kernel (sort_array is
+    // per-side shingle projections (see [[shingleSets]] for why the
+    // shared pinned exchange was reverted; sort_array is
     // value-neutral for the intersect/size arithmetic)
     val sh = shingleSets(docs, n)
     minhashLshPairs(docs, n, numHashes, bands, maxBucket)

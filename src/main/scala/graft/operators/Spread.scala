@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Repartition}
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 
 /** Input-layout guard for per-row kernel stages (the
   * Ann.withKernelParallelism idiom, hoisted so the text/dedup miners
@@ -40,26 +40,4 @@ object Spread {
       val want = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
     }
-
-  /** True iff the plan bottoms out (through projections/filters) in a
-    * bucketed file scan whose bucket columns are exactly `keys`. That
-    * layout already co-locates every join/aggregation on those keys —
-    * a pinned repartition there would ADD the corpus-sized exchange
-    * bucketing exists to remove (the BucketedScaleSpec 100 TB
-    * contract), so key-pinning callers skip the pin on this shape.
-    */
-  def bucketedBy(df: DataFrame, keys: Seq[String]): Boolean = {
-    def walk(plan: LogicalPlan): Boolean = plan match {
-      case p: Project => walk(p.child)
-      case f: Filter => walk(f.child)
-      case r: Repartition if !r.shuffle => walk(r.child)
-      case lr: LogicalRelation => lr.relation match {
-        case h: HadoopFsRelation =>
-          h.bucketSpec.exists(_.bucketColumnNames == keys)
-        case _ => false
-      }
-      case _ => false
-    }
-    walk(df.queryExecution.optimizedPlan)
-  }
 }
