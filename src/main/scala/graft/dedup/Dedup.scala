@@ -927,19 +927,26 @@ object Dedup {
     * row regardless of corpus size.
     */
   def blockingRecall(exactPairs: DataFrame, candidatePairs: DataFrame): DataFrame = {
-    val e = exactPairs.select(col("doc_a"), col("doc_b"))
-    val c = candidatePairs.select(col("doc_a").as("ca"), col("doc_b").as("cb"))
-    // ONE pass over each miner: the former left-join + separate
-    // candidate count evaluated the entire candidate pipeline TWICE
-    // (no exchange above a miner's output, so nothing reused). A full
-    // outer join carries exact-only, found, and candidate-only rows
-    // through a single aggregate — both pair tables are unique by
-    // construction (grouped / distinct miners), so row counts are the
-    // set sizes.
-    e.join(c, col("doc_a") === col("ca") && col("doc_b") === col("cb"), "full")
-      .agg(count(col("doc_a")).as("n_exact"),
-        count(when(col("doc_a").isNotNull, col("ca"))).as("n_found"),
-        count(col("ca")).as("n_candidates"))
+    // ONE pass over each miner and NO pair join: flag-union the two
+    // pair tables and aggregate (both are unique by construction —
+    // grouped / distinct miners — so per-pair max-flags then global
+    // sums are the set sizes and the overlap). The former full-outer
+    // join forbade a broadcast build and forced exchange+sort of both
+    // miner outputs; here the only machinery above the miners is one
+    // pair-keyed aggregation of the tiny flagged union.
+    val e = exactPairs.select(col("doc_a"), col("doc_b"),
+      lit(1).as("is_e"), lit(0).as("is_c"))
+    val c = candidatePairs.select(col("doc_a"), col("doc_b"),
+      lit(0).as("is_e"), lit(1).as("is_c"))
+    e.unionByName(c)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("is_e")).as("e"), max(col("is_c")).as("c"))
+      // coalesce: sum over an EMPTY union is NULL where the former
+      // counts said 0 — same numbers on any non-empty input, and the
+      // empty-corpus row keeps its zeros
+      .agg(coalesce(sum(col("e")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("e") * col("c")), lit(0L)).as("n_found"),
+        coalesce(sum(col("c")), lit(0L)).as("n_candidates"))
       .withColumn("recall",
         when(col("n_exact") === 0, lit(null).cast("double"))
           .otherwise(col("n_found").cast("double") / col("n_exact")))

@@ -265,6 +265,12 @@ class EvalOpsSpec extends AnyFunSuite {
     val r = graft.dedup.Dedup.blockingRecall(exact, cand).collect().head
     assert(r.getLong(0) == 3L && r.getLong(1) == 2L && r.getLong(2) == 4L)
     assert(r.getDouble(3) == 2.0 / 3 && r.getDouble(4) == 2.0 / 4)
+    // empty-on-both-sides edge: counts stay 0 (not null), rates null —
+    // the contract the former count-based aggregate gave for free
+    val z = graft.dedup.Dedup.blockingRecall(
+      exact.limit(0), cand.limit(0)).collect().head
+    assert(z.getLong(0) == 0L && z.getLong(1) == 0L && z.getLong(2) == 0L)
+    assert(z.isNullAt(3) && z.isNullAt(4))
   }
 
   test("basket lift dedups repeated lines of the same part in a basket") {
